@@ -1,0 +1,4 @@
+from .session import get_spark, stop_spark
+from .clock import Clock, FixedClock, SystemClock
+
+__all__ = ["get_spark", "stop_spark", "Clock", "FixedClock", "SystemClock"]
