@@ -1,0 +1,125 @@
+"""Audit log + watermark state store — macro-ops M4/M5.
+
+The reference's ``audit.audit_logs`` Delta table is both run telemetry and
+the incremental-load state store (1_audit/audit_ddl.sql:4-28); the last
+successful watermark is read back with a filter → orderBy desc_nulls_last →
+limit 1 → collect of a single scalar (1_audit/fetch_logs.py:21-35) — the
+only sanctioned driver-side collect in the engine.
+
+Audit bracketing (M5): a STARTED row before work, SUCCESS/FAILED after,
+with rows_processed and error_message (1_audit/audit_start.py:76-105,
+audit_end.py:53-101). The reference builds INSERT strings by hand with
+manual quote-escaping; we write typed rows through the DataFrame API, which
+removes its SQL-injection surface entirely.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..engine.clock import Clock, SystemClock
+from ..engine.tableio import Warehouse
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_system", T.StringType()),
+        T.StructField("source_object", T.StringType()),
+        T.StructField("run_date", T.DateType()),
+        T.StructField("status", T.StringType()),  # STARTED | SUCCESS | FAILED
+        T.StructField("rows_processed", T.LongType()),
+        T.StructField("watermark_value", T.StringType()),
+        T.StructField("start_time", T.TimestampType()),
+        T.StructField("end_time", T.TimestampType()),
+        T.StructField("error_message", T.StringType()),
+        T.StructField("inserted_at", T.TimestampType()),
+    ]
+)
+
+NAMESPACE, TABLE = "audit", "audit_logs"
+
+
+@dataclass
+class AuditLog:
+    wh: Warehouse
+    clock: Clock = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.clock is None:
+            self.clock = SystemClock()
+        if not self.wh.exists(NAMESPACE, TABLE):
+            empty = self.wh.spark.createDataFrame([], AUDIT_SCHEMA)
+            self.wh.overwrite(empty, NAMESPACE, TABLE)
+
+    def _insert(self, **kw) -> None:
+        now = self.clock.now()
+        row = {
+            "source_system": kw.get("source_system"),
+            "source_object": kw.get("source_object"),
+            "run_date": now.date(),
+            "status": kw.get("status"),
+            "rows_processed": kw.get("rows_processed"),
+            "watermark_value": kw.get("watermark_value"),
+            "start_time": kw.get("start_time"),
+            "end_time": kw.get("end_time"),
+            "error_message": kw.get("error_message"),
+            "inserted_at": now,
+        }
+        df = self.wh.spark.createDataFrame([tuple(row[f.name] for f in AUDIT_SCHEMA)], AUDIT_SCHEMA)
+        self.wh.append(df, NAMESPACE, TABLE)
+
+    def start(self, source_system: str, source_object: str) -> _dt.datetime:
+        t0 = self.clock.now()
+        self._insert(
+            source_system=source_system, source_object=source_object,
+            status="STARTED", start_time=t0,
+        )
+        return t0
+
+    def success(
+        self, source_system: str, source_object: str, start_time: _dt.datetime,
+        rows_processed: int, watermark_value: str | None,
+    ) -> None:
+        self._insert(
+            source_system=source_system, source_object=source_object,
+            status="SUCCESS", rows_processed=rows_processed,
+            watermark_value=watermark_value, start_time=start_time,
+            end_time=self.clock.now(),
+        )
+
+    def failed(
+        self, source_system: str, source_object: str, start_time: _dt.datetime, error: str
+    ) -> None:
+        self._insert(
+            source_system=source_system, source_object=source_object,
+            status="FAILED", start_time=start_time, end_time=self.clock.now(),
+            error_message=error[:4000],
+        )
+
+    def read(self) -> DataFrame:
+        return self.wh.read(NAMESPACE, TABLE)
+
+    def fetch_last_watermark(self, source_system: str, source_object: str) -> str:
+        """O1/P6 — reference: 1_audit/fetch_logs.py:21-35. Empty string when
+        no successful prior run (⇒ caller does a full scan, S6)."""
+        rows = (
+            self.read()
+            .filter(
+                (F.col("source_system") == source_system)
+                & (F.col("source_object") == source_object)
+                & (F.col("status") == "SUCCESS")
+                & F.col("watermark_value").isNotNull()
+                & (F.length(F.col("watermark_value")) > 0)
+            )
+            .orderBy(
+                F.col("end_time").desc_nulls_last(), F.col("inserted_at").desc_nulls_last()
+            )
+            .select("watermark_value")
+            .limit(1)
+            .collect()
+        )
+        return rows[0][0] if rows else ""

@@ -1,1 +1,98 @@
-"""Filled in by later milestone."""
+"""Macro-op queries — SCD2 merge (M1) and idempotent append (M2) expressed
+as multi-step fixtures over the events table whose *final state* is
+SQL-expressible for the DuckDB oracle (SURVEY §5 test plan item 1).
+
+Audit timestamps are excluded from the checked output (they come from an
+injected clock; the oracle verifies row multiplicity + is_current flags,
+which is the SCD2 semantics).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.appends import append_if_absent
+from ..operators.dedup import keep_latest
+from ..operators.scd2 import scd2_init, scd2_merge
+from . import load, register
+
+_T0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+_T1 = dt.datetime(2024, 2, 2, 0, 0, 0)
+
+
+def _earliest_per_user(e: DataFrame) -> DataFrame:
+    return keep_latest(
+        e, ["user_id"], [F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()]
+    ).select("user_id", "event_type", "value")
+
+
+def _latest_per_user(e: DataFrame) -> DataFrame:
+    return keep_latest(
+        e, ["user_id"], [F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()]
+    ).select("user_id", "event_type", "value")
+
+
+@register(
+    "scd2_final_state",
+    oracle="""
+    WITH b1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    b2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    changed AS (
+      SELECT b1.user_id FROM b1 JOIN b2 USING (user_id)
+      WHERE b1.event_type <> b2.event_type OR b1.value <> b2.value
+    )
+    SELECT b1.user_id, b1.event_type, b1.value,
+           (b1.user_id NOT IN (SELECT user_id FROM changed)) AS is_current
+    FROM b1
+    UNION ALL
+    SELECT b2.user_id, b2.event_type, b2.value, true AS is_current
+    FROM b2 WHERE b2.user_id IN (SELECT user_id FROM changed)
+    """,
+)
+def scd2_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch SCD2: initial load = earliest event per user; second batch =
+    latest event per user. Changed users get an expired row + a new current
+    row; unchanged users keep one current row — M1 semantics end-to-end
+    (silver_transactions.py:123-201), null-unsafe `<>` change detection
+    included."""
+    e = load(spark, sf_dir, "events")
+    target = scd2_init(_earliest_per_user(e), _T0)
+    merged = scd2_merge(
+        target, _latest_per_user(e), "user_id", ["event_type", "value"], _T1
+    )
+    return merged.select("user_id", "event_type", "value", "is_current")
+
+
+@register(
+    "idempotent_append",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id < 8000
+    """,
+)
+def idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — anti-join insert-if-absent (silver_settlements.py:94-113):
+    overlapping batches [0,5000) and [2500,8000) land each key exactly once;
+    a replay of batch 2 inserts nothing."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    b1 = e.filter(F.col("event_id") < 5000)
+    b2 = e.filter((F.col("event_id") >= 2500) & (F.col("event_id") < 8000))
+    state = append_if_absent(b1, b2, "event_id")
+    state = append_if_absent(state, b2, "event_id")  # replay → no-op
+    return state
