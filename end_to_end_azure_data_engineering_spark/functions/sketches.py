@@ -1,0 +1,181 @@
+"""Similarity sketches — MinHash (+LSH banding) and SimHash.
+
+Scale design (the 100 TB path):
+- shingle → minhash signature is a per-row map (narrow, no shuffle);
+- LSH banding explodes each doc into `BANDS` rows and shuffles on the
+  (band, signature) bucket key — candidate generation is a hash-partitioned
+  group-by, never an O(n²) cross join;
+- exact Jaccard verification runs only inside buckets.
+
+Portability: all hashing is md5-based (identical hex in Spark/DuckDB),
+folded to 32 bits via hex→BIGINT, then K universal-hash permutations
+h_i(x) = (a_i*x + b_i) mod P with constants small enough that a_i*x stays
+< 2^52 (no 64-bit overflow in either engine). Every helper has a `*_SQL`
+twin generated from the same constants.
+
+No UDFs anywhere — transform/aggregate/filter higher-order functions keep
+the whole sketch inside Catalyst codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# shared constants -----------------------------------------------------------
+
+P = 2147483647  # 2^31 - 1 (Mersenne prime)
+K = 16          # minhash permutations
+BANDS = 4       # LSH bands of ROWS each
+ROWS = K // BANDS
+
+# deterministic (a, b) pairs: a in [1, 2^20), b in [0, P) — generated once
+# from a fixed LCG so both engines inline the same literals.
+def _lcg_pairs(k: int) -> list[tuple[int, int]]:
+    state, out = 123456789, []
+    for _ in range(k):
+        state = (1103515245 * state + 12345) % (2**31)
+        a = (state % ((1 << 20) - 1)) + 1
+        state = (1103515245 * state + 12345) % (2**31)
+        b = state % P
+        out.append((a, b))
+    return out
+
+
+AB = _lcg_pairs(K)
+
+SIMHASH_BITS = 32
+
+
+# shingling ------------------------------------------------------------------
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (joined by single space) of normalized text.
+    Expressed with sequence+transform HOFs — no explode, stays one row."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(sh)
+
+
+def WORD_SHINGLES_SQL(col: str, n: int = 3) -> str:
+    toks = f"string_split(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'), ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# portable 32-bit string hash ------------------------------------------------
+
+def hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 → BIGINT (0 .. 2^32-1). Portable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def HASH32_SQL(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+# minhash --------------------------------------------------------------------
+
+def _perm(a: int, b: int):
+    # factory (not lambda default-args): Spark HOFs dispatch on lambda arity
+    return lambda h: (h * a + b) % P
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """Array of K minhash values over the shingle set."""
+    hashes = F.transform(shingles, lambda s: hash32(s))
+    mins = [F.array_min(F.transform(hashes, _perm(a, b))) for a, b in AB]
+    return F.array(*mins)
+
+
+def MINHASH_SIGNATURE_SQL(shingles_expr: str) -> str:
+    hashes = f"list_transform({shingles_expr}, s -> {HASH32_SQL('s')})"
+    mins = ", ".join(
+        f"list_min(list_transform({hashes}, h -> (h * {a} + {b}) % {P}))"
+        for a, b in AB
+    )
+    return f"[{mins}]"
+
+
+def band_signatures(minhash_col: Column) -> Column:
+    """Array of BANDS strings '<band>:<r1>-<r2>-...' — the LSH bucket keys."""
+    bands = [
+        F.concat_ws(
+            "-",
+            F.lit(str(i)),
+            *[F.element_at(minhash_col, i * ROWS + j + 1).cast("string") for j in range(ROWS)],
+        )
+        for i in range(BANDS)
+    ]
+    return F.array(*bands)
+
+
+def BAND_SIGNATURES_SQL(mh: str) -> str:
+    bands = ", ".join(
+        "concat_ws('-', '" + str(i) + "', " +
+        ", ".join(f"CAST({mh}[{i * ROWS + j + 1}] AS VARCHAR)" for j in range(ROWS)) + ")"
+        for i in range(BANDS)
+    )
+    return f"[{bands}]"
+
+
+# jaccard --------------------------------------------------------------------
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+def JACCARD_SQL(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return f"{inter} / greatest(len({a}) + len({b}) - {inter}, 1)"
+
+
+# simhash --------------------------------------------------------------------
+
+def simhash(col: str | Column) -> Column:
+    """SIMHASH_BITS-bit SimHash over whitespace tokens: per bit, sum +1/-1
+    across token hashes; bit set where the sum is positive."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    hashes = F.transform(toks, lambda t: hash32(t))
+
+    def _bit_vote(mask: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+
+    total = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        bit_sum = F.aggregate(hashes, F.lit(0), _bit_vote(1 << i))
+        total = total + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(0).cast("bigint")
+    return total
+
+
+def SIMHASH_SQL(col: str) -> str:
+    toks = f"list_distinct(string_split_regex(trim({col}), '\\s+'))"
+    hashes = f"list_transform({toks}, t -> {HASH32_SQL('t')})"
+    parts = [
+        f"CASE WHEN list_sum(list_transform({hashes}, "
+        f"h -> CASE WHEN (h & {1 << i}) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two SIMHASH_BITS-bit signatures (popcount of
+    xor via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def HAMMING32_SQL(a: str, b: str) -> str:
+    return f"bit_count(xor({a}::BIGINT, {b}::BIGINT))"

@@ -59,3 +59,4 @@ def load_all_queries() -> None:
     from . import text_ops  # noqa: F401
     from . import similarity_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import multimodal_ops  # noqa: F401

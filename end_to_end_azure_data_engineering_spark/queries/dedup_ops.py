@@ -1,1 +1,182 @@
-"""Filled in by later milestone."""
+"""Deduplication queries over documents — exact, MinHash+LSH, SimHash,
+n-gram Jaccard (the training-data dedup suite from BASELINE.json).
+
+Scale architecture (per-query details in docstrings): sketches are per-row
+maps (no shuffle); candidate generation always goes through a bucket key
+(fingerprint, LSH band, simhash) and shuffles on it; exact verification
+runs only within buckets. Nothing here is O(n²) in the corpus — except the
+explicitly-bounded `dedup_ngram_jaccard` baseline, which exists as the
+small-scope ground truth for the LSH path.
+
+Oracles are generated from the same constants (functions/sketches.py) as
+the Spark plans, so both sides compute identical hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sketches as S
+from ..functions import text as X
+from . import load, register
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, {X.FINGERPRINT_SQL('text')} AS fp FROM documents
+    )
+    SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+    FROM fps GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint;
+    canonical survivor = min doc_id. One shuffle on the 128-bit fp — the
+    standard exact-dedup shape at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", X.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLES_SQL = S.WORD_SHINGLES_SQL("text")
+_MH_SQL = S.MINHASH_SIGNATURE_SQL("sh")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, sh, {_MH_SQL} AS mh FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, unnest({S.BAND_SIGNATURES_SQL('mh')}) AS band FROM mh
+    ),
+    cands AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.doc_id < b2.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round({S.JACCARD_SQL('sa.sh', 'sb.sh')}, 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {S.JACCARD_SQL('sa.sh', 'sb.sh')} >= 0.2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → K=16 minhash → 4 LSH bands →
+    bucket-join candidates → exact-Jaccard verify within buckets.
+
+    Shuffle profile: one explode to BANDS rows/doc, one shuffle on the band
+    key for the self-join, verification joins on doc_id. Candidate volume
+    scales with collisions, not corpus²."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", S.word_shingles("text").alias("sh"))
+    mh = sh.select("doc_id", "sh", S.minhash_signature(F.col("sh")).alias("mh"))
+    bands = mh.select(
+        "doc_id", F.explode(S.band_signatures(F.col("mh"))).alias("band")
+    )
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band"))
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band")
+        .join(b2, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {S.SIMHASH_SQL('text')} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash signature (token-hash bit voting). Near-dup
+    candidates at scale come from banding the signature bits (same LSH
+    shape as minhash); signature computation is a pure per-row map."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", S.simhash("text").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {S.SIMHASH_SQL('text')} AS simhash
+      FROM documents WHERE lang = 'de'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {S.HAMMING32_SQL('a.simhash', 'b.simhash')} AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {S.HAMMING32_SQL('a.simhash', 'b.simhash')} <= 8
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs on a bounded slice (the exact
+    baseline; the scale path is bit-band bucketing per dedup_simhash)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    sigs = d.select("doc_id", S.simhash("text").alias("simhash"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = S.hamming32(F.col("sim_a"), F.col("sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= 8)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+      FROM documents WHERE lang = 'de'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({S.JACCARD_SQL('a.tk', 'b.tk')}, 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE {S.JACCARD_SQL('a.tk', 'b.tk')} >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup on a bounded slice — the exact ground
+    truth the LSH paths approximate. Deliberately scoped (single lang
+    partition): the all-pairs form is the one operator here that would NOT
+    survive 100×, which is why minhash_lsh exists."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tk"),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
+    jac = S.jaccard(F.col("tk_a"), F.col("tk_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,1 +1,148 @@
-"""Filled in by later milestone."""
+"""Similarity-search queries over the embeddings table (array<float>, 64-d):
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path + embedding
+near-dup. All native HOF arithmetic (zip_with/aggregate) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import similarity as V
+from . import load, register
+
+_EMB_D = "embedding::DOUBLE[]"
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {V.COSINE_SQL('p.pe', 'e.embedding')} AS cos
+      FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the probe batch against the
+    candidate set, window top-k per probe. At scale: probes broadcast (no
+    candidate shuffle), score is a narrow map, and the only shuffle is the
+    per-probe top-k — which AQE keeps proportional to |probes|·k."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select("vec_id", "embedding")
+    cos = V.cosine(V.as_double(F.col("pe")), V.as_double(F.col("embedding")))
+    scored = (
+        cand.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id, embedding, {V.SIGN_BUCKET_SQL('embedding')} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, bucket FROM buckets WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT p.probe_id, b.vec_id,
+             {V.COSINE_SQL('p.pe', 'b.embedding')} AS cos
+      FROM probes p JOIN buckets b
+        ON b.bucket = p.bucket AND b.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-pattern bucket key (8 axis hyperplanes) →
+    equi-join on bucket → cosine only within the bucket → top-k. The
+    100 TB layout: candidates bucket-partitioned on disk, probe fan-out
+    ~|corpus|/2^bits per probe, no global shuffle of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    buckets = e.select(
+        "vec_id", "embedding", V.sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    probes = buckets.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "bucket"
+    )
+    cos = V.cosine(V.as_double(F.col("pe")), V.as_double(F.col("embedding")))
+    scored = (
+        buckets.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id, embedding, {V.SIGN_BUCKET_SQL('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({V.COSINE_SQL('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {V.COSINE_SQL('a.embedding', 'b.embedding')} >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: bucket-join (LSH) then cosine ≥ 0.9 —
+    the embedding leg of the dedup suite; same bucket-shuffle shape as
+    minhash LSH."""
+    e = load(spark, sf_dir, "embeddings")
+    buckets = e.select(
+        "vec_id", "embedding", V.sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = V.cosine(V.as_double(F.col("ea")), V.as_double(F.col("eb")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.9)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )

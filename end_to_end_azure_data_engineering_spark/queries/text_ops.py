@@ -1,1 +1,102 @@
-"""Filled in by later milestone."""
+"""Text-analysis queries over the documents table — training-data pipeline
+operators (BASELINE.json north star): token counting, quality scoring,
+language ID, fingerprinting. Oracles are generated from the same constants
+as the Spark expressions (functions/text.py) so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from . import load, register
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {X.TOKEN_COUNT_SQL('text')} AS n_tokens,
+           {X.BPE_ISH_TOKEN_COUNT_SQL('text')} AS n_bpeish_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpeish_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round({X.PUNCT_RATIO_SQL('text')}, 6)    AS punct_ratio,
+           round({X.STOPWORD_RATIO_SQL('text')}, 6) AS stopword_ratio,
+           round(length(text) / greatest({X.TOKEN_COUNT_SQL('text')}, 1), 6)
+                                                    AS avg_token_len,
+           (length(text) >= 100
+            AND {X.PUNCT_RATIO_SQL('text')} < 0.1
+            AND {X.STOPWORD_RATIO_SQL('text')} > 0.05) AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality gates — the standard pre-training
+    heuristic filter set, flag-don't-drop (quarantine semantics)."""
+    d = load(spark, sf_dir, "documents")
+    pr, sr = X.punct_ratio("text"), X.stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round(F.length("text") / F.greatest(X.token_count("text"), F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        ((F.length("text") >= 100) & (pr < 0.1) & (sr > 0.05)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {X.LANG_ID_SQL('text')} AS detected_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic family). The synthetic
+    corpus is English-vocab for every label, so `detected_lang` reflects the
+    text, not the label — the operator contract is determinism, not
+    classifier accuracy."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {X.FINGERPRINT_SQL('text')} AS fp,
+           substr({X.FINGERPRINT_SQL('text')}, 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = X.fingerprint("text")
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )

@@ -1,0 +1,98 @@
+"""Unit tests for the extension function library: sketches, similarity,
+text, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_data_engineering_spark.functions import multimodal as MM
+from end_to_end_azure_data_engineering_spark.functions import sketches as S
+from end_to_end_azure_data_engineering_spark.functions import similarity as V
+from end_to_end_azure_data_engineering_spark.functions import text as X
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    sigs = df.select(
+        "doc_id", S.minhash_signature(S.word_shingles("text")).alias("mh")
+    ).collect()
+    by_id = {r.doc_id: r.mh for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert len(by_id[1]) == S.K
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    row = df.select(
+        S.jaccard(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("a"), F.lit("b"))).alias("same"),
+        S.jaccard(F.array(F.lit("a")), F.array(F.lit("b"))).alias("disjoint"),
+    ).first()
+    assert row.same == 1.0 and row.disjoint == 0.0
+
+
+def test_simhash_near_vs_far(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", S.simhash("text").alias("sh")).collect()}
+    near = df.select(S.hamming32(F.lit(rows[1]), F.lit(rows[2])).alias("h")).first().h
+    far = df.select(S.hamming32(F.lit(rows[1]), F.lit(rows[3])).alias("h")).first().h
+    assert near < far
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    c = df.select(V.cosine(F.col("v"), F.col("v")).alias("c")).first().c
+    assert abs(c - 1.0) < 1e-9
+
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat of a house"),
+         (2, "el gato y la casa de que en"),
+         (3, "xyzzy plugh qwerty")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", X.lang_id("text").alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "und"
+
+
+def test_multimodal_feature_extract(spark):
+    data = [
+        (1, "image", b"\x89PNG fake bytes", 640, 480, None, None),
+        (2, "audio", b"RIFF fake wav", None, None, 44100, 9000),
+        (3, "video", b"\x00\x00ftyp fake", 1920, 1080, None, 3500),
+        (4, "image", None, 0, 0, None, None),
+    ]
+    media = spark.createDataFrame(data, MM.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert feats[1].n_bytes == 15
+    assert feats[4].n_bytes == 0
+    assert 0.0 <= feats[2].byte_entropy_proxy <= 1.0
+    assert len(feats[3].content_hash) == 32
+    # deterministic: same payload → same features
+    feats2 = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert feats == feats2
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"bytes")
+    assert MM.decode_image(b"bytes", decoder=lambda b: ("decoded", len(b))) == ("decoded", 5)
+
+
+def test_frame_sample_plan(spark):
+    data = [(3, "video", b"x", 1920, 1080, None, 3500)]
+    media = spark.createDataFrame(data, MM.MEDIA_SCHEMA)
+    frames = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
