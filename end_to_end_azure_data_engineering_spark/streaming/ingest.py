@@ -1,0 +1,128 @@
+"""Structured Streaming extension — SURVEY §2.9 mapping.
+
+The reference's incremental behavior is batch micro-loads + an external
+watermark table (M4). The streaming equivalents, scale path for the same
+semantics:
+
+| reference mechanism                  | streaming equivalent here            |
+|--------------------------------------|--------------------------------------|
+| timestamped file drops + glob read   | file-source readStream (exactly-once |
+|                                      | file tracking via checkpoint)        |
+| audit-table watermark (S6/A1)        | checkpoint offsets +                 |
+|                                      | withWatermark(event_time, delay)     |
+| keep-latest-per-key dedup (W1)       | dropDuplicates within watermark /    |
+|                                      | foreachBatch keep_latest             |
+| SCD2 MERGE per batch (M1)            | foreachBatch(scd2_merge)             |
+| (absent in reference)                | tumbling/sliding/session windows     |
+
+Everything returns streaming DataFrames or StreamingQuery handles; tests
+drive them synchronously with processAllAvailable() on memory sinks.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..engine.clock import Clock, SystemClock
+from ..engine.tableio import Warehouse
+from ..operators.dedup import latest_by_recency
+from ..operators.scd2 import scd2_init, scd2_merge
+
+
+def stream_files(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-drop ingestion as a stream: new files in `path` are discovered
+    per micro-batch and processed exactly once (checkpoint-tracked) — the
+    streaming upgrade of the reference's stamped-file glob reads (S1)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    event_time: str = "ts",
+    delay: str = "10 minutes",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling (or sliding) windowed aggregation with late-data watermark.
+    State store size is bounded by the watermark delay — the knob that
+    keeps this viable on unbounded streams."""
+    win = (
+        F.window(event_time, window, slide) if slide else F.window(event_time, window)
+    )
+    return (
+        events.withWatermark(event_time, delay)
+        .groupBy(win.alias("win"), *group_cols)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    event_time: str = "ts",
+    delay: str = "10 minutes",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — sessionization as a built-in
+    stateful op (F.session_window), no custom state management."""
+    return (
+        events.withWatermark(event_time, delay)
+        .groupBy(F.session_window(event_time, gap).alias("win"), key)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], event_time: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming replay-dedup: first event per key wins within the
+    watermark horizon (state auto-expires past it) — the streaming W1."""
+    return events.withWatermark(event_time, delay).dropDuplicates(keys + [event_time])
+
+
+def scd2_stream_sink(
+    wh: Warehouse,
+    table: str,
+    key: str,
+    compare_cols: list[str],
+    recency_cols: list[str],
+    clock: Clock | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink applying the batch SCD2 merge per micro-batch —
+    the reference's M1 upgraded to streaming. Each batch is compacted to
+    latest-per-key first (MERGE precondition), then merged; Delta in
+    production, parquet-swap here."""
+    clock = clock or SystemClock()
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        staged = latest_by_recency(batch, [key], recency_cols)
+        now = clock.now()
+        if wh.exists("silver", table):
+            new_state = scd2_merge(wh.read("silver", table), staged, key, compare_cols, now)
+        else:
+            new_state = scd2_init(staged, now)
+        wh.overwrite(new_state, "silver", table)
+
+    return sink

@@ -1,0 +1,113 @@
+"""Structured Streaming tests — driven synchronously via memory sinks +
+processAllAvailable (no wall-clock waits)."""
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_azure_data_engineering_spark.engine.clock import FixedClock
+from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+    dedup_within_watermark, scd2_stream_sink, session_windows, stream_files,
+    windowed_counts,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    d = str(tmp_path / "drops")
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 2.0),
+        (3, t0 + dt.timedelta(minutes=6), 2, "click", 3.0),
+        (1, t0, 1, "click", 1.0),  # replay duplicate
+        (4, t0 + dt.timedelta(minutes=50), 2, "view", 4.0),
+    ]
+    _write_batch(spark, d, rows)
+    return d
+
+
+def _run_to_memory(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts(spark, stream_dir):
+    events = stream_files(spark, stream_dir, EVENT_SCHEMA)
+    agg = windowed_counts(events, delay="10 minutes", window="5 minutes")
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_out").collect()
+    assert len(rows) >= 3  # clicks 10:00-05, view 10:00-05, click 10:05-10, view 10:50-55
+    clicks = [r for r in rows if r.event_type == "click" and r.window_start.minute == 0]
+    assert clicks and clicks[0].n == 2  # replay counted twice pre-dedup
+
+
+def test_dedup_within_watermark(spark, stream_dir):
+    events = stream_files(spark, stream_dir, EVENT_SCHEMA)
+    dd = dedup_within_watermark(events, ["event_id"])
+    _run_to_memory(dd, "dedup_out")
+    rows = spark.sql("SELECT event_id, count(*) AS n FROM dedup_out GROUP BY event_id").collect()
+    assert all(r.n == 1 for r in rows)
+    assert {r.event_id for r in rows} == {1, 2, 3, 4}
+
+
+def test_session_windows(spark, stream_dir):
+    events = stream_files(spark, stream_dir, EVENT_SCHEMA)
+    sess = session_windows(events, gap="30 minutes")
+    q = sess.writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_out ORDER BY user_id, session_start").collect()
+    # user 1: one session (2 events); user 2: two sessions (gap 44 min > 30)
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 2 and all(r.n_events == 1 for r in u2)
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 1 and u1[0].n_events == 3  # incl. the replay duplicate
+
+
+def test_scd2_foreachbatch_sink(spark, tmp_path, stream_dir):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    clock = FixedClock(dt.datetime(2024, 3, 2, 0, 0, 0))
+    sink = scd2_stream_sink(
+        wh, "user_state", key="user_id",
+        compare_cols=["event_type", "value"], recency_cols=["ts", "event_id"],
+    )
+    events = stream_files(spark, stream_dir, EVENT_SCHEMA).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    q = events.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    state1 = wh.read("silver", "user_state")
+    assert state1.filter(F.col("is_current")).count() == 2  # users 1, 2
+
+    # second drop: user 1 changes state → history row + new current
+    _write_batch(spark, stream_dir, [(9, dt.datetime(2024, 3, 1, 12, 0), 1, "purchase", 9.9)])
+    clock.advance(hours=1)
+    q = events.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    state2 = wh.read("silver", "user_state")
+    u1 = state2.filter(F.col("user_id") == 1)
+    assert u1.count() == 2  # expired original + new current version
+    cur = u1.filter(F.col("is_current")).collect()
+    assert len(cur) == 1 and cur[0].event_type == "purchase"
