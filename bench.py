@@ -25,6 +25,16 @@ HEADLINE = [
     "grouped_agg_rich",
     "two_hop_join",
     "json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "scd2_final_state",
+    "idempotent_append",
 ]
 
 

@@ -51,14 +51,36 @@ SIMHASH_BITS = 32
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct n-word shingles (joined by single space) of normalized text.
-    Expressed with sequence+transform HOFs — no explode, stays one row."""
+    Expressed with sequence+transform HOFs — no explode, stays one row.
+
+    NOTE: if `col` is a complex expression, every lambda invocation
+    re-evaluates it (Spark does not CSE into HOF lambdas — measured 11×
+    slower); prefer `staged_word_shingles` which materializes the token
+    array as a column first."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    return _shingles_of(toks, n)
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    return F.array_distinct(sh)
+
+
+def staged_word_shingles(df, text_col: str, out_col: str = "sh", n: int = 3):
+    """Two-step shingling: tokens land in a real column, so the transform
+    lambda reads an attribute instead of recomputing split+regexp per
+    shingle. Same result as word_shingles, ~11× faster on real corpora."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(out_col, _shingles_of(F.col("_toks"), n))
+        .drop("_toks")
+    )
 
 
 def WORD_SHINGLES_SQL(col: str, n: int = 3) -> str:
@@ -83,16 +105,26 @@ def HASH32_SQL(expr: str) -> str:
 
 # minhash --------------------------------------------------------------------
 
-def _perm(a: int, b: int):
-    # factory (not lambda default-args): Spark HOFs dispatch on lambda arity
-    return lambda h: (h * a + b) % P
-
-
 def minhash_signature(shingles: Column) -> Column:
-    """Array of K minhash values over the shingle set."""
+    """Array of K minhash values over the shingle set.
+
+    Single pass: one fold over the shingle hashes, updating all K mins per
+    element via zip_with — Spark does not CSE repeated HOF subtrees, so the
+    naive K×array_min(transform(...)) form re-hashes every shingle K times
+    (measured ~6× slower at 5k docs)."""
+    a_arr = F.array(*[F.lit(a) for a, _ in AB])
+    b_arr = F.array(*[F.lit(b) for _, b in AB])
+    init = F.array_repeat(F.lit(P).cast("bigint"), K)
     hashes = F.transform(shingles, lambda s: hash32(s))
-    mins = [F.array_min(F.transform(hashes, _perm(a, b))) for a, b in AB]
-    return F.array(*mins)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (h * a + b) % P),
+            lambda m, v: F.least(m, v),
+        ),
+    )
 
 
 def MINHASH_SIGNATURE_SQL(shingles_expr: str) -> str:
@@ -148,15 +180,23 @@ def simhash(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(F.trim(c), r"\s+"))
     hashes = F.transform(toks, lambda t: hash32(t))
-
-    def _bit_vote(mask: int):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
-
-    total = F.lit(0).cast("bigint")
-    for i in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0), _bit_vote(1 << i))
-        total = total + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(0).cast("bigint")
-    return total
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(SIMHASH_BITS)])
+    # single fold: per token, vote +1/-1 on every bit at once (see
+    # minhash_signature on why the per-bit aggregate form is slow)
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) > 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def SIMHASH_SQL(col: str) -> str:

@@ -16,7 +16,8 @@ removes its SQL-injection surface entirely.
 from __future__ import annotations
 
 import datetime as _dt
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +48,13 @@ NAMESPACE, TABLE = "audit", "audit_logs"
 class AuditLog:
     wh: Warehouse
     clock: Clock = None  # type: ignore[assignment]
+    # Parallel stages bracket concurrently, but parquet appends to one path
+    # are NOT safe concurrently: every job stages under <path>/_temporary/0,
+    # and the first commit's cleanup deletes the other jobs' staging files
+    # (transient FAILED rows observed in the DAG tests). Raw-parquet audit
+    # therefore serializes inserts; on Delta the append is an ACID commit and
+    # the lock is unnecessary.
+    _write_lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
         if self.clock is None:
@@ -70,7 +78,8 @@ class AuditLog:
             "inserted_at": now,
         }
         df = self.wh.spark.createDataFrame([tuple(row[f.name] for f in AUDIT_SCHEMA)], AUDIT_SCHEMA)
-        self.wh.append(df, NAMESPACE, TABLE)
+        with self._write_lock:
+            self.wh.append(df, NAMESPACE, TABLE)
 
     def start(self, source_system: str, source_object: str) -> _dt.datetime:
         t0 = self.clock.now()

@@ -81,7 +81,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key for the self-join, verification joins on doc_id. Candidate volume
     scales with collisions, not corpus²."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", S.word_shingles("text").alias("sh"))
+    # persist the shingle sets: the plan references them from three branches
+    # (banding + both sides of the verification join); without persist each
+    # branch re-shingles and re-hashes the corpus. At 100 TB this frame is a
+    # materialized signatures table, partitioned by band.
+    sh = S.staged_word_shingles(d.select("doc_id", "text"), "text").drop("text").persist()
     mh = sh.select("doc_id", "sh", S.minhash_signature(F.col("sh")).alias("mh"))
     bands = mh.select(
         "doc_id", F.explode(S.band_signatures(F.col("mh"))).alias("band")
