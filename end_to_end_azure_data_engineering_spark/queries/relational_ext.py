@@ -1,0 +1,495 @@
+"""Extended relational operators beyond the reference's surface.
+
+SURVEY.md §2.3 notes the reference has no inner/right/full/semi/theta/range/
+as-of joins and §2.4 no grouped rollups — these are the extensions that make
+the engine a complete query surface (as-of joins are also the missing FX
+rate-lookup the reference's design implies but never implements,
+4_silver/silver_settlements.py:70).
+
+Scale notes per query: the as-of join is the union+carry-forward form (one
+shuffle, no join blow-up); the range join broadcasts the bounded band table;
+the skew demo shows explicit salting (at 100 TB, AQE skew-join covers the
+common case, salting covers pathological keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# As-of join — for each purchase event, the latest strictly-earlier click of
+# the same user. Implemented as union + last(ignorenulls) carry-forward over
+# one (user_id, ts)-sorted window: a single shuffle on user_id, no
+# probe×build row explosion, no range-join candidate blow-up. This is the
+# 100 TB-safe as-of plan (the join+filter+row_number alternative materializes
+# every (purchase, earlier-click) pair first).
+# Determinism: ties at equal click ts carry the max value; a click at the
+# exact purchase ts is excluded (strict <) by sorting purchases first.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT p.event_id, c.ts AS cts, c.value AS cval,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts DESC, c.value DESC
+               ) AS rn
+        FROM purch p JOIN clicks c
+          ON c.user_id = p.user_id AND c.ts < p.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           r.cts AS last_click_ts,
+           round(r.cval, 4) AS last_click_value
+    FROM purch p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+        F.lit(1).alias("_side"),  # clicks sort AFTER purchases at equal ts
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("_side"),
+    )
+    # struct carries (ts, value) atomically so last() can't mix rows; value
+    # in the sort key breaks equal-ts click ties as max-value (matches oracle)
+    u = clicks.unionByName(purch).withColumn(
+        "_click", F.when(F.col("_side") == 1, F.struct("click_ts", "click_value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_side", "click_value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = u.withColumn("_last", F.last("_click", ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 0).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("_last.click_ts").alias("last_click_ts"),
+        F.round(F.col("_last.click_value"), 4).alias("last_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join — theta join of a fact against a small interval table.
+# The band table is bounded ⇒ broadcast nested-loop; the fact side never
+# shuffles. DuckDB runs its IEJoin on the same predicate.
+# ---------------------------------------------------------------------------
+
+_BANDS = [(f"b{i}", float(i * 12_500), float((i + 1) * 12_500)) for i in range(9)]
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+    SELECT b.band,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS band_revenue
+    FROM lineitem l
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+         AS b(band, lo, hi)
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("band_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (absent from the reference, §2.7: the
+# anti-join plays the except-by-key role there). Distinct set semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT o_custkey AS cust_key FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def in_year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("cust_key"))
+
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("cust_key")
+    )
+    return in_year(1995).intersect(in_year(1996)).exceptAll(urgent.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape) — parts of one brand whose
+# order quantity is below 20 % of that part's average. Spark form: per-part
+# partial agg (map-side combined) joined back — no correlated re-scan per
+# row; the brand filter prunes before the join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery_below_avg",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def scalar_subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery + NOT EXISTS (TPC-H Q22 shape) — rich customers with no
+# orders. Spark: one-row avg broadcast via cross join, then left-anti.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "not_exists_rich_inactive",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def not_exists_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + GROUPING flags (rollup_agg covers ROLLUP; this adds the full cube
+# lattice and the grouping() disambiguator for NULL group keys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_grouping_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group — linear-interpolated quantiles (Spark
+# percentile == DuckDB quantile_cont). percentile_approx deliberately NOT
+# used here: cross-engine sketches don't hash-match (see approx_distinct).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_group_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", 0.50), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", 0.90), 4).alias("price_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions over the embedding column — JVM-side
+# transform/aggregate (no Python UDF): L2 norm, element mean, dimension.
+# The same HOF kernel backs the cosine ANN queries (similarity_ops).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_hof_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 4) AS l2_norm,
+           round(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+               / len(embedding), 4) AS elem_mean
+    FROM embeddings
+    """,
+)
+def array_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    el_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(el_sum / F.size("embedding"), 4).alias("elem_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — explicit skew mitigation: the fact side gets a
+# deterministic salt, the dim side is exploded ×SALT, the join key becomes
+# (key, salt) so one hot key spreads over SALT reducers. Result is provably
+# identical to the unsalted join (the oracle IS the unsalted join). At scale
+# AQE skew-join handles moderate skew; salting is the explicit fallback for
+# pathological keys. Dim explode ×8 is fine: dims are bounded (§1.1).
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(_SALT)).cast("int")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join — reconcile two aggregates with partially disjoint key
+# sets (heavy purchasers vs heavy error-producers), NULL-safe coalesced
+# output. Completes the join-type family (§2.3 gap list).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_activity",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) AS spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING count(*) >= 16
+    ),
+    e AS (
+        SELECT user_id, count(*) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) >= 16
+    )
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(p.spend, 0.0) AS spend,
+           coalesce(e.n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+)
+def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), F.round(F.sum("value"), 2).alias("spend"))
+        .filter(F.col("n_purchases") >= 16)
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= 16)
+    )
+    return p.join(e, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands) — batch analogue of the streaming
+# session window (streaming/ingest.py): a new session starts after a >30 min
+# silence; session_id is the running count of session starts. One shuffle on
+# user_id; at 100 TB this is the standard pre-partitioned clickstream rollup.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM t
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6, 3)
+               AS duration_sec
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    t = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0),
+    )
+    s = t.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / 1e6,
+            3,
+        ).alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — HyperLogLog++ sketch. No oracle: HLL estimates are
+# engine-specific (Spark's HLL++ and DuckDB's approx_count_distinct give
+# different values for the same input), so cross-engine hash comparison is
+# impossible by construction; the driver records a rows-only check. The
+# exact_users column is the accuracy anchor a human can eyeball.
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
