@@ -35,6 +35,10 @@ HEADLINE = [
     "multimodal_features",
     "scd2_final_state",
     "idempotent_append",
+    "asof_join_last_click",
+    "sessionize_events",
+    "ann_ivf_topk",
+    "sole_returning_supplier",
 ]
 
 

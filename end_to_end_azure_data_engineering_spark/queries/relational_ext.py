@@ -493,3 +493,134 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — semi-join against an aggregate (large-quantity orders).
+# The HAVING subquery becomes a grouped agg reused as a semi-join build side;
+# the outer 3-way join broadcasts customer (bounded dim).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — HAVING against a scalar-subquery fraction of the global
+# total (high-value parts). Spark: two aggs over one scan + broadcast of the
+# one-row total; no correlated re-evaluation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_part_value",
+    oracle="""
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+        SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0005 FROM lineitem
+    )
+    """,
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("_v"))
+    total = li.agg((F.sum(val) * 0.0005).alias("_cap"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_cap"))
+        .select("l_partkey", F.round("_v", 2).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — correlated EXISTS + NOT EXISTS on the same fact: the
+# sole returning supplier in multi-supplier finished orders. EXISTS ⇒
+# left-semi, NOT EXISTS ⇒ left-anti, both with a non-equi suppkey term on
+# top of the orderkey equi-join (equi part keeps them hash-joinable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sole_returning_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = (
+        l1.join(o.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -146,3 +146,85 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.9)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {V.COSINE_SQL('v.embedding', 'c.ce')} DESC, c.cid ASC
+               ) AS crk
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE crk = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pe, cid FROM (
+        SELECT v.vec_id AS probe_id, v.embedding AS pe, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {V.COSINE_SQL('v.embedding', 'c.ce')} DESC, c.cid ASC
+               ) AS crk
+        FROM embeddings v CROSS JOIN centroids c
+        WHERE v.vec_id < 20
+      ) WHERE crk <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.vec_id,
+             {V.COSINE_SQL('p.pe', 'a.embedding')} AS cos
+      FROM probe_cells p JOIN assign a
+        ON a.cid = p.cid AND a.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: corpus partitioned into K centroid cells (inverted
+    file), probes search only their nprobe=2 nearest cells. Centroids here
+    are a deterministic seed sample (vec_id<16) so the DuckDB oracle can
+    replay the assignment; swapping in k-means-refined centers changes only
+    the centroid frame, not the plumbing. 100 TB layout: `assign` is the
+    cell-partitioned vector table on disk; a probe touches nprobe cells
+    (~nprobe/K of the corpus), the centroid table broadcasts, and the only
+    wide exchange is the per-probe top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos_vc = V.cosine(V.as_double(F.col("embedding")), V.as_double(F.col("ce")))
+    crk_w = W.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
+    scored_cells = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cid", cos_vc.alias("_ccos"))
+        .withColumn("crk", F.row_number().over(crk_w))
+    )
+    assign = scored_cells.filter(F.col("crk") == 1).select("vec_id", "embedding", "cid")
+    probe_cells = (
+        scored_cells.filter((F.col("vec_id") < 20) & (F.col("crk") <= 2))
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cid")
+    )
+    cos_pa = V.cosine(V.as_double(F.col("pe")), V.as_double(F.col("embedding")))
+    scored = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos_pa.alias("cos"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
