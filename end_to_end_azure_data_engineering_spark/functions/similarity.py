@@ -61,3 +61,23 @@ def SIGN_BUCKET_SQL(vec: str, bits: int = 8) -> str:
         f"CASE WHEN {vec}[{i + 1}] > 0 THEN '1' ELSE '0' END" for i in range(bits)
     )
     return f"({parts})"
+
+
+def staged(df, vec_col: str, prefix: str):
+    """Materialize the double-cast vector and its L2 norm as real columns.
+
+    HOF lambdas are interpreted (no whole-stage codegen) and Spark does not
+    CSE subtrees into or across them, so `cosine(a, b)` as one expression
+    re-casts and re-norms both vectors for every pair. Staging `<p>_v`
+    (double array) and `<p>_n` (norm) once per row makes a scored pair cost
+    exactly one dot product. Use with `cosine_pre`.
+    """
+    v = as_double(F.col(vec_col))
+    return df.withColumn(f"{prefix}_v", v).withColumn(
+        f"{prefix}_n", F.sqrt(dot(F.col(f"{prefix}_v"), F.col(f"{prefix}_v")))
+    )
+
+
+def cosine_pre(av: Column, an: Column, bv: Column, bn: Column) -> Column:
+    """Cosine from pre-staged (vector, norm) pairs — one dot per pair."""
+    return dot(av, bv) / F.greatest(an * bn, F.lit(1e-12))

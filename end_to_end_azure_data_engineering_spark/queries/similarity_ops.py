@@ -5,6 +5,8 @@ near-dup. All native HOF arithmetic (zip_with/aggregate) — no UDFs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -196,31 +198,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     file), probes search only their nprobe=2 nearest cells. Centroids here
     are a deterministic seed sample (vec_id<16) so the DuckDB oracle can
     replay the assignment; swapping in k-means-refined centers changes only
-    the centroid frame, not the plumbing. 100 TB layout: `assign` is the
+    the centroid frame, not the plumbing.
+
+    Cell assignment is a SHUFFLE-FREE map: the K centroids (bounded, like any
+    codebook) are collected once and inlined as a literal array of structs, so
+    ranking a row's cells is array_sort over 16 elements inside codegen — no
+    crossJoin, no 16×|corpus| window shuffle (the naive plan). This is the
+    MLlib pattern: centers live on the driver. 100 TB layout: `assign` is the
     cell-partitioned vector table on disk; a probe touches nprobe cells
-    (~nprobe/K of the corpus), the centroid table broadcasts, and the only
-    wide exchange is the per-probe top-k."""
+    (~nprobe/K of the corpus) and the only wide exchange is the per-probe
+    top-k."""
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    cos_vc = V.cosine(V.as_double(F.col("embedding")), V.as_double(F.col("ce")))
-    crk_w = W.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
-    scored_cells = (
-        e.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cid", cos_vc.alias("_ccos"))
-        .withColumn("crk", F.row_number().over(crk_w))
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    # three single-node nested literals (not 16×64 Literal columns — that
+    # expression tree put multi-second analysis cost on the driver); norms
+    # precomputed in Python (same sequential left-fold as the HOF dot)
+    cent_vecs = F.lit(cents)
+    cent_ids = F.lit([r.vec_id for r in cent_rows])
+    cent_norms = F.lit([math.sqrt(sum(x * x for x in ce)) for ce in cents])
+    ev = V.staged(e, "embedding", "_e")
+    cells = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        lambda i: F.struct(
+            (
+                V.dot(F.col("_e_v"), F.element_at(cent_vecs, i))
+                / F.greatest(F.col("_e_n") * F.element_at(cent_norms, i), F.lit(1e-12))
+            ).alias("cos"),
+            F.element_at(cent_ids, i).alias("cid"),
+        ),
     )
-    assign = scored_cells.filter(F.col("crk") == 1).select("vec_id", "embedding", "cid")
+    cmp = lambda a, b: (  # noqa: E731 — desc by cos, asc by cid
+        F.when(a["cos"] > b["cos"], F.lit(-1))
+        .when(a["cos"] < b["cos"], F.lit(1))
+        .when(a["cid"] < b["cid"], F.lit(-1))
+        .when(a["cid"] > b["cid"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    ranked_cells = ev.select(
+        "vec_id", "_e_v", "_e_n", F.array_sort(cells, cmp).alias("_cells")
+    )
+    assign = ranked_cells.select(
+        "vec_id", "_e_v", "_e_n", F.col("_cells")[0]["cid"].alias("cid")
+    )
     probe_cells = (
-        scored_cells.filter((F.col("vec_id") < 20) & (F.col("crk") <= 2))
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cid")
+        ranked_cells.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_e_v").alias("_p_v"),
+            F.col("_e_n").alias("_p_n"),
+            F.explode(F.transform(F.slice("_cells", 1, 2), lambda c: c["cid"])).alias("cid"),
+        )
     )
-    cos_pa = V.cosine(V.as_double(F.col("pe")), V.as_double(F.col("embedding")))
     scored = (
         assign.join(F.broadcast(probe_cells), "cid")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", cos_pa.alias("cos"))
+        .select(
+            "probe_id",
+            "vec_id",
+            V.cosine_pre(
+                F.col("_p_v"), F.col("_p_n"), F.col("_e_v"), F.col("_e_n")
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
