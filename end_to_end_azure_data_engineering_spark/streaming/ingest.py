@@ -126,3 +126,50 @@ def scd2_stream_sink(
         wh.overwrite(new_state, "silver", table)
 
     return sink
+
+
+def stateful_running_totals(
+    events: DataFrame, key: str = "user_id", event_time: str = "ts"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count / value total, updated each micro-batch (update output
+    mode). This is the escape hatch for stateful logic that built-in
+    windows/dedup can't express (reference has none — §2.9 — so this is
+    pure extension surface). State is one (count, sum) pair per key: O(keys)
+    store, partitioned by the grouping key, no skew beyond key skew."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def fn(k: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key: [k[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a bounded dimension
+    snapshot (broadcast — the static side is re-read per micro-batch, so a
+    Delta dim picks up updates between batches). The streaming analogue of
+    the gold fact→dim joins (J1)."""
+    cond = F.col(stream_key) == F.col(dim_key)
+    return stream.join(F.broadcast(dim), cond, "left").drop(dim_key)

@@ -111,3 +111,66 @@ def test_scd2_foreachbatch_sink(spark, tmp_path, stream_dir):
     assert u1.count() == 2  # expired original + new current version
     cur = u1.filter(F.col("is_current")).collect()
     assert len(cur) == 1 and cur[0].event_type == "purchase"
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        stateful_running_totals,
+        stream_files,
+    )
+
+    path = str(tmp_path / "stateful_in")
+    _write_batch(spark, path, [(1, dt.datetime(2024, 1, 1, 10, 0, 0), 10, "click", 2.0)])
+    stream = stream_files(spark, path, EVENT_SCHEMA)
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch for the same user accumulates into state
+        _write_batch(spark, path, [(2, dt.datetime(2024, 1, 1, 10, 1, 0), 10, "click", 3.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_totals ORDER BY n_events DESC"
+        ).collect()
+        assert rows[0].user_id == 10
+        assert rows[0].n_events == 2
+        assert rows[0].total_value == 5.0
+    finally:
+        q.stop()
+
+
+def test_enrich_stream_with_dim(spark, tmp_path):
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        enrich_stream_with_dim,
+        stream_files,
+    )
+
+    path = str(tmp_path / "enrich_in")
+    _write_batch(
+        spark,
+        path,
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0), 10, "click", 2.0),
+         (2, dt.datetime(2024, 1, 1, 10, 0, 1), 99, "view", 1.0)],
+    )
+    dim = spark.createDataFrame([(10, "GOLD")], "cust_id long, tier string")
+    stream = stream_files(spark, path, EVENT_SCHEMA)
+    q = (
+        enrich_stream_with_dim(stream, dim, "user_id", "cust_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.user_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+        assert rows[10] == "GOLD"
+        assert rows[99] is None  # left join keeps unmatched stream rows
+    finally:
+        q.stop()
