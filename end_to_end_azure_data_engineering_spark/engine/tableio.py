@@ -34,20 +34,64 @@ class Warehouse:
     def read(self, namespace: str, table: str) -> DataFrame:
         return self.spark.read.parquet(str(self.path(namespace, table)))
 
-    def overwrite(self, df: DataFrame, namespace: str, table: str) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Write-new-then-swap (Delta: single atomic overwrite commit).
 
         Reads of the old data complete against already-open files; the swap
         is a directory rename. Returns rows written.
+
+        ``partition_by`` lays the table out as hive-partitioned directories —
+        the SURVEY §4 upgrade that turns the reference's file-NAME pruning
+        (timestamped bronze globs) into real partition pruning: a filter on
+        the partition column becomes `PartitionFilters` at the scan and
+        non-matching directories are never listed.
         """
         final = self.path(namespace, table)
         tmp = final.parent / f".{table}.tmp.{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(str(tmp))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(tmp))
         n = self.spark.read.parquet(str(tmp)).count()
         if final.exists():
             shutil.rmtree(final)
         tmp.rename(final)
         return n
+
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+    ) -> str:
+        """Bucketed managed table (`<namespace>__<table>` in the session
+        catalog): rows are hash-bucketed and sorted on ``bucket_cols`` at
+        write time, so equi-joins/aggregations between tables bucketed on
+        the same key plan with NO Exchange — the shuffle is prepaid once at
+        load. This is the co-located-join layout for repeated big-big joins
+        (fact↔fact at 100 TB); Delta/Iceberg equivalents: bucket transform
+        partitioning. Returns the catalog table name.
+        """
+        name = f"{namespace}__{table}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed(self, namespace: str, table: str) -> DataFrame:
+        return self.spark.table(f"{namespace}__{table}")
 
     def append(self, df: DataFrame, namespace: str, table: str) -> None:
         """Plain append (Delta: ACID append commit)."""
