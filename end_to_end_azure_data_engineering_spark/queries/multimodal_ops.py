@@ -67,3 +67,79 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, media_type string, n_bytes long, "
         "content_hash string, feat_0 double, feat_1 double",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             320 + (doc_id % 8) * 80  AS meta_width,
+             240 + (doc_id % 5) * 60  AS meta_height,
+             n_chars * 40             AS meta_duration_ms
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT media_id,
+           unnest(generate_series(0, greatest(meta_duration_ms - 1, 0), 1000))
+               AS frame_ts_ms,
+           meta_width, meta_height
+    FROM media
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (functions/multimodal.frame_sample_plan):
+    sequence+explode fans one video row out to one row per sampled frame
+    timestamp — the Catalyst-side half of frame extraction; per-frame decode
+    is the stubbed codec step. Metadata is manufactured deterministically
+    from documents (no binary media table in the testdata). Narrow fan-out:
+    the explode multiplies rows ~duration/interval with no shuffle."""
+    from ..functions.multimodal import frame_sample_plan
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        (F.lit(320) + (F.col("doc_id") % 8) * 80).cast("int").alias("meta_width"),
+        (F.lit(240) + (F.col("doc_id") % 5) * 60).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 40).alias("meta_duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             320 + (doc_id % 8) * 80 AS meta_width,
+             240 + (doc_id % 5) * 60 AS meta_height
+      FROM documents
+    )
+    SELECT media_id, meta_width, meta_height,
+           CAST(round(meta_width * scale, 0) AS INTEGER)  AS target_width,
+           CAST(round(meta_height * scale, 0) AS INTEGER) AS target_height
+    FROM (SELECT *,
+                 least(256.0 / greatest(meta_width, meta_height), 1.0) AS scale
+          FROM media)
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: aspect-preserving target dimensions (max side 256,
+    never upscaled) computed as pure column math over the typed metadata —
+    the planning half of a resize; the pixel work is the stubbed decoder
+    inside mapInPandas (multimodal_features shows that path). At scale this
+    is a narrow map feeding the Arrow batch resize."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(320) + (F.col("doc_id") % 8) * 80).cast("int").alias("meta_width"),
+        (F.lit(240) + (F.col("doc_id") % 5) * 60).cast("int").alias("meta_height"),
+    )
+    scale = F.least(
+        F.lit(256.0) / F.greatest("meta_width", "meta_height"), F.lit(1.0)
+    )
+    return media.select(
+        "media_id", "meta_width", "meta_height",
+        F.round(F.col("meta_width") * scale, 0).cast("int").alias("target_width"),
+        F.round(F.col("meta_height") * scale, 0).cast("int").alias("target_height"),
+    )
