@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the sketch/dedup kernels.
+
+Only EXACT algebraic invariants — no statistical assertions (those flake):
+- minhash is a set homomorphism: sig(a ∪ b) = elementwise_min(sig(a), sig(b))
+- minhash/simhash are order- and duplicate-insensitive
+- jaccard is symmetric, bounded, and 1 on self
+- fingerprint is whitespace/case-normalization invariant
+- keep_latest is idempotent and a singleton per key
+
+Each property evaluates all hypothesis examples in ONE Spark job (examples
+become rows), keeping runtime bounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_azure_data_engineering_spark.functions import sketches as S
+from end_to_end_azure_data_engineering_spark.functions import text as X
+from end_to_end_azure_data_engineering_spark.operators.dedup import keep_latest
+
+# words: lowercase ascii, no whitespace (shingling tokenizes on whitespace)
+WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+WORDS = st.lists(WORD, min_size=1, max_size=12)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+
+# ≥ 3 tokens per side: with shingle width n=3, every n-window of each side
+# then appears verbatim in the concatenation (shorter texts get a padded
+# shingle that the concatenation does not contain, voiding the property)
+WORDS3 = st.lists(WORD, min_size=3, max_size=12)
+
+
+@st.composite
+def two_word_lists(draw):
+    return draw(WORDS3), draw(WORDS3)
+
+
+@settings(**_SETTINGS)
+@given(two_word_lists())
+def test_minhash_union_is_elementwise_min(spark, pair):
+    a, b = pair
+    df = spark.createDataFrame(
+        [(" ".join(a), " ".join(b), " ".join(a + b))], ["ta", "tb", "tu"]
+    )
+    row = df.select(
+        S.minhash_signature(S.word_shingles("ta")).alias("sa"),
+        S.minhash_signature(S.word_shingles("tb")).alias("sb"),
+        S.minhash_signature(S.word_shingles("tu")).alias("su"),
+    ).first()
+    # union of shingle sets ⊇ both, and shingles of concatenated text ⊇
+    # union of each side's shingles (plus boundary shingles), so each
+    # signature slot of the union text is ≤ the min of the sides
+    assert all(u <= min(x, y) for u, x, y in zip(row.su, row.sa, row.sb))
+    assert len(row.su) == S.K
+
+
+@settings(**_SETTINGS)
+@given(WORDS)
+def test_minhash_whitespace_invariant(spark, words):
+    base = " ".join(words)
+    spaced = "  " + re.sub(" ", " \t  ", base) + "  "
+    df = spark.createDataFrame([(base, spaced)], ["t1", "t2"])
+    row = df.select(
+        S.minhash_signature(S.word_shingles("t1")).alias("s1"),
+        S.minhash_signature(S.word_shingles("t2")).alias("s2"),
+    ).first()
+    assert row.s1 == row.s2
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(WORD, min_size=1, max_size=12, unique=True),
+    st.lists(WORD, min_size=1, max_size=12, unique=True),
+)
+def test_jaccard_symmetric_bounded(spark, a, b):
+    # jaccard takes SET inputs (|∩| / (|a|+|b|-|∩|), no union pass) — every
+    # caller feeds array_distinct output, so the strategy draws unique lists
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    row = df.select(
+        S.jaccard(F.col("a"), F.col("b")).alias("ab"),
+        S.jaccard(F.col("b"), F.col("a")).alias("ba"),
+        S.jaccard(F.col("a"), F.col("a")).alias("aa"),
+    ).first()
+    assert row.ab == row.ba
+    assert 0.0 <= row.ab <= 1.0
+    assert row.aa == 1.0
+
+
+@settings(**_SETTINGS)
+@given(WORDS)
+def test_simhash_permutation_invariant(spark, words):
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))
+    df = spark.createDataFrame([(fwd, rev)], ["t1", "t2"])
+    row = df.select(
+        S.simhash("t1").alias("s1"), S.simhash("t2").alias("s2")
+    ).first()
+    # token-set bit voting: order must not matter (array_distinct of tokens)
+    assert row.s1 == row.s2
+    assert 0 <= row.s1 < 2**S.SIMHASH_BITS
+
+
+@settings(**_SETTINGS)
+@given(WORDS)
+def test_fingerprint_normalization_invariant(spark, words):
+    base = " ".join(words)
+    messy = "  " + re.sub(" ", " \t ", base.upper()) + "  "
+    df = spark.createDataFrame([(base, messy)], ["t1", "t2"])
+    row = df.select(
+        X.fingerprint("t1").alias("f1"), X.fingerprint("t2").alias("f2")
+    ).first()
+    assert row.f1 == row.f2
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=30))
+def test_keep_latest_idempotent_singleton(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, seq int"
+    )
+    order = [F.col("v").desc_nulls_last(), F.col("seq").desc_nulls_last()]
+    once = keep_latest(df, ["k"], order)
+    twice = keep_latest(once, ["k"], order)
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    keys = [t[0] for t in got_once]
+    assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
