@@ -81,6 +81,15 @@ class Warehouse:
         partitioning. Returns the catalog table name.
         """
         name = f"{namespace}__{table}"
+        # a previous JVM may have left the managed location behind without a
+        # catalog entry (LOCATION_ALREADY_EXISTS on saveAsTable) — drop both
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh_dir = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh_dir.startswith("file:"):
+            wh_dir = wh_dir[5:]
+        orphan = Path(wh_dir) / name.lower() if wh_dir else None
+        if orphan and orphan.exists():
+            shutil.rmtree(orphan)
         (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, *bucket_cols)

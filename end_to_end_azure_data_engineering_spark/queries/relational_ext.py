@@ -624,3 +624,42 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame — moving aggregate over a trailing 10-minute
+# interval per user (rangeBetween on the event-time axis, vs the ROWS
+# frames in window_running_and_lead). One shuffle on user_id; state per
+# row is the in-range neighborhood, bounded by the interval.
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "moving_avg_time_range",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW
+           ), 4) AS avg_10m,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW
+           ) AS n_10m
+    FROM events
+    """,
+)
+def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.avg("value").over(w), 4).alias("avg_10m"),
+        F.count("*").over(w).alias("n_10m"),
+    )
