@@ -663,3 +663,128 @@ def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("avg_10m"),
         F.count("*").over(w).alias("n_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — trade volume between two specific nations by year:
+# customer-nation × supplier-nation pair filter inside a 5-way join, then
+# (pair, year) rollup. All dims broadcast; lineitem never re-shuffles until
+# the final small-key agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_sn_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — market share: one brand's fraction of total revenue per
+# year. sum(CASE)/sum over one joined frame — single agg pass, no second
+# scan for the denominator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_market_share",
+    oracle="""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           round(sum(CASE WHEN p.p_brand = 'Brand#4'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS brand_share,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#4", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(brand_rev) / F.sum(rev), 6).alias("brand_share"),
+            F.round(F.sum(rev), 2).alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — profit by supplier nation and year for parts matching a
+# name pattern (LIKE filter pushes into the broadcast part scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
