@@ -788,3 +788,35 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-enforced JSON parsing — from_json into a typed struct (vs the
+# per-path get_json_object in json_extract): one parse per row regardless
+# of how many fields are read, malformed rows become NULL structs instead
+# of erroring (PERMISSIVE), and the struct field feeds a grouped agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_typed_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+               AS n_unparsed
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("_p.k"), 4).alias("avg_k"),
+        F.max("_p.k").alias("max_k"),
+        F.sum(F.when(F.col("_p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+    )
