@@ -102,6 +102,31 @@ class Warehouse:
     def read_bucketed(self, namespace: str, table: str) -> DataFrame:
         return self.spark.table(f"{namespace}__{table}")
 
+    def compact(
+        self,
+        namespace: str,
+        table: str,
+        target_files: int,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction (the reference lists OPTIMIZE as future
+        work — README.md:65; SURVEY §4): rewrite the table into
+        ``target_files`` files, optionally range-clustered on ``cluster_by``
+        so parquet row-group min/max stats give data-skipping on those
+        columns (the poor man's Z-order for a single sort axis). Incremental
+        append loads (M2/M4) accrete one file per batch; compaction restores
+        scan efficiency. Returns the resulting file count.
+        """
+        df = self.read(namespace, table)
+        if cluster_by:
+            df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.repartition(target_files)
+        self.overwrite(df, namespace, table)
+        return len(list(self.path(namespace, table).glob("*.parquet")))
+
     def append(self, df: DataFrame, namespace: str, table: str) -> None:
         """Plain append (Delta: ACID append commit)."""
         df.write.mode("append").parquet(str(self.path(namespace, table)))

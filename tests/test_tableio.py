@@ -67,3 +67,23 @@ def test_bucketed_join_has_no_exchange(spark, wh):
         assert not re.search(r"^\(\d+\) Exchange\s*$", _plan(agg), re.MULTILINE)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compact_small_files(spark, wh):
+    for i in range(12):  # 12 append batches -> many small files
+        b = spark.createDataFrame([(i * 10 + j, float(j)) for j in range(10)], "id long, v double")
+        wh.append(b.coalesce(1), "silver", "accreted")
+    n_before = len(list(wh.path("silver", "accreted").glob("*.parquet")))
+    assert n_before >= 12
+    n_after = wh.compact("silver", "accreted", target_files=2, cluster_by=["id"])
+    assert n_after <= 2
+    df = wh.read("silver", "accreted")
+    assert df.count() == 120
+    # range clustering: per-file id ranges must not overlap
+    ranges = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
