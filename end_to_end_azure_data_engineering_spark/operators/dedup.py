@@ -37,3 +37,48 @@ def latest_by_recency(df: DataFrame, keys: list[str], recency_cols: list[str]) -
 
 def distinct_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
+
+
+def connected_components(
+    edges, src: str = "src", dst: str = "dst", max_iter: int = 20
+):
+    """Connected components by iterative min-label propagation (Pregel-lite):
+    every node starts labeled with itself; each round adopts the minimum
+    label among itself and its neighbors; fixpoint after ≤ diameter rounds.
+
+    The dedup-clustering step after near-dup pair generation: pairs → 
+    components → canonical doc = component min. Each round is one shuffle on
+    doc_id; `localCheckpoint` truncates lineage so plans stay O(1) per round
+    (at cluster scale, use reliable checkpointing instead). Convergence is a
+    driver-side scalar check — the sanctioned kind of collect.
+    """
+    from pyspark.sql import functions as F
+
+    bidir = edges.select(
+        F.col(src).alias("_n"), F.col(dst).alias("_m")
+    ).unionByName(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+    labels = (
+        bidir.select(F.col("_n").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = bidir.join(
+            labels.withColumnRenamed("node", "_m"), "_m"
+        ).select(F.col("_n").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -184,3 +184,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_PAIRS_CTES = f"""
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, sh, {_MH_SQL} AS mh FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, unnest({S.BAND_SIGNATURES_SQL('mh')}) AS band FROM mh
+    ),
+    cands AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {S.JACCARD_SQL('sa.sh', 'sb.sh')} >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    bidir AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    )
+    SELECT n AS doc_id, min(lbl) AS component_id FROM reach GROUP BY n
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: minhash-LSH verified pairs → connected components →
+    canonical id per cluster (component min). The iterative label
+    propagation (operators/dedup.connected_components) is the engine's one
+    driver-controlled loop; the oracle replays it as a DuckDB recursive-CTE
+    transitive closure. Output: every doc in ≥1 near-dup pair with its
+    component id."""
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -96,3 +96,16 @@ def test_frame_sample_plan(spark):
     media = spark.createDataFrame(data, MM.MEDIA_SCHEMA)
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_connected_components_known_graph(spark):
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)], "src long, dst long"
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
