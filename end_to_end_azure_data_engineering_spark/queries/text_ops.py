@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import sketches as S
 from ..functions import text as X
 from . import load, register
 
@@ -99,4 +100,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = X.fingerprint("text")
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )
+
+
+_H = S.HASH32_SQL("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "hash_split_stratified",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-key hash — the
+    reproducible sampling you actually use at 100 TB (no RNG, no seed
+    coordination across executors, stable under re-partitioning and
+    re-runs; docs keep their split when the corpus grows). A salted key
+    ('split:'+id) decorrelates this hash from any other hash use of the
+    same id. Pure per-row map + small-key agg; the oracle shares the same
+    md5-derived hash, so assignment is hash-verified cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
     )
