@@ -143,3 +143,68 @@ def hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+_K_GRAM = 8   # character k-grams
+_WINNOW = 4   # winnowing window (consecutive k-gram hashes)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {X.NORMALIZE_TEXT_SQL('text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t, greatest(length(t) - {_K_GRAM} + 1, 1) AS n_grams
+      FROM norm
+    ),
+    hashes AS (
+      SELECT doc_id, n_grams,
+             list_transform(range(1, n_grams + 1),
+                            i -> ('0x' || substr(md5(substr(t, i::INTEGER, {_K_GRAM})), 1, 8))::BIGINT)
+                 AS hs
+      FROM grams
+    ),
+    sketch AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(n_grams - {_WINNOW} + 1, 1) + 1),
+                 i -> list_min(hs[i:i+{_WINNOW}-1]))) AS fp
+      FROM hashes
+    )
+    SELECT doc_id, len(fp) AS sketch_size,
+           list_min(fp) AS min_h, list_max(fp) AS max_h
+    FROM sketch
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing): hash every character
+    k-gram, slide a w-window over the hash sequence, keep each window's
+    minimum, distinct the survivors — the MOSS/winnowing sketch that
+    guarantees shared fingerprints for sufficiently long shared substrings.
+    Per-row map (no shuffle); two staged arrays keep the HOF lambdas
+    reading attributes instead of recomputing (same lesson as
+    staged_word_shingles). The selection logic is what matters at scale —
+    match detection is then a bucket join on fingerprint values."""
+    d = load(spark, sf_dir, "documents")
+    t = X.normalize_text(F.col("text"))
+    staged = d.select("doc_id", t.alias("_t")).withColumn(
+        "_n", F.greatest(F.length("_t") - _K_GRAM + 1, F.lit(1))
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: S.hash32(F.col("_t").substr(i, F.lit(_K_GRAM))),
+    )
+    hs = staged.withColumn("_hs", hashes)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("_n") - _WINNOW + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, _WINNOW)),
+    )
+    fp = hs.withColumn("_fp", F.array_distinct(windows))
+    return fp.select(
+        "doc_id",
+        F.size("_fp").alias("sketch_size"),
+        F.array_min("_fp").alias("min_h"),
+        F.array_max("_fp").alias("max_h"),
+    )
