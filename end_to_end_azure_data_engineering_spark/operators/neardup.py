@@ -1,0 +1,80 @@
+"""Near-duplicate detection + corpus dedup as a reusable operator API.
+
+The query layer (queries/dedup_ops.py) exposes these same pipelines for the
+driver's oracle gate; this module is the surface an engine user calls:
+
+    pairs  = near_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    labels = assign_components(pairs)
+    clean  = dedup_corpus(docs, "doc_id", "text", threshold=0.8)
+
+Scale shape (same as the verified queries): shingle/minhash are per-row
+maps; candidate generation shuffles on the LSH band key only (collision-
+bound, never corpus²); verification joins run on doc_id; clustering is
+min-label propagation with checkpointed lineage; the final dedup is a
+left-semi join on the canonical survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sketches as S
+from .dedup import connected_components
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verified near-duplicate pairs (id_a < id_b, exact shingle-Jaccard ≥
+    threshold) via MinHash+LSH banding. Columns: id_a, id_b, jaccard."""
+    sh = (
+        S.staged_word_shingles(
+            docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+            "_text",
+        )
+        .drop("_text")
+        .persist()
+    )
+    mh = sh.select("_id", S.minhash_signature(F.col("sh")).alias("mh"))
+    bands = mh.select("_id", F.explode(S.band_signatures(F.col("mh"))).alias("band"))
+    cands = (
+        bands.select(F.col("_id").alias("id_a"), "band")
+        .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def assign_components(pairs: DataFrame) -> DataFrame:
+    """Cluster verified pairs into components. Columns: node, label
+    (label = min id in the component = the canonical survivor)."""
+    return connected_components(pairs, "id_a", "id_b")
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Return docs minus non-canonical near-duplicates: for every duplicate
+    cluster the min-id doc survives; docs in no cluster pass through.
+    One anti-join against the (small) non-survivor set."""
+    pairs = near_dup_pairs(docs, id_col, text_col, threshold)
+    comp = assign_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

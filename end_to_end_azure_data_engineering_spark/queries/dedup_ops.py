@@ -80,32 +80,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle profile: one explode to BANDS rows/doc, one shuffle on the band
     key for the self-join, verification joins on doc_id. Candidate volume
     scales with collisions, not corpus²."""
+    from ..operators.neardup import near_dup_pairs
+
     d = load(spark, sf_dir, "documents")
-    # persist the shingle sets: the plan references them from three branches
-    # (banding + both sides of the verification join); without persist each
-    # branch re-shingles and re-hashes the corpus. At 100 TB this frame is a
-    # materialized signatures table, partitioned by band.
-    sh = S.staged_word_shingles(d.select("doc_id", "text"), "text").drop("text").persist()
-    mh = sh.select("doc_id", "sh", S.minhash_signature(F.col("sh")).alias("mh"))
-    bands = mh.select(
-        "doc_id", F.explode(S.band_signatures(F.col("mh"))).alias("band")
-    )
-    b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band"))
-    cands = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band")
-        .join(b2, "band")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    # near_dup_pairs persists the shingle frame internally: the plan
+    # references it from three branches (banding + both verification join
+    # sides). At 100 TB that frame is a materialized signatures table,
+    # partitioned by band.
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.2).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

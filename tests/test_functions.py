@@ -109,3 +109,32 @@ def test_connected_components_known_graph(spark):
         r.node: r.label for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_corpus_planted_duplicates(spark):
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        assign_components, dedup_corpus, near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely unrelated content about database engines and shuffles"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # exact dup of 1
+            (3, base + " extra"),                       # near dup of 1
+            (4, other),
+            (5, "third unique text mentioning storage layouts and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs
+    assert all(a not in (4, 5) and b not in (4, 5) for a, b in got_pairs)
+
+    comp = {r.node: r.label for r in assign_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+
+    survivors = {r.doc_id for r in dedup_corpus(docs, "doc_id", "text", 0.5).collect()}
+    assert survivors == {1, 4, 5}
