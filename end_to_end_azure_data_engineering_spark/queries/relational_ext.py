@@ -820,3 +820,38 @@ def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_p.k").alias("max_k"),
         F.sum(F.when(F.col("_p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — rank window + filter (the grouped top-k that
+# TakeOrderedAndProject can't do; Spark 3.5+ pushes the rank limit below
+# the shuffle via WindowGroupLimit, so only ~k rows per group survive the
+# exchange).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+               ) AS rk
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
