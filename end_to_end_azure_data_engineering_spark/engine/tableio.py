@@ -127,9 +127,20 @@ class Warehouse:
         self.overwrite(df, namespace, table)
         return len(list(self.path(namespace, table).glob("*.parquet")))
 
-    def append(self, df: DataFrame, namespace: str, table: str) -> None:
-        """Plain append (Delta: ACID append commit)."""
-        df.write.mode("append").parquet(str(self.path(namespace, table)))
+    def append(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Plain append (Delta: ACID append commit). ``partition_by`` appends
+        into hive-partition directories (new partition values create new
+        dirs; existing ones gain files)."""
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(self.path(namespace, table)))
 
     def drop(self, namespace: str, table: str) -> None:
         p = self.path(namespace, table)

@@ -107,3 +107,42 @@ def test_csv_reader(spark, tmp_path):
     df = read_csv(spark, p)
     rows = {r.id: r.name for r in df.collect()}
     assert rows == {"1": "alpha, inc", "2": "beta"}
+
+
+def test_incremental_ingest_partitioned_layout(spark, tmp_path):
+    """SURVEY §4 upgrade: batches append into ONE table under
+    _ingest_stamp= partitions; batch selection is partition pruning."""
+    import re
+
+    wh = Warehouse(spark, str(tmp_path / "wh_part"))
+    audit = AuditLog(wh, FixedClock(dt.datetime(2024, 3, 1, 0, 0, 0)))
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)),
+         (3, dt.datetime(2024, 1, 3))],
+        "id long, updated_at timestamp",
+    )
+
+    def read_fn(last_wm: str):
+        return src.filter(F.col("updated_at") > last_wm) if last_wm else src
+
+    t1 = incremental_ingest(audit, "bank_a", "tx", read_fn, "updated_at",
+                            layout="partitioned")
+    src2 = spark.createDataFrame([(4, dt.datetime(2024, 1, 4))],
+                                 "id long, updated_at timestamp")
+    src = src.unionByName(src2)
+    t2 = incremental_ingest(audit, "bank_a", "tx", read_fn, "updated_at",
+                            layout="partitioned")
+
+    assert t1 == t2 == "tx"  # one table, not stamped names
+    all_rows = wh.read("bronze", "tx")
+    assert all_rows.count() == 4  # batch2 landed only the delta
+    assert all_rows.select("_ingest_stamp").distinct().count() == 2
+
+    stamps = sorted(r[0] for r in all_rows.select("_ingest_stamp").distinct().collect())
+    batch2 = all_rows.filter(F.col("_ingest_stamp") == stamps[1])
+    plan = batch2._sc._jvm.PythonSQLUtils.explainString(
+        batch2._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and stamps[1] in m.group(1), plan
+    assert {r.id for r in batch2.collect()} == {4}
