@@ -39,6 +39,10 @@ HEADLINE = [
     "sessionize_events",
     "ann_ivf_topk",
     "sole_returning_supplier",
+    "dedup_connected_components",
+    "text_winnow_fingerprint",
+    "hash_split_stratified",
+    "moving_avg_time_range",
 ]
 
 

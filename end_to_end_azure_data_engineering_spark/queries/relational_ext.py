@@ -855,3 +855,34 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-partition window aggregates — per-user z-score anomaly flag
+# (avg/stddev over the full partition, no frame): the streaming-adjacent
+# outlier screen a training pipeline runs over telemetry. One shuffle on
+# user_id; both moments come out of a single Window pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z,
+           CASE WHEN abs((value - avg(value) OVER w) / stddev_samp(value) OVER w) > 2.5
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
+    )
