@@ -197,10 +197,18 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: S.hash32(F.col("_t").substr(i, F.lit(_K_GRAM))),
     )
     hs = staged.withColumn("_hs", hashes)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.col("_n") - _WINNOW + 1, F.lit(1))),
-        lambda i: F.array_min(F.slice(F.col("_hs"), i, _WINNOW)),
-    )
+    # Sliding-window minima as zip_with(least) over WINNOW shifted slices of
+    # the hash array — NOT transform(i -> array_min(slice(_hs, i, W))):
+    # CollapseProject inlines the `_hs` alias into that lambda, so the O(n)
+    # hash array gets recomputed per window position — O(n²) interpreted md5
+    # per doc (measured 940 s for 5000 docs at sf0.1; this form runs in ~1 s).
+    # Shifted slices evaluate the array WINNOW times total; trailing short
+    # slices zip as NULL, which least() skips — same truncated-window minima.
+    n_win = F.greatest(F.col("_n") - _WINNOW + 1, F.lit(1))
+    shifted = [F.slice(F.col("_hs"), F.lit(j + 1), n_win) for j in range(_WINNOW)]
+    windows = shifted[0]
+    for s in shifted[1:]:
+        windows = F.zip_with(windows, s, lambda a, b: F.least(a, b))
     fp = hs.withColumn("_fp", F.array_distinct(windows))
     return fp.select(
         "doc_id",

@@ -138,11 +138,13 @@ def test_incremental_ingest_partitioned_layout(spark, tmp_path):
     assert all_rows.count() == 4  # batch2 landed only the delta
     assert all_rows.select("_ingest_stamp").distinct().count() == 2
 
-    stamps = sorted(r[0] for r in all_rows.select("_ingest_stamp").distinct().collect())
-    batch2 = all_rows.filter(F.col("_ingest_stamp") == stamps[1])
+    # FixedClock gives both stamps the same time prefix — identify batch2's
+    # stamp by its row, not by sort order (uuid suffix order is random)
+    stamp2 = all_rows.filter(F.col("id") == 4).select("_ingest_stamp").first()[0]
+    batch2 = all_rows.filter(F.col("_ingest_stamp") == stamp2)
     plan = batch2._sc._jvm.PythonSQLUtils.explainString(
         batch2._jdf.queryExecution(), "formatted"
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and stamps[1] in m.group(1), plan
+    assert m and stamp2 in m.group(1), plan
     assert {r.id for r in batch2.collect()} == {4}
