@@ -1,0 +1,66 @@
+"""Training-data curation walkthrough over the documents table.
+
+The LLM-pipeline composition the extension operators exist for:
+quality-score → filter → near-dup dedup (MinHash+LSH → components →
+canonical survivors) → deterministic train/val/test split. Every step is a
+declarative DataFrame op; nothing collects to the driver except the final
+counts.
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F
+
+from end_to_end_azure_data_engineering_spark.engine import get_spark
+from end_to_end_azure_data_engineering_spark.functions import sketches as S
+from end_to_end_azure_data_engineering_spark.functions import text as X
+from end_to_end_azure_data_engineering_spark.operators.neardup import dedup_corpus
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("training_data_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality screen: drop short / low-alpha / stopword-free docs
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        X.token_count("text").alias("n_tokens"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") < 0.3)
+        & (F.col("stopword_ratio") > 0.05)
+    )
+    n1 = kept.count()
+
+    # 2. near-dup dedup: canonical survivor per duplicate cluster
+    clean = dedup_corpus(kept, "doc_id", "text", threshold=0.8)
+    n2 = clean.count()
+
+    # 3. deterministic hash split (stable under corpus growth / re-runs)
+    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    final = clean.withColumn(
+        "split", F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+
+    print(f"\ndocs: {n0} -> quality-kept: {n1} -> deduped: {n2}")
+    print("\n== split x lang ==")
+    final.groupBy("split").pivot("lang").count().orderBy("split").show()
+
+
+if __name__ == "__main__":
+    main()
