@@ -62,23 +62,22 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels only ever decrease, so the label-sum is strictly monotone until
+    # the fixpoint: an unchanged sum ⇒ converged. One cheap agg per round
+    # instead of a join+count.
+    label_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = bidir.join(
             labels.withColumnRenamed("node", "_m"), "_m"
         ).select(F.col("_n").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels

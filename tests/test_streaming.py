@@ -174,3 +174,30 @@ def test_enrich_stream_with_dim(spark, tmp_path):
         assert rows[99] is None  # left join keeps unmatched stream rows
     finally:
         q.stop()
+
+
+def test_sliding_windowed_counts(spark, stream_dir, tmp_path):
+    """Sliding windows: each event lands in window_size/slide overlapping
+    windows (5 min window, 1 min slide -> 5 windows per event)."""
+    stream = stream_files(spark, stream_dir, EVENT_SCHEMA)
+    q = (
+        windowed_counts(stream, window="5 minutes", slide="1 minute")
+        .writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sliding_counts").collect()
+        # event 3 (10:06, click, user 2) is the only click in 5 of the windows
+        lone_click_windows = [
+            r for r in rows
+            if r.event_type == "click" and r.n == 1 and r.total_value == 3.0
+        ]
+        assert len(lone_click_windows) == 5
+        starts = {r.window_start.minute for r in lone_click_windows}
+        assert starts == {2, 3, 4, 5, 6}  # every 1-min slide covering 10:06
+    finally:
+        q.stop()
