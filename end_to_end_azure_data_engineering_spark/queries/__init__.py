@@ -60,4 +60,5 @@ def load_all_queries() -> None:
     from . import text_ops  # noqa: F401
     from . import similarity_ops  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import streaming_batch_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401

@@ -1,0 +1,78 @@
+"""Batch runs of the STREAMING module's transformations.
+
+`streaming/ingest.py::windowed_counts` / `session_windows` are plain
+DataFrame functions — handed a streaming frame they run incrementally with
+watermark state; handed a batch frame they compute the identical result in
+one pass. Registering the batch runs here puts that unification under the
+driver's oracle gate: the same code path the streaming tests drive is
+hash-verified against DuckDB.
+
+(The watermark clause is late-data policy only — on a bounded batch frame
+nothing is late, so results equal the pure windowed aggregation.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import session_windows, windowed_counts
+from . import load, register
+
+_WIN_US = 5 * 60 * 1_000_000
+_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "tumbling_window_counts",
+    oracle=f"""
+    SELECT CAST(to_timestamp(epoch_us(ts) // {_WIN_US} * {_WIN_US} / 1e6) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp((epoch_us(ts) // {_WIN_US} + 1) * {_WIN_US} / 1e6) AS TIMESTAMP) AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, event_type
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = windowed_counts(ev, window="5 minutes")
+    return out.withColumn("total_value", F.round("total_value", 4))
+
+
+@register(
+    "session_window_rollup",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM t
+    )
+    SELECT min(ts) AS session_start,
+           CAST(to_timestamp((epoch_us(max(ts)) + {_GAP_US}) / 1e6) AS TIMESTAMP) AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window on a batch frame. Oracle replays the identical
+    semantics as gaps-and-islands SQL: a session's window is
+    [min(ts), max(ts) + gap) — events within `gap` of each other merge."""
+    ev = load(spark, sf_dir, "events")
+    out = session_windows(ev, gap=_GAP)
+    return out.withColumn("total_value", F.round("total_value", 4))
