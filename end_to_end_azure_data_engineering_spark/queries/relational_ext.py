@@ -886,3 +886,35 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via the spark.sql string API — the engine's SQL surface
+# (every other query is DataFrame-API; spark.sql hits the same Catalyst
+# plan). Mixed sets: by (flag,status), by flag, by status — NOT the full
+# cube (no grand total), which only GROUPING SETS can express directly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        """
+    )
