@@ -216,3 +216,64 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("_fp").alias("min_h"),
         F.array_max("_fp").alias("max_h"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({X.TOKENS_SQL('lower(text)')}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE length(token) >= 3
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             t.tf * ln((SELECT count(*) FROM documents)::DOUBLE / d.df) AS score
+      FROM tf t JOIN df d ON d.token = t.token
+    ),
+    ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, round(score, 6) AS tfidf, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: explode to (doc, token), two-level
+    aggregation (tf per doc-token, document frequency per token), corpus
+    size broadcast as a one-row scalar, score join, per-doc top-k window.
+    Shuffle profile: explode is narrow; tf and df are partial-agg'd
+    map-side; the token-df join shuffles on token (or broadcasts when the
+    vocabulary is bounded); ties break on token for determinism."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.length("token") >= 3)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", F.round("score", 6).alias("tfidf"), "rk")
+    )
