@@ -918,3 +918,73 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates — correlation / covariance / variance per group
+# (sample semantics match DuckDB's corr/covar_samp/var_samp).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_discount_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc_corr,
+           round(covar_samp(l_extendedprice, l_discount), 6) AS price_disc_covar,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_discount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("price_disc_covar"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# argmax aggregates — the value AT the extremum (max_by/min_by vs DuckDB
+# arg_max/arg_min), composite ordering key for deterministic ties.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_value_per_user",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, value, event_type,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    )
+    SELECT user_id,
+           arg_max(value, k) AS last_value,
+           arg_max(event_type, k) AS last_type,
+           arg_min(value, k) AS first_value,
+           count(*) AS n_events
+    FROM keyed
+    GROUP BY user_id
+    """,
+)
+def latest_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # composite ordering key as a zero-padded string (lexicographic ==
+    # numeric): DuckDB's arg_max takes no struct keys, so both engines
+    # order by the same scalar encoding of (ts, event_id)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", key).alias("last_value"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min_by("value", key).alias("first_value"),
+        F.count("*").alias("n_events"),
+    )
