@@ -56,6 +56,7 @@ def load_all_queries() -> None:
     """Import every query module so registration side-effects run."""
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
+    from . import relational_tpch2  # noqa: F401
     from . import dedup_ops  # noqa: F401
     from . import text_ops  # noqa: F401
     from . import similarity_ops  # noqa: F401
