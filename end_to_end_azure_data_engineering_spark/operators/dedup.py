@@ -54,9 +54,13 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
-    bidir = edges.select(
-        F.col(src).alias("_n"), F.col(dst).alias("_m")
-    ).unionByName(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+    # materialize the edge list once — the upstream pair generation (minhash
+    # banding or any near-dup join) must not be recomputed every round
+    bidir = (
+        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+        .unionByName(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+        .localCheckpoint()
+    )
     labels = (
         bidir.select(F.col("_n").alias("node")).distinct()
         .withColumn("label", F.col("node"))
