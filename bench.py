@@ -43,6 +43,8 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "hash_split_stratified",
     "moving_avg_time_range",
+    "returned_item_revenue",
+    "customer_order_distribution",
 ]
 
 
