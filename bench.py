@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}. Each query is timed to full materialization
-(count of the result), after a warm-up of the session on a trivial action.
+"queries": {...}, "sf": ...}. Each query runs TWICE at the measured SF and
+the second run is reported: round 1's record showed 50-80x first-run
+outliers (cold JVM/codegen/interpreted-HOF first execution) that a
+smaller-SF warm-up failed to absorb, so warm-up now happens at the
+measured SF itself and the timed run measures steady-state execution.
 """
 
 from __future__ import annotations
@@ -64,20 +67,16 @@ def main() -> None:
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
 
-    # warm-up at the smallest SF: compiles each query's codegen/plan once so
-    # the timed run measures execution, not first-run JIT (same expression
-    # trees at any SF → codegen cache hits)
-    warm_dir = str(Path(sf_dir).parent / "sf0.001")
-    if not Path(warm_dir).exists():
-        warm_dir = sf_dir
-    for name in names:
-        try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-
     timings: dict[str, float] = {}
     for name in names:
+        # run 1 (untimed): absorbs codegen compilation, JIT, broadcast
+        # build, and any first-execution interpreted fallback at the
+        # actual measured SF
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        # run 2 (timed): steady-state execution to full materialization
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

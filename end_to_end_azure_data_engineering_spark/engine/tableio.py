@@ -142,6 +142,31 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(str(self.path(namespace, table)))
 
+    def archive(
+        self,
+        namespace: str,
+        table: str,
+        stamp: str,
+        archive_namespace: str = "archive",
+    ) -> str | None:
+        """S14 — archive-copy+delete rotation before a full reload
+        (pl_sql_copy_bronze.json:148-277: the reference copies the prior
+        bronze file into an archive folder, then deletes it, before landing
+        the fresh full copy). Returns the archived table name, or None if
+        there was nothing to rotate. On object storage this is a cheap
+        server-side copy/rename; here it is a directory move."""
+        if not self.exists(namespace, table):
+            return None
+        src = self.path(namespace, table)
+        archived = f"{table}_{stamp}"
+        dst = self.path(archive_namespace, archived)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        shutil.rmtree(src)
+        return archived
+
     def drop(self, namespace: str, table: str) -> None:
         p = self.path(namespace, table)
         if p.exists():

@@ -42,15 +42,26 @@ def distinct_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
 def connected_components(
     edges, src: str = "src", dst: str = "dst", max_iter: int = 20
 ):
-    """Connected components by iterative min-label propagation (Pregel-lite):
-    every node starts labeled with itself; each round adopts the minimum
-    label among itself and its neighbors; fixpoint after ≤ diameter rounds.
+    """Connected components by min-label propagation with pointer doubling.
 
-    The dedup-clustering step after near-dup pair generation: pairs → 
-    components → canonical doc = component min. Each round is one shuffle on
-    doc_id; `localCheckpoint` truncates lineage so plans stay O(1) per round
-    (at cluster scale, use reliable checkpointing instead). Convergence is a
-    driver-side scalar check — the sanctioned kind of collect.
+    Every node starts labeled with itself; each round adopts the minimum of
+    (its label, its neighbors' labels, its label's label). The
+    label-of-label hop halves the remaining distance to the component
+    minimum each round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — a path of 1M nodes settles in ~20 rounds, not 1M. This is
+    the property that makes the operator survive 100 TB corpora whose
+    near-dup graphs contain long chains.
+
+    The dedup-clustering step after near-dup pair generation: pairs →
+    components → canonical doc = component min. Each round is two shuffles
+    on the node key; `localCheckpoint` truncates lineage so plans stay O(1)
+    per round (at cluster scale, use reliable checkpointing instead).
+
+    Convergence is detected by a changed-row check (old vs new labels),
+    which is correct for ANY node id type — the previous label-sum check
+    returned NULL for string/UUID ids and silently broke after one round.
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds rather than returning partially-propagated (wrong) labels.
     """
     from pyspark.sql import functions as F
 
@@ -66,22 +77,40 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # labels only ever decrease, so the label-sum is strictly monotone until
-    # the fixpoint: an unchanged sum ⇒ converged. One cheap agg per round
-    # instead of a join+count.
-    label_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
+        # min label among neighbors
         nbr = bidir.join(
             labels.withColumnRenamed("node", "_m"), "_m"
         ).select(F.col("_n").alias("node"), "label")
-        labels = (
+        # pointer doubling: adopt the label of your label (labels are always
+        # node ids, so the lookup is total)
+        hop = labels.join(
+            labels.select(
+                F.col("node").alias("label"), F.col("label").alias("_lol")
+            ),
+            "label",
+        ).select("node", F.col("_lol").alias("label"))
+        new_labels = (
             labels.unionByName(nbr)
+            .unionByName(hop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == label_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        still_changing = not changed.isEmpty()
+        labels = new_labels
+        if not still_changing:
+            converged = True
             break
-        label_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be partially propagated — raise max_iter"
+        )
     return labels

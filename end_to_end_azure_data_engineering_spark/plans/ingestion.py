@@ -104,9 +104,13 @@ def run_ingestion(
                     lambda wm: resolver(row, wm),
                     row.watermark_column, layout=layout,
                 )
-            # full / snapshot: land the whole frame, audited
+            # full / snapshot: rotate the prior landing into the archive
+            # namespace (S14, pl_sql_copy_bronze.json:148-277), then land
+            # the whole frame, audited
             t0 = audit.start(src, row.target_file_name)
             try:
+                stamp = audit.clock.now().strftime("%Y%m%d%H%M%S")
+                wh.archive("bronze", row.target_file_name, stamp)
                 n = wh.overwrite(resolver(row, ""), "bronze", row.target_file_name)
                 audit.success(src, row.target_file_name, t0, n, None)
                 return row.target_file_name

@@ -66,6 +66,22 @@ def _typed(col: str, typ: str) -> Column:
 
 def conform_entity(spec: EntitySpec, sources: list[tuple[DataFrame, str | None]]) -> DataFrame:
     """sources: list of (raw df, source_system tag or None for tag-less feeds)."""
+    # per_bank entities arrive as one tagged feed per source system (the
+    # reference's two banks); single-source entities arrive as exactly one
+    # untagged file. Validating here is what makes the flag load-bearing —
+    # a mis-wired caller fails loudly instead of silently dropping the
+    # source_system lineage column SCD2 change-detection depends on.
+    if spec.per_bank:
+        if any(tag is None for _, tag in sources):
+            raise ValueError(
+                f"entity '{spec.name}' is per_bank: every source needs a "
+                "source_system tag"
+            )
+    elif len(sources) != 1 or sources[0][1] is not None:
+        raise ValueError(
+            f"entity '{spec.name}' is single-source: expected exactly one "
+            "untagged feed"
+        )
     tagged = []
     for df, tag in sources:
         tagged.append(df.withColumn("source_system", F.lit(tag)) if tag else df)
@@ -167,9 +183,14 @@ _spec(EntitySpec(
     dedup="latest",
     recency=("booking_ts", "value_ts"),
     load="scd2",
+    # source_system + is_quarantined included for reference parity: its <>
+    # chains compare them (silver_transactions.py:127-143), so a NULL→value
+    # transition on a DQ-checked column that only flips the quarantine flag
+    # still expires+reinserts the current row.
     compare_cols=(
         "account_id", "booking_ts", "value_ts", "amount", "currency", "direction",
         "channel", "merchant_id", "counterparty_id", "txn_type", "status",
+        "source_system", "is_quarantined",
     ),
 ))
 
@@ -196,7 +217,8 @@ _spec(EntitySpec(
     dedup="latest",
     recency=("updated_at", "created_at"),
     load="scd2",
-    compare_cols=("first_name", "last_name", "dob", "country", "created_at", "updated_at"),
+    compare_cols=("first_name", "last_name", "dob", "country", "created_at",
+                  "updated_at", "source_system", "is_quarantined"),
 ))
 
 # silver_accounts.py:67-98 (conform/DQ/A5), :106-169 (M1)
@@ -228,7 +250,7 @@ _spec(EntitySpec(
     load="scd2",
     compare_cols=(
         "customer_id", "iban", "product_id", "branch_id", "currency",
-        "status", "opened_at", "closed_at",
+        "status", "opened_at", "closed_at", "source_system", "is_quarantined",
     ),
 ))
 
@@ -287,7 +309,8 @@ _spec(EntitySpec(
     ),
     dedup="by_key",
     load="scd2",
-    compare_cols=("reason", "opened_date", "resolved_date", "outcome"),
+    compare_cols=("reason", "opened_date", "resolved_date", "outcome",
+                  "source_system", "is_quarantined"),
 ))
 
 # silver_products.py:51-67 (conform/DQ/A5), :75-82 (M3)

@@ -52,8 +52,81 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Explicit registration order for the driver-facing dict. The driver's
+# correctness gate checks the first 50 registered queries per round, so the
+# surface rotates: queries with no green CORRECTNESS row yet (round 1
+# checked only the first 50 — the SCD2/append macro-ops, the whole
+# dedup/ANN/text/multimodal/streaming suite, and TPC-H wave 2 fell outside
+# the window) register first, followed by queries changed this round, then
+# a re-confirmation slice of float-bearing queries. Everything not listed
+# keeps its module registration order after these.
+PRIORITY: tuple[str, ...] = (
+    # Macro-ops (reference's signature MERGE/append patterns)
+    "scd2_final_state",
+    "idempotent_append",
+    # LLM-pipeline suite: dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    # similarity / ANN
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "hash_split_stratified",
+    "text_winnow_fingerprint",
+    "tfidf_top_terms",
+    # multimodal plumbing
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    # streaming batch-parity shapes
+    "tumbling_window_counts",
+    "session_window_rollup",
+    # fixed/restructured this round (flip round-1 hash failures green)
+    "grouped_agg_rich",
+    "sessionize_events",
+    "json_typed_agg",
+    "approx_distinct_users",
+    # TPC-H wave 2 (driver-unchecked in round 1)
+    "returned_item_revenue",
+    "priority_linestatus_counts",
+    "customer_order_distribution",
+    "promo_revenue_pct",
+    "top_supplier_revenue",
+    "part_supplier_diversity",
+    "disjunctive_predicate_revenue",
+    "significant_part_suppliers",
+    "min_cost_supplier",
+    # re-confirmation slice: float-bearing queries that passed round 1 —
+    # keep them inside the checked window while their aggregates move to
+    # order-independent decimal math
+    "pricing_summary",
+    "price_discount_stats",
+    "percentile_group_stats",
+    "moving_avg_time_range",
+    "anomaly_zscore",
+    "window_running_and_lead",
+    "forecast_revenue_change",
+    "asof_join_last_click",
+    "salted_skew_join",
+    "array_hof_vector_stats",
+    "rollup_agg",
+    "important_part_value",
+    "sole_returning_supplier",
+)
+
+
 def load_all_queries() -> None:
-    """Import every query module so registration side-effects run."""
+    """Import every query module, then apply the explicit PRIORITY order."""
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import relational_tpch2  # noqa: F401
@@ -63,3 +136,13 @@ def load_all_queries() -> None:
     from . import pipeline_ops  # noqa: F401
     from . import streaming_batch_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
+
+    # Reorder in place (QUERIES/ORACLES are imported by reference elsewhere).
+    registered = dict(QUERIES)
+    ordered = [n for n in PRIORITY if n in registered]
+    ordered += [n for n in registered if n not in PRIORITY]
+    QUERIES.clear()
+    QUERIES.update({n: registered[n] for n in ordered})
+    oracles = dict(ORACLES)
+    ORACLES.clear()
+    ORACLES.update({n: oracles[n] for n in ordered if n in oracles})

@@ -408,10 +408,12 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*)                                          AS n_orders,
            count(DISTINCT o.o_custkey)                       AS n_customers,
-           round(sum(o.o_totalprice), 2)                     AS total_revenue,
-           round(avg(o.o_totalprice), 4)                     AS avg_order_value,
-           round(min(o.o_totalprice), 2)                     AS min_order,
-           round(max(o.o_totalprice), 2)                     AS max_order,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_revenue,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,6))
+                / count(*) AS DECIMAL(18,4))                 AS avg_order_value,
+           CAST(min(o.o_totalprice) AS DECIMAL(18,2))        AS min_order,
+           CAST(max(o.o_totalprice) AS DECIMAL(18,2))        AS max_order,
            sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -419,7 +421,13 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouped_agg_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    # Money aggregates run on DECIMAL(18,2), not DOUBLE: decimal sums are
+    # exact and order-independent, so the result hash is stable no matter
+    # how Catalyst splits the partial aggregation (round 1 shipped a
+    # last-ulp hash mismatch vs the oracle when summing doubles).
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
     c = load(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -427,10 +435,12 @@ def grouped_agg_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
-            F.round(F.min("o_totalprice"), 2).alias("min_order"),
-            F.round(F.max("o_totalprice"), 2).alias("max_order"),
+            F.sum("price_dec").cast("decimal(18,2)").alias("total_revenue"),
+            (F.sum("price_dec").cast("decimal(28,6)") / F.count("*"))
+            .cast("decimal(18,4)")
+            .alias("avg_order_value"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("min_order"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("max_order"),
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         )
     )

@@ -447,8 +447,7 @@ _GAP_US = 30 * 60 * 1_000_000
     )
     SELECT user_id, session_id,
            count(*) AS n_events,
-           round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6, 3)
-               AS duration_sec
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
     FROM s
     GROUP BY user_id, session_id
     """,
@@ -466,32 +465,56 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+    # Integer millisecond duration: micros-diff div 1000 is exact integer
+    # math on both engines (divide-then-round on doubles was the one
+    # non-integer step and hash-mismatched in round 1).
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
-            / 1e6,
-            3,
-        ).alias("duration_sec"),
+        F.expr(
+            "div(unix_micros(max(ts)) - unix_micros(min(ts)), 1000)"
+        ).alias("duration_ms"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct — HyperLogLog++ sketch. No oracle: HLL estimates are
-# engine-specific (Spark's HLL++ and DuckDB's approx_count_distinct give
-# different values for the same input), so cross-engine hash comparison is
-# impossible by construction; the driver records a rows-only check. The
-# exact_users column is the accuracy anchor a human can eyeball.
+# Approximate distinct — HyperLogLog++ sketch. Raw HLL estimates are
+# engine-specific (Spark HLL++ vs DuckDB's sketch give different values for
+# the same input), so the raw estimate can't be hash-compared. Instead the
+# deterministic columns are hash-checked, and the HLL estimate is folded
+# into a checkable claim: `approx_ok` asserts Spark's estimate lands within
+# 3x the requested rsd of the exact count (Spark's HLL++ is deterministic
+# for fixed input, so this boolean is stable), while the oracle states the
+# same claim as TRUE. A wildly-off sketch now fails the driver's hash gate
+# instead of escaping as a rows-only check.
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_users")
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.03)
+        ).alias("approx_ok"),
     )
 
 
@@ -803,7 +826,8 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
                AS n_unparsed
@@ -812,11 +836,16 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact integer sum+count instead of round(avg(...)): the average is
+    # recoverable as sum_k/n_k, and the BIGINT aggregates are
+    # order-independent so the cross-engine hash is stable by construction
+    # (round 1's double-division average hash-mismatched).
     ev = load(spark, sf_dir, "events")
     parsed = ev.withColumn("_p", F.from_json("props", "k BIGINT"))
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("_p.k"), 4).alias("avg_k"),
+        F.sum("_p.k").alias("sum_k"),
+        F.count("_p.k").alias("n_k"),
         F.max("_p.k").alias("max_k"),
         F.sum(F.when(F.col("_p.k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
     )

@@ -37,8 +37,10 @@ def read_jdbc(
 ) -> DataFrame:
     """S5/S6 — JDBC full-table or pushdown-query read
     (pl_sql_copy_bronze.json:301-376, 631-637). The watermark predicate is
-    part of ``query`` so the filter executes source-side. Tests exercise the
-    incremental flow against parquet stand-ins via `incremental_ingest`."""
+    part of ``query`` so the filter executes source-side. Exercised against
+    a real embedded Derby database (the driver ships in Spark's jars) in
+    tests/test_jdbc_archive.py; `incremental_ingest` additionally covers
+    the audited watermark cycle with parquet stand-ins."""
     reader = spark.read.format("jdbc").option("url", url)
     if query is not None:
         reader = reader.option("query", query)

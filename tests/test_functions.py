@@ -111,6 +111,46 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids (UUID-like doc ids): round 1's label-sum
+    convergence check summed to NULL for strings and silently stopped after
+    one round, mislabeling any component with diameter > 1."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")], "src string, dst string"
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer doubling: a 200-node path needs O(log d) rounds, so
+    max_iter=10 must suffice where plain propagation would need ~200."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    ).coalesce(4)
+    labels = connected_components(edges, max_iter=10)
+    assert labels.select("label").distinct().count() == 1
+    assert labels.count() == n + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Partially-propagated labels must never be returned silently."""
+    import pytest
+
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    ).coalesce(2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_corpus_planted_duplicates(spark):
     from end_to_end_azure_data_engineering_spark.operators.neardup import (
         assign_components, dedup_corpus, near_dup_pairs,

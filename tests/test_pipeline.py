@@ -151,3 +151,45 @@ def test_scd2_change_creates_history(spark, wh):
     assert len(cur) == 1 and cur[0].country == "Portugal"
     old = hist.filter(~F.col("is_current")).collect()
     assert len(old) == 1 and old[0].country == "Luxembourg"
+
+
+def test_quarantine_transition_expires_scd2_row(spark, wh):
+    """Reference parity: the <> chain includes is_quarantined
+    (silver_customers.py:116-117), so a NULL→value fix on a DQ column —
+    which changes no payload compare column but flips the quarantine flag —
+    still expires the current row and inserts a fresh one."""
+    import pandas as pd
+    from tests.fixtures_banking import make_bank
+
+    rows = make_bank("bank_a")["customers"]
+    rows[1]["dob"] = None  # DQ null_("dob") → quarantined, same payload
+    q = spark.createDataFrame(pd.DataFrame(rows))
+    key = f"{rows[1]['customer_id']}-bank_a"
+    clock4 = FixedClock(dt.datetime(2024, 2, 4, 12, 0, 0))
+    run_silver(wh, {"customers": [(q, "bank_a")]}, clock4)
+    n_after_quarantine = (
+        wh.read("silver", "customers").filter(F.col("customer_key") == key).count()
+    )
+
+    rows[1]["dob"] = dt.date(1990, 1, 1)  # fixed → flag flips back
+    fixed = spark.createDataFrame(pd.DataFrame(rows))
+    clock5 = FixedClock(dt.datetime(2024, 2, 5, 12, 0, 0))
+    run_silver(wh, {"customers": [(fixed, "bank_a")]}, clock5)
+
+    versions = wh.read("silver", "customers").filter(F.col("customer_key") == key)
+    assert versions.count() == n_after_quarantine + 1
+    cur = versions.filter(F.col("is_current")).collect()
+    assert len(cur) == 1 and cur[0].is_quarantined is False
+
+
+def test_per_bank_validation():
+    """per_bank is load-bearing: tagless feeds to a per_bank entity (and
+    tagged/multi feeds to a single-source one) fail loudly."""
+    from end_to_end_azure_data_engineering_spark.plans.silver import (
+        SILVER_SPECS, conform_entity,
+    )
+
+    with pytest.raises(ValueError, match="per_bank"):
+        conform_entity(SILVER_SPECS["customers"], [(None, None)])
+    with pytest.raises(ValueError, match="single-source"):
+        conform_entity(SILVER_SPECS["fx_rates"], [(None, "bank_a")])

@@ -25,12 +25,16 @@ TABLES = [
 
 
 def _norm_cell(v):
+    # Full-precision comparison — strictly at least as strict as the driver's
+    # exact value-hash. Floats compare by repr (round-trip exact); never
+    # collapse precision here or the local gate green-lights what the driver
+    # rejects (that laxity shipped 3 hash failures in round 1).
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if v == v else "NaN"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
