@@ -57,11 +57,13 @@ def connected_components(
     on the node key; `localCheckpoint` truncates lineage so plans stay O(1)
     per round (at cluster scale, use reliable checkpointing instead).
 
-    Convergence is detected by a changed-row check (old vs new labels),
-    which is correct for ANY node id type — the previous label-sum check
-    returned NULL for string/UUID ids and silently broke after one round.
-    Raises RuntimeError if labels are still changing after ``max_iter``
-    rounds rather than returning partially-propagated (wrong) labels.
+    Convergence is detected by an unchanged sum of xxhash64(label) — one
+    cheap aggregation per round, correct for ANY node id type (the previous
+    raw label-sum returned NULL for string/UUID ids and silently broke
+    after one round; min-propagation only ever shrinks labels, so any
+    change perturbs the hash multiset). Raises RuntimeError if labels are
+    still changing after ``max_iter`` rounds rather than returning
+    partially-propagated (wrong) labels.
     """
     from pyspark.sql import functions as F
 
@@ -77,37 +79,35 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    hash_sum = labels.agg(F.sum(F.xxhash64("label").cast("decimal(38,0)"))).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # min label among neighbors
         nbr = bidir.join(
             labels.withColumnRenamed("node", "_m"), "_m"
         ).select(F.col("_n").alias("node"), "label")
-        # pointer doubling: adopt the label of your label (labels are always
-        # node ids, so the lookup is total)
-        hop = labels.join(
-            labels.select(
-                F.col("node").alias("label"), F.col("label").alias("_lol")
-            ),
-            "label",
-        ).select("node", F.col("_lol").alias("label"))
-        new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
-            .groupBy("node")
+        parts = labels.unionByName(nbr)
+        if rnd > 0:
+            # pointer doubling: adopt the label of your label (labels are
+            # always node ids, so the lookup is total). Skipped in round 1
+            # where labels are the identity and the hop is a no-op join.
+            hop = labels.join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("_lol")
+                ),
+                "label",
+            ).select("node", F.col("_lol").alias("label"))
+            parts = parts.unionByName(hop)
+        labels = (
+            parts.groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-        )
-        still_changing = not changed.isEmpty()
-        labels = new_labels
-        if not still_changing:
+        new_sum = labels.agg(F.sum(F.xxhash64("label").cast("decimal(38,0)"))).first()[0]
+        if new_sum == hash_sum:
             converged = True
             break
+        hash_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

@@ -228,36 +228,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_ids = F.lit([r.vec_id for r in cent_rows])
     cent_norms = F.lit([math.sqrt(sum(x * x for x in ce)) for ce in cents])
     ev = V.staged(e, "embedding", "_e")
+    # sort key = struct(-cos, cid): the DEFAULT struct ordering (ascending,
+    # field by field) then gives cos desc / cid asc — array_sort and
+    # array_max with a custom comparator lambda run interpreted, the
+    # default ordering stays on the fast path
     cells = F.transform(
         F.sequence(F.lit(1), F.lit(len(cent_rows))),
         lambda i: F.struct(
             (
-                V.dot(F.col("_e_v"), F.element_at(cent_vecs, i))
-                / F.greatest(F.col("_e_n") * F.element_at(cent_norms, i), F.lit(1e-12))
-            ).alias("cos"),
+                -(
+                    V.dot(F.col("_e_v"), F.element_at(cent_vecs, i))
+                    / F.greatest(
+                        F.col("_e_n") * F.element_at(cent_norms, i), F.lit(1e-12)
+                    )
+                )
+            ).alias("neg_cos"),
             F.element_at(cent_ids, i).alias("cid"),
         ),
     )
-    cmp = lambda a, b: (  # noqa: E731 — desc by cos, asc by cid
-        F.when(a["cos"] > b["cos"], F.lit(-1))
-        .when(a["cos"] < b["cos"], F.lit(1))
-        .when(a["cid"] < b["cid"], F.lit(-1))
-        .when(a["cid"] > b["cid"], F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    ranked_cells = ev.select(
-        "vec_id", "_e_v", "_e_n", F.array_sort(cells, cmp).alias("_cells")
-    )
-    assign = ranked_cells.select(
-        "vec_id", "_e_v", "_e_n", F.col("_cells")[0]["cid"].alias("cid")
+    # assignment needs only the argmax cell: array_min over the sort key is
+    # an O(K) scan, no per-row sort of the codebook
+    assign = ev.select(
+        "vec_id", "_e_v", "_e_n", F.array_min(cells)["cid"].alias("cid")
     )
     probe_cells = (
-        ranked_cells.filter(F.col("vec_id") < 20)
+        ev.filter(F.col("vec_id") < 20)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("_e_v").alias("_p_v"),
             F.col("_e_n").alias("_p_n"),
-            F.explode(F.transform(F.slice("_cells", 1, 2), lambda c: c["cid"])).alias("cid"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cells), 1, 2), lambda c: c["cid"]
+                )
+            ).alias("cid"),
         )
     )
     scored = (
