@@ -153,3 +153,56 @@ def fingerprint(col: str | Column) -> Column:
 
 def FINGERPRINT_SQL(col: str) -> str:
     return f"md5({NORMALIZE_TEXT_SQL(col)})"
+
+
+# token n-grams --------------------------------------------------------------
+
+def ngrams(col: str | Column, n: int) -> Column:
+    """Token n-grams as space-joined strings; empty array when the document
+    has fewer than ``n`` tokens (sequence() would count DOWN for a negative
+    span, so the guard is explicit)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def NGRAMS_SQL(col: str, n: int) -> str:
+    toks = TOKENS_SQL(col)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# PII-ish pattern counts -----------------------------------------------------
+# RE2-compatible patterns (no backrefs/lookaround) so Spark's Java regex and
+# DuckDB's RE2 agree on every match.
+
+PII_PATTERNS: dict[str, str] = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "n_urls": r"https?://[^ ]+",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+
+
+def PII_COUNTS_SQL(col: str) -> dict[str, str]:
+    return {
+        name: f"len(regexp_extract_all({col}, '{pat}'))"
+        for name, pat in PII_PATTERNS.items()
+    }

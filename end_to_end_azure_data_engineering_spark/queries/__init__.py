@@ -125,8 +125,58 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+def _verification_order(names: list[str], root=None) -> list[str]:
+    """Self-rotating registration order from the driver's own record.
+
+    Reads CORRECTNESS_r*.json at the repo root (the driver's per-round
+    verdicts) and stable-sorts queries so that (a) queries with no fully
+    green row ever — never checked, hash-failed, or regressed after a green
+    — come first, then (b) green queries ordered by how long ago they were
+    last verified. The driver checks the first 50 registered queries each
+    round, so this rotation converges to every query holding a recent green
+    row without manual reordering. Falls back to the input order when no
+    record exists (fresh checkout / first round).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    green_round: dict[str, int] = {}
+    bad_round: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            ok = (
+                isinstance(rec, dict)
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("hash_match") is True
+                and not rec.get("err")
+            )
+            tgt = green_round if ok else bad_round
+            tgt[name] = max(rnd, tgt.get(name, 0))
+
+    def key(name: str) -> tuple[int, int]:
+        green = green_round.get(name)
+        if green is None or bad_round.get(name, -1) >= green:
+            return (0, 0)  # needs (re-)verification
+        return (1, green)  # green: oldest verification first
+
+    return sorted(names, key=key)  # stable: preserves PRIORITY within ties
+
+
 def load_all_queries() -> None:
-    """Import every query module, then apply the explicit PRIORITY order."""
+    """Import every query module, then order registration for the driver:
+    explicit PRIORITY first, refined by the self-rotating verification
+    order (see ``_verification_order``)."""
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import relational_tpch2  # noqa: F401
@@ -141,6 +191,7 @@ def load_all_queries() -> None:
     registered = dict(QUERIES)
     ordered = [n for n in PRIORITY if n in registered]
     ordered += [n for n in registered if n not in PRIORITY]
+    ordered = _verification_order(ordered)
     QUERIES.clear()
     QUERIES.update({n: registered[n] for n in ordered})
     oracles = dict(ORACLES)

@@ -277,3 +277,145 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", F.round("score", 6).alias("tfidf"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination — the decontamination primitive of every
+# pre-training pipeline: which held-out documents share token 5-grams with
+# the training split. Deterministic split on doc_id so the oracle replays
+# it. Scale shape: one shuffle on the n-gram key (the standard layout); at
+# 100 TB the train side first collapses to distinct n-grams (partial agg
+# map-side) and a bloom filter on the train set can pre-filter the probe
+# side before the exchange.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5
+
+
+@register(
+    "ngram_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {X.NGRAMS_SQL('text', _CONTAM_N)} AS ngs FROM documents
+    ),
+    test AS (
+      SELECT doc_id, unnest(list_distinct(ngs)) AS ng
+      FROM tok WHERE doc_id % 5 = 0
+    ),
+    train AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM tok WHERE doc_id % 5 <> 0
+    )
+    SELECT t.doc_id,
+           count(*) AS n_ngrams,
+           sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           round(sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS contamination_ratio
+    FROM test t LEFT JOIN train tr USING (ng)
+    GROUP BY t.doc_id
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ngs = X.ngrams("text", _CONTAM_N)
+    test = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.explode(F.array_distinct(ngs)).alias("ng")
+    )
+    train = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode(ngs).alias("ng"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hit = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    return (
+        test.join(train, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            hit.alias("n_contaminated"),
+            F.round(hit / F.count("*"), 6).alias("contamination_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition — the Gopher/C4-style duplicate-n-gram
+# fraction used to drop boilerplate/spam: 1 − distinct/total for tokens and
+# bigrams. Pure per-row list expressions: no shuffle, codegen'd, linear.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {X.TOKENS_SQL('text')} AS toks,
+             {X.NGRAMS_SQL('text', 2)} AS bgs
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+               AS dup_token_ratio,
+           round(1.0 - len(list_distinct(bgs)) / greatest(len(bgs), 1), 6)
+               AS dup_bigram_ratio
+    FROM t
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks, bgs = X.tokens("text"), X.ngrams("text", 2)
+    t = d.select(
+        "doc_id", toks.alias("_toks"), bgs.alias("_bgs")
+    )
+    n_tok = F.size("_toks")
+    n_dtok = F.size(F.array_distinct("_toks"))
+    n_bg = F.size("_bgs")
+    n_dbg = F.size(F.array_distinct("_bgs"))
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dtok.alias("n_distinct_tokens"),
+        F.round(F.lit(1.0) - n_dtok / F.greatest(n_tok, F.lit(1)), 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(F.lit(1.0) - n_dbg / F.greatest(n_bg, F.lit(1)), 6).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-ish pattern counts — the redaction/compliance scan run before text
+# ships to training: per-document counts of email/phone/IPv4/URL shapes.
+# RE2-safe patterns shared between engines (functions/text.py
+# PII_PATTERNS). Per-row regexp_count: no shuffle, codegen'd.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_pattern_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {X.PII_COUNTS_SQL('text')['n_emails']} AS n_emails,
+           {X.PII_COUNTS_SQL('text')['n_phones']} AS n_phones,
+           {X.PII_COUNTS_SQL('text')['n_ipv4']} AS n_ipv4,
+           {X.PII_COUNTS_SQL('text')['n_urls']} AS n_urls,
+           ({X.PII_COUNTS_SQL('text')['n_emails']} > 0
+            OR {X.PII_COUNTS_SQL('text')['n_phones']} > 0
+            OR {X.PII_COUNTS_SQL('text')['n_ipv4']} > 0) AS has_pii
+    FROM documents
+    """,
+)
+def pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cnts = X.pii_counts("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in cnts.items()],
+        (
+            (cnts["n_emails"] > 0) | (cnts["n_phones"] > 0) | (cnts["n_ipv4"] > 0)
+        ).alias("has_pii"),
+    )

@@ -178,3 +178,31 @@ def test_dedup_corpus_planted_duplicates(spark):
 
     survivors = {r.doc_id for r in dedup_corpus(docs, "doc_id", "text", 0.5).collect()}
     assert survivors == {1, 4, 5}
+
+
+def test_ngrams_short_doc_empty(spark):
+    """Documents shorter than n tokens yield an empty array, not a
+    descending-sequence error."""
+    from end_to_end_azure_data_engineering_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "too short"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r.ngs
+        for r in df.select("doc_id", X.ngrams("text", 3).alias("ngs")).collect()
+    }
+    assert rows[1] == ["one two three", "two three four", "three four five"]
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_pii_counts(spark):
+    from end_to_end_azure_data_engineering_spark.functions import text as X
+
+    txt = "mail a@b.com and c.d@e.org, call +1 (555) 123-4567, host 10.0.0.1 via https://x.io/p"
+    df = spark.createDataFrame([(txt,)], ["text"])
+    cnts = X.pii_counts("text")
+    r = df.select(*[c.alias(n) for n, c in cnts.items()]).first()
+    assert (r.n_emails, r.n_phones, r.n_ipv4, r.n_urls) == (2, 1, 1, 1)
