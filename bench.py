@@ -80,6 +80,14 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Trigger a JVM GC so the ContextCleaner releases shuffle files and
+        # broadcast blocks between queries: with a large heap GC is rare,
+        # cleanup lags, and accumulated blocks progressively slow later
+        # queries (the round-1 bench outlier mechanism).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     print(

@@ -67,6 +67,22 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    # Every localCheckpoint pins blocks in the executor block manager for
+    # the session's lifetime; an iterative operator that never frees them
+    # degrades every LATER query in a long-lived session (GC pressure +
+    # storage eviction). Snapshot the persistent-RDD set on entry and free
+    # everything this call created — except the final labels, which back
+    # the returned DataFrame — before returning.
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        try:
+            return set(sc._jsc.getPersistentRDDs().keys())
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            return set()
+
+    before_ids = _persistent_ids()
+
     # materialize the edge list once — the upstream pair generation (minhash
     # banding or any near-dup join) must not be recomputed every round
     bidir = (
@@ -108,6 +124,18 @@ def connected_components(
             converged = True
             break
         hash_sum = new_sum
+    # free every checkpoint this call created except the newest (the final
+    # labels — lineage is truncated, so its blocks must survive until the
+    # caller consumes the result)
+    try:
+        ours = sorted(_persistent_ids() - before_ids)
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ours[:-1]:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
+    except Exception:  # noqa: BLE001 — cleanup is best-effort
+        pass
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

@@ -87,6 +87,13 @@ def main() -> int:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = time.perf_counter() - t0  # keep the warm (2nd) run
             times.append(best)
+            # GC tick: let the ContextCleaner drop shuffle/broadcast blocks
+            # so later queries aren't slowed by accumulated state (see
+            # bench.py)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         ratio = times[2] / times[1] if times[1] else float("nan")
         print(
             f"{name:28s} {times[0]:8.2f} {times[1]:8.2f} {times[2]:8.2f}  {ratio:6.1f}x"
