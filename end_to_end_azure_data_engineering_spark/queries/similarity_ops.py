@@ -49,7 +49,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_e_v").alias("_p_v"), F.col("_e_n").alias("_p_n"),
     )
     cand = e.select("vec_id", "_e_v", "_e_n")
-    cos = V.cosine_pre(F.col("_p_v"), F.col("_p_n"), F.col("_e_v"), F.col("_e_n"))
+    cos = V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n")
     scored = (
         cand.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", cos.alias("cos"))
@@ -101,7 +101,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("_e_v").alias("_p_v"), F.col("_e_n").alias("_p_n"), "bucket",
     )
-    cos = V.cosine_pre(F.col("_p_v"), F.col("_p_n"), F.col("_e_v"), F.col("_e_n"))
+    cos = V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n")
     scored = (
         buckets.join(F.broadcast(probes), "bucket")
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -147,9 +147,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"),
         F.col("_e_v").alias("_b_v"), F.col("_e_n").alias("_b_n"), "bucket",
     )
-    cos = V.cosine_pre(F.col("_a_v"), F.col("_a_n"), F.col("_b_v"), F.col("_b_n"))
+    cos = V.cosine_pre("_a_v", "_a_n", "_b_v", "_b_n")
+    # repartition side a on the bucket key: this IS the 100 TB layout
+    # (bucket-partitioned corpus) made explicit. Without it, AQE broadcasts
+    # the small side and the in-bucket pair scoring inherits the SCAN's
+    # partitioning — a single small parquet file means ONE task computes
+    # every pairwise cosine (877k pairs serialized at 10× scale probe).
+    # The partition count must be EXPLICIT: a column-only repartition is
+    # AQE-coalescible, and with ~1 MB of input AQE folds it back to one
+    # partition, resurrecting the serial plan (21s vs 5s at the probe).
+    dp = spark.sparkContext.defaultParallelism
     return (
-        a.join(b, "bucket")
+        a.repartition(dp, F.col("bucket")).join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.35)  # threshold on the raw value (oracle parity)
@@ -223,11 +232,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [[float(x) for x in r.embedding] for r in cent_rows]
     # three single-node nested literals (not 16×64 Literal columns — that
     # expression tree put multi-second analysis cost on the driver); norms
-    # precomputed in Python (same sequential left-fold as the HOF dot)
+    # precomputed in Python (same sequential left-fold as the HOF dot).
+    # NOTE: two codegen forms of this cell ranking were benchmarked and
+    # both LOSE to the interpreted transform-lambda: a single fully
+    # unrolled K×d expression and K unrolled per-cell columns both get
+    # re-inlined by CollapseProject into the array_min/array_sort
+    # consumers, and the resulting ~2000-node tree sends optimizer and
+    # codegen time through the roof (60–200s per run vs ~2.5s warm here).
     cent_vecs = F.lit(cents)
     cent_ids = F.lit([r.vec_id for r in cent_rows])
     cent_norms = F.lit([math.sqrt(sum(x * x for x in ce)) for ce in cents])
-    ev = V.staged(e, "embedding", "_e")
+    # stage a double-cast copy for the K-cell ranking: the zip_with dots
+    # inside the transform lambda are interpreted, and without this each of
+    # the K cells would re-cast the float vector (K×d interpreted casts per
+    # row). Referenced K times, so CollapseProject keeps it materialized.
+    ev = V.staged(e, "embedding", "_e").withColumn(
+        "_e_vd", V.as_double(F.col("_e_v"))
+    )
     # sort key = struct(-cos, cid): the DEFAULT struct ordering (ascending,
     # field by field) then gives cos desc / cid asc — array_sort and
     # array_max with a custom comparator lambda run interpreted, the
@@ -237,7 +258,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.struct(
             (
                 -(
-                    V.dot(F.col("_e_v"), F.element_at(cent_vecs, i))
+                    V.dot(F.col("_e_vd"), F.element_at(cent_vecs, i))
                     / F.greatest(
                         F.col("_e_n") * F.element_at(cent_norms, i), F.lit(1e-12)
                     )
@@ -247,8 +268,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # assignment needs only the argmax cell: array_min over the sort key is
-    # an O(K) scan, no per-row sort of the codebook
-    assign = ev.select(
+    # an O(K) scan, no per-row sort of the codebook. Repartition first: the
+    # K×d interpreted cell ranking is the heavy map of this query, and the
+    # broadcast probe join would otherwise pin it to the scan's partition
+    # count (one task for a single small parquet file). At cluster scale
+    # this shuffle is the write side of the cell-partitioned layout anyway.
+    # Explicit count — a column-only repartition is AQE-coalescible back
+    # to one partition on small inputs.
+    dp = spark.sparkContext.defaultParallelism
+    assign = ev.repartition(dp, F.col("vec_id")).select(
         "vec_id", "_e_v", "_e_n", F.array_min(cells)["cid"].alias("cid")
     )
     probe_cells = (
@@ -270,9 +298,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "vec_id",
-            V.cosine_pre(
-                F.col("_p_v"), F.col("_p_n"), F.col("_e_v"), F.col("_e_n")
-            ).alias("cos"),
+            V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
