@@ -186,6 +186,7 @@ def load_all_queries() -> None:
     from . import pipeline_ops  # noqa: F401
     from . import streaming_batch_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
+    from . import training_ops  # noqa: F401
 
     # Reorder in place (QUERIES/ORACLES are imported by reference elsewhere).
     registered = dict(QUERIES)
