@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sketches as S
 from ..functions import text as X
-from . import load, register
+from . import load, register, spread
 
 
 @register(
@@ -36,7 +36,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-content fingerprint;
     canonical survivor = min doc_id. One shuffle on the 128-bit fp — the
     standard exact-dedup shape at any scale."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", X.fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -82,7 +82,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with collisions, not corpus²."""
     from ..operators.neardup import near_dup_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     # near_dup_pairs persists the shingle frame internally: the plan
     # references it from three branches (banding + both verification join
     # sides). At 100 TB that frame is a materialized signatures table,
@@ -105,7 +105,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash signature (token-hash bit voting). Near-dup
     candidates at scale come from banding the signature bits (same LSH
     shape as minhash); signature computation is a pure per-row map."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", S.simhash("text").alias("simhash"))
 
 
@@ -125,7 +125,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs on a bounded slice (the exact
     baseline; the scale path is bit-band bucketing per dedup_simhash)."""
-    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("lang") == "de"))
     sigs = d.select("doc_id", S.simhash("text").alias("simhash"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
@@ -156,7 +156,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth the LSH paths approximate. Deliberately scoped (single lang
     partition): the all-pairs form is the one operator here that would NOT
     survive 100×, which is why minhash_lsh exists."""
-    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("lang") == "de"))
     toks = d.select(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tk"),

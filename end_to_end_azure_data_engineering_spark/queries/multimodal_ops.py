@@ -16,7 +16,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, spread
 
 _FEAT0 = "('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967295.0"
 _FEAT1 = "('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967295.0"
@@ -41,7 +41,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are the deterministic md5-derived stand-ins."""
     import hashlib
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("media_type"),
@@ -95,7 +95,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode multiplies rows ~duration/interval with no shuffle."""
     from ..functions.multimodal import frame_sample_plan
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
@@ -129,7 +129,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planning half of a resize; the pixel work is the stubbed decoder
     inside mapInPandas (multimodal_features shows that path). At scale this
     is a narrow map feeding the Arrow batch resize."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(320) + (F.col("doc_id") % 8) * 80).cast("int").alias("meta_width"),

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import similarity as V
-from . import load, register
+from . import load, register, spread
 
 _EMB_D = "embedding::DOUBLE[]"
 
@@ -43,7 +43,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, window top-k per probe. At scale: probes broadcast (no
     candidate shuffle), score is a narrow map, and the only shuffle is the
     per-probe top-k — which AQE keeps proportional to |probes|·k."""
-    e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
+    e = V.staged(spread(load(spark, sf_dir, "embeddings")), "embedding", "_e")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"),
         F.col("_e_v").alias("_p_v"), F.col("_e_n").alias("_p_n"),

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sketches as S
 from ..functions import text as X
-from . import load, register
+from . import load, register, spread
 
 
 @register(
@@ -25,7 +25,7 @@ from . import load, register
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",
@@ -52,7 +52,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/punct/stopword quality gates — the standard pre-training
     heuristic filter set, flag-don't-drop (quarantine semantics)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     pr, sr = X.punct_ratio("text"), X.stopword_ratio("text")
     return d.select(
         "doc_id",
@@ -78,7 +78,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is English-vocab for every label, so `detected_lang` reflects the
     text, not the label — the operator contract is determinism, not
     classifier accuracy."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -96,7 +96,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     fp = X.fingerprint("text")
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
@@ -130,7 +130,7 @@ def hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('split:'+id) decorrelates this hash from any other hash use of the
     same id. Pure per-row map + small-key agg; the oracle shares the same
     md5-derived hash, so assignment is hash-verified cross-engine."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     split = (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
@@ -187,7 +187,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading attributes instead of recomputing (same lesson as
     staged_word_shingles). The selection logic is what matters at scale —
     match detection is then a bucket join on fingerprint values."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     t = X.normalize_text(F.col("text"))
     staged = d.select("doc_id", t.alias("_t")).withColumn(
         "_n", F.greatest(F.length("_t") - _K_GRAM + 1, F.lit(1))
@@ -254,7 +254,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle profile: explode is narrow; tf and df are partial-agg'd
     map-side; the token-df join shuffles on token (or broadcasts when the
     vocabulary is bounded); ties break on token for determinism."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     ).filter(F.length("token") >= 3)
@@ -315,7 +315,7 @@ _CONTAM_N = 5
     """,
 )
 def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     ngs = X.ngrams("text", _CONTAM_N)
     test = d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", F.explode(F.array_distinct(ngs)).alias("ng")
@@ -365,7 +365,7 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks, bgs = X.tokens("text"), X.ngrams("text", 2)
     t = d.select(
         "doc_id", toks.alias("_toks"), bgs.alias("_bgs")
@@ -410,7 +410,7 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     cnts = X.pii_counts("text")
     return d.select(
         "doc_id",

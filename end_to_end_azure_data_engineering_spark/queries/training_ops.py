@@ -19,7 +19,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import similarity as V
 from ..functions import text as X
-from . import load, register
+from . import load, register, spread
 
 #: documents per packing shard. Sequences never cross a shard boundary, so
 #: every (source, shard) group is a BOUNDED window partition — the window
@@ -61,7 +61,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition, so the cumsum never serializes a whole source through
     one task. Output: per-sequence doc count and token mass (fill/overflow
     diagnostics)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         "source",
@@ -117,7 +117,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg keyed on source — the per-stage counts a pipeline operator watches
     to see WHICH filter is eating the corpus. Ratios are used only inside
     comparisons; every output is a count."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     ok_len = X.token_count("text") >= MIN_TOKENS
     ok_punct = X.punct_ratio("text") <= MAX_PUNCT_RATIO
     ok_stop = X.stopword_ratio("text") >= MIN_STOPWORD_RATIO
@@ -190,7 +190,7 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, no skew. This is the nightly-crawl-vs-lake dedup shape;
     at 100 TB the corpus fingerprint set is a bucketed table and this join
     is shuffle-free."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     fp = d.select("doc_id", "source", X.fingerprint("text").alias("fp"))
     is_batch = F.col("doc_id") % BATCH_MOD == 0
     batch = fp.filter(is_batch).withColumn(
@@ -239,7 +239,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-dim dot (see functions/similarity.py) keeps the norm inside
     whole-stage codegen; min/max are selection (order-independent), so the
     floats hash identically cross-engine."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     nrm = F.sqrt(V.dot("embedding", "embedding", V.EMB_DIM))
     return (
         e.select("label", nrm.alias("_n"))
