@@ -68,6 +68,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # run 1 (untimed): absorbs codegen compilation, JIT, broadcast
         # build, and any first-execution interpreted fallback at the
@@ -76,10 +77,16 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        # run 2 (timed): steady-state execution to full materialization
+        # run 2 (timed): steady-state execution to full materialization.
+        # A failing query records an error entry but NEVER aborts the
+        # bench: round 2's record lost ALL timings because one query threw
+        # (TIMESTAMP_NTZ) with no handler here.
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
         # Trigger a JVM GC so the ContextCleaner releases shuffle files and
         # broadcast blocks between queries: with a large heap GC is rare,
         # cleanup lags, and accumulated blocks progressively slow later
@@ -90,17 +97,16 @@ def main() -> None:
             pass
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

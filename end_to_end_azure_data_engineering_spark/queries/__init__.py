@@ -35,14 +35,19 @@ def register(name: str, oracle: str | None = None):
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet scan; pushdown-friendly).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos LONG
-    and is converted here to a microsecond TIMESTAMP (truncating, matching
-    DuckDB's ns→us cast).
+    Timestamp columns arrive however the parquet files were written —
+    TIMESTAMP(NANOS) (as epoch-nanos LONG via
+    ``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP_NTZ (plain
+    ``timestamp[us]`` with no UTC adjustment — Spark 4 infers NTZ), or
+    TIMESTAMP_LTZ. The session timezone is pinned to UTC at runtime so
+    NTZ↔LTZ casts are wall-clock identity and epoch math matches DuckDB's
+    naive-timestamp interpretation; queries use :func:`epoch_us` instead of
+    raw ``unix_micros`` (which rejects NTZ inputs).
     """
+    # Set at runtime too: the driver passes its own session, which won't
+    # have the factory defaults from engine.session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # set at runtime too: the driver passes its own session, which won't
-        # have the factory default from engine.session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -50,6 +55,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def epoch_us(col) -> "Column":
+    """Epoch microseconds, safe for TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` requires TIMESTAMP(LTZ); the testdata's ``ts`` is parquet
+    ``timestamp[us]`` with no UTC flag, which Spark 4 reads as NTZ. With the
+    session timezone pinned to UTC (see :func:`load`), casting NTZ→TIMESTAMP
+    is a wall-clock identity, so this matches DuckDB's ``epoch_us`` on the
+    same naive value regardless of which type the scan produced.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -408,13 +408,14 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*)                                          AS n_orders,
            count(DISTINCT o.o_custkey)                       AS n_customers,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_revenue,
-           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,6))
-                / count(*) AS DECIMAL(18,4))                 AS avg_order_value,
-           CAST(min(o.o_totalprice) AS DECIMAL(18,2))        AS min_order,
-           CAST(max(o.o_totalprice) AS DECIMAL(18,2))        AS max_order,
-           sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_order_value,
+           min(o.o_totalprice)                               AS min_order,
+           max(o.o_totalprice)                               AS max_order,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c_mktsegment
@@ -422,9 +423,14 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouped_agg_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Money aggregates run on DECIMAL(18,2), not DOUBLE: decimal sums are
-    # exact and order-independent, so the result hash is stable no matter
-    # how Catalyst splits the partial aggregation (round 1 shipped a
-    # last-ulp hash mismatch vs the oracle when summing doubles).
+    # exact and order-independent, so the result is stable no matter how
+    # Catalyst splits the partial aggregation (round 1 shipped a last-ulp
+    # hash mismatch vs the oracle when summing doubles). The FINAL outputs
+    # are DOUBLE/BIGINT, not DECIMAL/HUGEINT: the driver's value hash is
+    # dtype-sensitive (DuckDB DECIMAL and HUGEINT surface as float64/object
+    # in pandas, mismatching Spark's Decimal/int64 even for equal values —
+    # round 2's failure mechanism). One exact-decimal→double cast and an
+    # IEEE double division are bit-deterministic on both engines.
     o = load(spark, sf_dir, "orders").withColumn(
         "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
     )
@@ -435,12 +441,10 @@ def grouped_agg_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.sum("price_dec").cast("decimal(18,2)").alias("total_revenue"),
-            (F.sum("price_dec").cast("decimal(28,6)") / F.count("*"))
-            .cast("decimal(18,4)")
-            .alias("avg_order_value"),
-            F.min("o_totalprice").cast("decimal(18,2)").alias("min_order"),
-            F.max("o_totalprice").cast("decimal(18,2)").alias("max_order"),
+            F.sum("price_dec").cast("double").alias("total_revenue"),
+            (F.sum("price_dec").cast("double") / F.count("*")).alias("avg_order_value"),
+            F.min("o_totalprice").alias("min_order"),
+            F.max("o_totalprice").alias("max_order"),
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         )
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import load, register
+from . import epoch_us, load, register
 
 # ---------------------------------------------------------------------------
 # As-of join — for each purchase event, the latest strictly-earlier click of
@@ -440,9 +440,9 @@ _GAP_US = 30 * 60 * 1_000_000
     ),
     s AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (
+               CAST(sum(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM t
     )
     SELECT user_id, session_id,
@@ -455,7 +455,7 @@ _GAP_US = 30 * 60 * 1_000_000
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     prev = F.lag(us).over(w)
     t = ev.withColumn(
         "new_session",
@@ -471,7 +471,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.expr(
-            "div(unix_micros(max(ts)) - unix_micros(min(ts)), 1000)"
+            "div(unix_micros(cast(max(ts) as timestamp)) - unix_micros(cast(min(ts) as timestamp)), 1000)"
         ).alias("duration_ms"),
     )
 
@@ -678,7 +678,7 @@ def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-_RANGE_US, 0)
     )
     return ev.select(
@@ -826,11 +826,12 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
-               AS n_unparsed
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
     FROM events
     GROUP BY event_type
     """,
@@ -1007,7 +1008,7 @@ def latest_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numeric): DuckDB's arg_max takes no struct keys, so both engines
     # order by the same scalar encoding of (ts, event_id)
     key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(epoch_us("ts").cast("string"), 20, "0"),
         F.lit("-"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )

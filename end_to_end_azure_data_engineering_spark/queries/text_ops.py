@@ -307,7 +307,8 @@ _CONTAM_N = 5
     )
     SELECT t.doc_id,
            count(*) AS n_ngrams,
-           sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
            round(sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END)
                  / count(*), 6) AS contamination_ratio
     FROM test t LEFT JOIN train tr USING (ng)

@@ -42,12 +42,13 @@ PACK_BUDGET = 128
     ),
     offs AS (
       SELECT source, shard, tok,
-             sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - tok AS start_off
+             CAST(sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - tok AS BIGINT)
+                 AS start_off
       FROM toks
     )
     SELECT source, shard, start_off // {PACK_BUDGET} AS seq_id,
-           count(*) AS n_docs, sum(tok) AS seq_tokens
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
     FROM offs
     GROUP BY source, shard, seq_id
     """,
@@ -100,12 +101,13 @@ MIN_STOPWORD_RATIO = 0.03
     )
     SELECT source,
            count(*) AS n_total,
-           sum(CASE WHEN ok_len THEN 1 ELSE 0 END) AS n_len,
-           sum(CASE WHEN ok_len AND ok_punct THEN 1 ELSE 0 END) AS n_punct,
-           sum(CASE WHEN ok_len AND ok_punct AND ok_stop THEN 1 ELSE 0 END)
-               AS n_stop,
-           sum(CASE WHEN ok_len AND ok_punct AND ok_stop AND ok_lang
-                    THEN 1 ELSE 0 END) AS n_survive
+           CAST(sum(CASE WHEN ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(sum(CASE WHEN ok_len AND ok_punct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_punct,
+           CAST(sum(CASE WHEN ok_len AND ok_punct AND ok_stop
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(sum(CASE WHEN ok_len AND ok_punct AND ok_stop AND ok_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survive
     FROM scored
     GROUP BY source
     """,
@@ -172,10 +174,11 @@ BATCH_MOD = 4
     )
     SELECT source,
            count(*) AS n_batch,
-           sum(CASE WHEN status = 'self_dup' THEN 1 ELSE 0 END) AS n_self_dup,
-           sum(CASE WHEN status = 'corpus_dup' THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN status = 'self_dup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self_dup,
+           CAST(sum(CASE WHEN status = 'corpus_dup' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_corpus_dup,
-           sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
     FROM flagged
     GROUP BY source
     """,
@@ -226,8 +229,8 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS min_norm,
            round(max(sqrt({V.DOT_SQL('embedding', 'embedding')})), 6)
                AS max_norm,
-           sum(CASE WHEN sqrt({V.DOT_SQL('embedding', 'embedding')}) < 1e-6
-                    THEN 1 ELSE 0 END) AS n_degenerate
+           CAST(sum(CASE WHEN sqrt({V.DOT_SQL('embedding', 'embedding')}) < 1e-6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
     FROM embeddings
     GROUP BY label
     """,

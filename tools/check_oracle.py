@@ -9,6 +9,7 @@ order-insensitive value representation. Use while iterating:
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 from pathlib import Path
@@ -24,19 +25,36 @@ TABLES = [
 ]
 
 
+# DuckDB output types that hash-mismatch the driver even when every value is
+# numerically equal: the driver's comparison is dtype-sensitive (HUGEINT and
+# DECIMAL surface as float64/object in pandas, vs Spark's int64/Decimal —
+# round 2 failed 8 queries on exactly this). Oracles must CAST integer sums
+# to BIGINT and emit DOUBLE instead of DECIMAL.
+# (TINYINT/SMALLINT are fine: they stay integer-valued in pandas and
+# stringify identically to int64 — dedup_simhash_pairs passed the driver's
+# round-2 hash with a TINYINT column.)
+_HAZARD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def _norm_cell(v):
-    # Full-precision comparison — strictly at least as strict as the driver's
-    # exact value-hash. Floats compare by repr (round-trip exact); never
-    # collapse precision here or the local gate green-lights what the driver
-    # rejects (that laxity shipped 3 hash failures in round 1).
+    # Full-precision, TYPE-TAGGED comparison — strictly at least as strict
+    # as the driver's exact value-hash. Floats compare by repr (round-trip
+    # exact); ints and floats never compare equal (5 != 5.0), mirroring the
+    # driver's dtype-sensitive hash. Never collapse precision here or the
+    # local gate green-lights what the driver rejects (that laxity shipped
+    # 3 hash failures in round 1; type-blind str() shipped 8 in round 2).
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
@@ -78,14 +96,25 @@ def main() -> int:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         problems = []
+        hazards = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if any(t.startswith(h) for h in _HAZARD_TYPES)
+        ]
+        if hazards:
+            problems.append(
+                "oracle dtype hazard (driver hashes dtype-sensitively; "
+                "CAST to BIGINT/DOUBLE): " + ", ".join(hazards)
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):
