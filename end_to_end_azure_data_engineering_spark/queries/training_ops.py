@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions import sketches as S
 from ..functions import similarity as V
 from ..functions import text as X
 from . import load, register, spread
@@ -253,4 +254,193 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("_n"), 6).alias("max_norm"),
             F.sum(F.when(F.col("_n") < 1e-6, 1).otherwise(0)).alias("n_degenerate"),
         )
+    )
+
+
+#: token budget the mixture plan samples down to (≈ a third of the corpus at
+#: any SF, so some sources are subsampled and some are fully taken).
+MIX_BUDGET_TOKENS = 5_000
+#: deterministic per-source mixture weight: (numeric suffix of the source
+#: name) % 4 + 1 — a stand-in for the hand-tuned domain weights a real
+#: pretraining mix uses, computable identically in both engines.
+_MIX_W_SPARK = "(CAST(substring(source, 4) AS BIGINT) % 4) + 1"
+_MIX_W_DUCK = "(CAST(substring(source, 4) AS BIGINT) % 4) + 1"
+_MIX_H = S.HASH32_SQL("'mix:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {X.TOKEN_COUNT_SQL('text')} AS tok,
+             {_MIX_H} % 100 AS h
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, {_MIX_W_DUCK} AS w,
+             count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(({MIX_BUDGET_TOKENS} * w) // (SELECT CAST(sum(w) AS BIGINT) FROM totals)
+                  AS BIGINT) AS target_tokens,
+             least(100, CAST((100 * (({MIX_BUDGET_TOKENS} * w)
+                                     // (SELECT CAST(sum(w) AS BIGINT) FROM totals)))
+                             // total_tokens AS BIGINT)) AS rate_pct
+      FROM totals
+    )
+    SELECT r.source, r.n_docs, r.total_tokens, r.target_tokens, r.rate_pct,
+           CAST(sum(CASE WHEN t.h < r.rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled_docs,
+           CAST(sum(CASE WHEN t.h < r.rate_pct THEN t.tok ELSE 0 END) AS BIGINT)
+               AS sampled_tokens
+    FROM toks t JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.total_tokens, r.target_tokens, r.rate_pct
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture balancing — the data-mixing step of a pretraining
+    pipeline: given per-source mixture weights and a global token budget,
+    compute each source's token target, clamp to availability, and
+    deterministically hash-subsample docs to hit it (no RNG: a doc's
+    in/out decision is a salted md5 of its id, reproducible across re-runs
+    and engines — the only sampling discipline that works on a 1000-executor
+    job). Two passes over the corpus: a per-source token census (small agg),
+    then the rates — a ~#sources-row frame — broadcast back onto the docs
+    for the sampling pass. Floor integer division throughout (Spark `div`,
+    DuckDB `//`) — true division + cast would round differently per engine —
+    so the plan is hash-stable cross-engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source",
+        X.token_count("text").alias("tok"),
+        (
+            S.hash32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+        ).alias("h"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("total_tokens")
+    ).withColumn("w", F.expr(_MIX_W_SPARK))
+    # sum of weights over the (tiny) per-source frame: single-partition
+    # window over ~#sources rows, not the corpus
+    rates = (
+        totals.withColumn("sum_w", F.sum("w").over(W.partitionBy()))
+        .withColumn(
+            "target_tokens", F.expr(f"div({MIX_BUDGET_TOKENS} * w, sum_w)")
+        )
+        .withColumn(
+            "rate_pct",
+            F.least(
+                F.lit(100),
+                F.expr(
+                    f"div(100 * div({MIX_BUDGET_TOKENS} * w, sum_w), total_tokens)"
+                ),
+            ),
+        )
+        .select("source", "n_docs", "total_tokens", "target_tokens", "rate_pct")
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "total_tokens", "target_tokens", "rate_pct")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("rate_pct"), 1).otherwise(0)).alias(
+                "n_sampled_docs"
+            ),
+            F.sum(F.when(F.col("h") < F.col("rate_pct"), F.col("tok")).otherwise(0)).alias(
+                "sampled_tokens"
+            ),
+        )
+    )
+
+
+#: tokens of leading context hashed for the overlap fingerprint — full-text
+#: fingerprints only catch byte-identical re-crawls; truncated/continued
+#: crawls of the same page share a PREFIX, which is what feeds actually have
+#: in common.
+OVERLAP_PREFIX = 8
+
+
+@register(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH fps AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice({X.TOKENS_SQL('text')}, 1,
+                                            {OVERLAP_PREFIX}), ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct content fingerprints they share — the diagnostic that tells a
+    curation team WHICH feeds re-crawl each other before any dedup policy
+    is chosen. The fingerprint is the md5 of the first OVERLAP_PREFIX
+    tokens: byte-identical re-crawls AND truncation/continuation variants
+    of the same page collide, which is the overlap a crawler actually
+    produces. DISTINCT (source, fp) first, so the self-join carries one
+    16-byte row per unique doc per source, never the corpus; the equi-join
+    shuffles on fp (uniform by construction) and `source_a < source_b`
+    keeps each unordered pair once. At 100 TB the fps frame is the already-
+    materialized dedup fingerprint table and this is a cheap follow-on."""
+    d = spread(load(spark, sf_dir, "documents"))
+    pfx = F.md5(F.array_join(F.slice(X.tokens("text"), 1, OVERLAP_PREFIX), " "))
+    fps = d.select("source", pfx.alias("fp")).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
+#: fixed histogram edges for the pre-packing sequence-length audit; CASE
+#: thresholds (not log2/width_bucket) so bucketing is integer-exact in both
+#: engines.
+_LEN_EDGES = (8, 16, 32, 64)
+
+
+def _len_bucket_case(tok_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {tok_expr} < {e} THEN '<{e}'" for e in _LEN_EDGES
+    )
+    return f"CASE {whens} ELSE '>={_LEN_EDGES[-1]}' END"
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {X.TOKEN_COUNT_SQL('text')} AS tok FROM documents
+    )
+    SELECT source, {_len_bucket_case('tok')} AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bucket_tokens
+    FROM toks GROUP BY source, len_bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-length histogram — the distribution check run
+    before choosing a packing budget (a source full of sub-8-token
+    fragments packs badly; one full of >=64-token docs wants a bigger
+    budget). Narrow map + one small agg on (source, bucket); fixed CASE
+    edges keep the bucketing integer-exact cross-engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = X.token_count("text")
+    bucket = F.lit(None).cast("string")
+    expr = None
+    for e in _LEN_EDGES:
+        expr = F.when(tok < e, f"<{e}") if expr is None else expr.when(tok < e, f"<{e}")
+    bucket = expr.otherwise(f">={_LEN_EDGES[-1]}")
+    return (
+        d.select("source", tok.alias("tok"), bucket.alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("bucket_tokens"))
     )

@@ -58,3 +58,71 @@ def test_embedding_norm_stats_bounds(spark):
         assert r.n_vecs >= 1
         assert 0.0 <= r.min_norm <= r.max_norm
         assert 0 <= r.n_degenerate <= r.n_vecs
+
+
+def test_mixture_plan_invariants(spark):
+    """Sampling respects the plan: sampled ⊆ corpus, a fully-taken source
+    (rate 100) keeps everything, and targets sum to ≤ the budget."""
+    rows = T.corpus_mixture_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.rate_pct <= 100
+        assert 0 <= r.n_sampled_docs <= r.n_docs
+        assert 0 <= r.sampled_tokens <= r.total_tokens
+        assert r.target_tokens >= 0
+        if r.rate_pct == 100:
+            assert r.n_sampled_docs == r.n_docs
+            assert r.sampled_tokens == r.total_tokens
+    # floor division can only under-shoot the budget
+    assert sum(r.target_tokens for r in rows) <= T.MIX_BUDGET_TOKENS
+
+
+def test_mixture_plan_deterministic(spark):
+    """Hash sampling is RNG-free: two runs agree row-for-row."""
+    a = sorted(map(tuple, T.corpus_mixture_plan(spark, SF).collect()))
+    b = sorted(map(tuple, T.corpus_mixture_plan(spark, SF).collect()))
+    assert a == b
+
+
+def test_cross_source_overlap_symmetric_and_bounded(spark):
+    """Each unordered pair appears once (a < b) and the shared-fp count
+    can't exceed either side's distinct-prefix count."""
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    rows = T.cross_source_overlap(spark, SF).collect()
+    per_source = {
+        r.source: r.n
+        for r in load(spark, SF, "documents")
+        .select("source", F.md5(F.array_join(F.slice(
+            __import__("end_to_end_azure_data_engineering_spark.functions.text", fromlist=["tokens"]).tokens("text"),
+            1, T.OVERLAP_PREFIX), " ")).alias("fp"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 1 <= r.n_shared_fps <= min(per_source[r.source_a], per_source[r.source_b])
+
+
+def test_token_length_histogram_partitions_corpus(spark):
+    """Buckets partition the corpus: doc counts and token mass reconcile
+    with the raw per-source totals."""
+    from end_to_end_azure_data_engineering_spark.functions import text as X
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    hist = {
+        (r.source, r.len_bucket): r
+        for r in T.token_length_histogram(spark, SF).collect()
+    }
+    raw = load(spark, SF, "documents").groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum(X.token_count("text")).alias("toks")
+    ).collect()
+    for s in raw:
+        rows = [v for (src, _), v in hist.items() if src == s.source]
+        assert sum(r.n_docs for r in rows) == s.docs
+        assert sum(r.bucket_tokens for r in rows) == s.toks
