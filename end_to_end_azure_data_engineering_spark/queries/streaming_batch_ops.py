@@ -76,3 +76,39 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = session_windows(ev, gap=_GAP)
     return out.withColumn("total_value", F.round("total_value", 4))
+
+
+_SLIDE_US = 5 * 60 * 1_000_000
+_SWIN_US = 10 * 60 * 1_000_000
+_OVERLAP = _SWIN_US // _SLIDE_US  # windows each event belongs to
+
+
+@register(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT e.event_type, e.value,
+             (epoch_us(e.ts) // {_SLIDE_US} - i.i) * {_SLIDE_US} AS ws
+      FROM events e
+      CROSS JOIN (SELECT unnest(range({_OVERLAP})) AS i) i
+    )
+    SELECT CAST(to_timestamp(ws / 1e6) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp((ws + {_SWIN_US}) / 1e6) AS TIMESTAMP) AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM assigned
+    GROUP BY 1, 2, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 10-minute window every 5 minutes — via
+    the same streaming-module code path (`windowed_counts` with a slide).
+    Spark expands each event into window/slide overlapping windows before
+    the aggregation (Expand node, the streaming-compatible plan); the
+    oracle replays that expansion arithmetically: an event at t belongs to
+    the window starting at floor(t/slide)*slide − i*slide for
+    i ∈ [0, window/slide)."""
+    ev = load(spark, sf_dir, "events")
+    out = windowed_counts(ev, window="10 minutes", slide="5 minutes")
+    return out.withColumn("total_value", F.round("total_value", 4))
