@@ -96,3 +96,48 @@ def idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = append_if_absent(b1, b2, "event_id")
     state = append_if_absent(state, b2, "event_id")  # replay → no-op
     return state
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold-rollup maintenance (operators/rollup.py): the
+    events table plays three successive loads (event_id mod 3); each is
+    aggregated to mergeable partial-aggregate form and folded into the
+    standing rollup with merge_rollups — history is never rescanned, which
+    is the O(batch) upgrade of the reference's truncate+rebuild gold
+    refresh (M3, 5_gold/fact_transaction.py). The oracle recomputes the
+    same statistics from the full raw table in one pass: merged
+    partial-aggregate state must be indistinguishable from a full rebuild
+    (sums kept on DECIMAL so re-association is exact; avg derived at read
+    time from sum/count)."""
+    from ..operators.rollup import merge_rollups, read_rollup, rollup_batch
+
+    ev = load(spark, sf_dir, "events")
+    batches = [
+        rollup_batch(
+            ev.filter(F.col("event_id") % 3 == i),
+            keys=["user_id"],
+            sum_cols=["value"],
+            minmax_cols=["value"],
+        )
+        for i in range(3)
+    ]
+    merged = batches[0]
+    for b in batches[1:]:
+        merged = merge_rollups(merged, b, keys=["user_id"])
+    return read_rollup(merged, avg_of=["value"]).select(
+        "user_id", "n_rows", "sum_value", "min_value", "max_value", "avg_value"
+    )
