@@ -1,0 +1,102 @@
+"""Lloyd's k-means refinement for ANN codebooks (engine extension).
+
+`queries/similarity_ops.ann_ivf_topk` seeds its IVF centroid codebook with
+a deterministic sample so the DuckDB oracle can replay cell assignment;
+this operator is the production upgrade: a few Lloyd iterations over the
+corpus tighten the cells before the inverted file is built. The MLlib
+pattern throughout — centroids live on the driver (K×d is bounded, like
+any codebook), each iteration is one corpus pass:
+
+  assign:  nearest centroid per row via a LITERAL codebook (squared-L2
+           over the d-dim vector) — a narrow map, no shuffle, no crossJoin;
+  update:  posexplode to (cell, dim, value) and average per (cell, dim) —
+           one partial+final agg whose shuffle carries K×d groups, then a
+           bounded K×d collect refreshes the driver-side codebook.
+
+At 100 TB each iteration is a scan + one tiny-key agg; convergence work
+(mini-batching, sampling the update pass) changes the input frame, not
+this loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import similarity as V
+
+
+def nearest_cell(vec_dbl: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid by squared L2 distance.
+
+    `vec_dbl` must already be a double array (stage it once with
+    V.as_double — the lambda-bound distance terms run interpreted, and
+    re-casting per centroid would multiply that cost by K). Sort key is
+    struct(dist, cell): default ascending struct ordering stays on the
+    interpreted-but-flat fast path (a comparator lambda would not), and
+    ties break to the lowest cell id deterministically.
+    """
+    cents = F.lit(centroids)
+    cells = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_dbl,
+                    F.element_at(cents, i),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            (i - 1).alias("cell"),
+        ),
+    )
+    return F.array_min(cells)["cell"]
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    vec_col: str,
+    init_centroids: list[list[float]],
+    n_iter: int = 2,
+) -> list[list[float]]:
+    """Run `n_iter` Lloyd iterations; returns the refined codebook.
+
+    Empty cells keep their previous centroid (the standard guard — a cell
+    that captures no points would otherwise vanish and shrink K).
+    """
+    k = len(init_centroids)
+    dim = len(init_centroids[0])
+    staged = vectors.select(V.as_double(F.col(vec_col)).alias("_v"))
+    centroids = [list(map(float, c)) for c in init_centroids]
+    for _ in range(n_iter):
+        assigned = staged.withColumn("_cell", nearest_cell(F.col("_v"), centroids))
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg("_x").alias("_m"), F.count("*").alias("_n"))
+            .collect()  # bounded: K×d rows — the codebook refresh
+        )
+        nxt = [list(c) for c in centroids]
+        for r in means:
+            nxt[r._cell][r._dim] = float(r._m)
+        centroids = nxt
+    return centroids
+
+
+def sse(vectors: DataFrame, vec_col: str, centroids: list[list[float]]) -> float:
+    """Total within-cluster sum of squared distances (the Lloyd objective)."""
+    staged = vectors.select(V.as_double(F.col(vec_col)).alias("_v"))
+    cents = F.lit(centroids)
+    cell = nearest_cell(F.col("_v"), centroids)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cents, cell + 1),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return staged.select(F.sum(d2).alias("s")).first()["s"]

@@ -305,12 +305,15 @@ def percentile_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(sqrt(list_aggregate(
-               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-               'sum')), 4) AS l2_norm,
-           round(list_aggregate(
-               list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
-               / len(embedding), 4) AS elem_mean
+           round(sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x)), 4) AS l2_norm,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x)
+               / len(embedding), 4) + 0.0 AS elem_mean
     FROM embeddings
     """,
 )
@@ -323,7 +326,9 @@ def array_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
-        F.round(el_sum / F.size("embedding"), 4).alias("elem_mean"),
+        # + 0.0 folds IEEE negative zero into +0.0: round(-3e-05, 4) gives
+        # -0.0 on DuckDB and 0.0 on Spark, which hash differently
+        (F.round(el_sum / F.size("embedding"), 4) + 0.0).alias("elem_mean"),
     )
 
 
@@ -899,7 +904,8 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore",
     oracle="""
     SELECT event_id, user_id, value,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) + 0.0
+               AS z,
            CASE WHEN abs((value - avg(value) OVER w) / stddev_samp(value) OVER w) > 2.5
                 THEN 1 ELSE 0 END AS is_anomaly
     FROM events
@@ -913,7 +919,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return ev.select(
         "event_id", "user_id", "value",
-        F.round(z, 4).alias("z"),
+        (F.round(z, 4) + 0.0).alias("z"),
         F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
     )
 
@@ -960,8 +966,9 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_discount_stats",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_extendedprice, l_discount), 6) AS price_disc_corr,
-           round(covar_samp(l_extendedprice, l_discount), 6) AS price_disc_covar,
+           round(corr(l_extendedprice, l_discount), 6) + 0.0 AS price_disc_corr,
+           round(covar_samp(l_extendedprice, l_discount), 6) + 0.0
+               AS price_disc_covar,
            round(var_samp(l_quantity), 6) AS qty_var,
            round(stddev_samp(l_extendedprice), 4) AS price_stddev
     FROM lineitem
@@ -971,8 +978,12 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_discount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("price_disc_covar"),
+        (F.round(F.corr("l_extendedprice", "l_discount"), 6) + 0.0).alias(
+            "price_disc_corr"
+        ),
+        (F.round(F.covar_samp("l_extendedprice", "l_discount"), 6) + 0.0).alias(
+            "price_disc_covar"
+        ),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
     )

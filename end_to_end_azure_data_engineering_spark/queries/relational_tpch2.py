@@ -402,7 +402,8 @@ def significant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 2) AS avg_unit_price
+             round(CAST(sum(CAST(l_extendedprice / l_quantity AS DECIMAL(28,10)))
+                        AS DOUBLE) / count(*), 2) AS avg_unit_price
       FROM lineitem
       WHERE l_quantity > 0
       GROUP BY l_partkey, l_suppkey
@@ -425,9 +426,18 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
-                "avg_unit_price"
-            )
+            # exact-decimal accumulation of the per-row ratio: avg(double)
+            # is summation-order-dependent and a group at a half-cent
+            # boundary rounded differently per engine at sf0.1 (127.52 vs
+            # 127.53). The ratio double->DECIMAL(28,10) conversion is
+            # deterministic (no double sits on a decimal half-way point),
+            # the decimal sum is order-free, and double division is IEEE.
+            F.round(
+                F.sum((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(28,10)"))
+                .cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_unit_price")
         )
     )
     best = unit.withColumn(

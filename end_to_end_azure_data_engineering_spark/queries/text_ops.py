@@ -420,3 +420,37 @@ def pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cnts["n_emails"] > 0) | (cnts["n_phones"] > 0) | (cnts["n_ipv4"] > 0)
         ).alias("has_pii"),
     )
+
+
+_SAMPLE_K = 5
+_SAMPLE_H = S.HASH32_SQL("'sample:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "stratified_hash_sample",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_SAMPLE_H}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample — smallest salted hash wins. The
+    eyeball-QA / eval-set draw for a 100 TB corpus: reproducible across
+    re-runs and engines (no RNG, no seed coordination), stable per doc as
+    the corpus grows, and uniformly random in distribution because the
+    hash is uniform on the salt+id. Spark 3.5+ plans the rank filter as
+    WindowGroupLimit: only ~k rows per source survive the exchange, so the
+    shuffle carries the sample, not the corpus."""
+    from pyspark.sql.window import Window as W
+
+    d = spread(load(spark, sf_dir, "documents"))
+    h = S.hash32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )
