@@ -228,3 +228,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+@register(
+    "dedup_corpus_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    bidir AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    ),
+    losers AS (
+      SELECT n AS doc_id FROM reach GROUP BY n HAVING min(lbl) <> n
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(sum(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed
+    FROM documents d LEFT JOIN losers l USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable (operators/neardup.dedup_corpus):
+    near-dup pairs → connected components → every cluster keeps its min-id
+    doc → anti-join removes the rest. This query audits the removal per
+    source (what a curation run reports); the corpus that remains is
+    exactly the survivors. The oracle replays the whole pipeline —
+    including the transitive closure — as a recursive CTE, so the
+    composition is hash-verified, not just its stages."""
+    from ..operators.neardup import dedup_corpus
+
+    d = spread(load(spark, sf_dir, "documents"))
+    surv = dedup_corpus(d, "doc_id", "text", threshold=0.2).select(
+        "doc_id", F.lit(1).alias("_kept")
+    )
+    return (
+        d.join(surv, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_kept").isNotNull(), 1).otherwise(0)).alias("n_survivors"),
+            F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )

@@ -307,3 +307,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+_KM_K = 16   # codebook size (seed = vec_id < _KM_K, like ann_ivf_topk)
+_KM_D = V.EMB_DIM
+
+
+@register(
+    "kmeans_refine_cells",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cent FROM embeddings
+      WHERE vec_id < {_KM_K}
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, {_KM_D} + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))),
+                 (acc, x) -> acc + x) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ),
+    exploded AS (
+      SELECT a.cell, i.i AS dim,
+             CAST(e.embedding[i.i + 1] AS DOUBLE) AS x
+      FROM assigned a
+      JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range({_KM_D})) AS i) i
+    )
+    SELECT cell, dim,
+           count(*) AS n_members,
+           round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+               + 0.0 AS mean_q
+    FROM exploded
+    GROUP BY cell, dim
+    """,
+)
+def kmeans_refine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means codebook refinement, hash-verified:
+    assignment uses operators/kmeans.nearest_cell (literal codebook,
+    sequential squared-L2 fold — bit-matching the oracle's list_reduce
+    replay), and the centroid update accumulates each dimension in
+    DECIMAL(28,12) so the mean is summation-order-free, then rounds once
+    (+0.0 folds any -0.0). The production loop (operators/kmeans.
+    kmeans_refine) keeps plain double avg — at scale nobody quantizes the
+    update — but THIS query pins the iteration's semantics cross-engine.
+    Output: per (cell, dim) member count and refined coordinate."""
+    from ..operators.kmeans import nearest_cell
+
+    e = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    staged = spread(e).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("_v")
+    )
+    assigned = staged.withColumn("cell", nearest_cell(F.col("_v"), cents))
+    return (
+        assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_q"),
+        )
+        .select("cell", "dim", "n_members", "mean_q")
+    )
