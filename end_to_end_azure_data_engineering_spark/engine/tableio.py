@@ -171,3 +171,79 @@ class Warehouse:
         p = self.path(namespace, table)
         if p.exists():
             shutil.rmtree(p)
+
+
+class VersionedWarehouse(Warehouse):
+    """Single-writer MVCC on top of the parquet warehouse — the closest
+    parquet-only reproduction of the Delta semantics the reference relies
+    on (4_silver/silver_transactions.py:50-51: ACID overwrite, readers
+    never see partial writes, history retained).
+
+    Layout: `<ns>/<table>/_v<N>/` immutable version directories plus a
+    `_CURRENT` pointer file. A commit writes the new version directory
+    COMPLETELY, then swaps the pointer with an atomic `os.replace` — the
+    only mutation any reader can observe is the 8-byte pointer content, so
+    a reader holds a consistent snapshot for as long as it keeps reading
+    the resolved directory (old versions are immutable until `vacuum`).
+    Time travel = reading an explicit version. On Delta/Iceberg the same
+    API maps to commit-log append / snapshot ids; on object storage the
+    pointer is a conditional-PUT marker object. Multi-writer coordination
+    (optimistic retry on a CAS'd pointer) is out of scope here, exactly as
+    it is in the single-pipeline reference."""
+
+    def _pointer(self, namespace: str, table: str) -> Path:
+        return self.path(namespace, table) / "_CURRENT"
+
+    def current_version(self, namespace: str, table: str) -> int | None:
+        ptr = self._pointer(namespace, table)
+        if not ptr.exists():
+            return None
+        return int(ptr.read_text().strip())
+
+    def versions(self, namespace: str, table: str) -> list[int]:
+        base = self.path(namespace, table)
+        if not base.exists():
+            return []
+        return sorted(
+            int(p.name[2:]) for p in base.glob("_v*") if p.name[2:].isdigit()
+        )
+
+    def commit(self, df: DataFrame, namespace: str, table: str) -> int:
+        """Write the next version and atomically publish it. Returns the
+        committed version number."""
+        base = self.path(namespace, table)
+        base.mkdir(parents=True, exist_ok=True)
+        vs = self.versions(namespace, table)
+        nxt = (vs[-1] + 1) if vs else 0
+        vdir = base / f"_v{nxt}"
+        df.write.mode("overwrite").parquet(str(vdir))
+        tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(nxt))
+        tmp.replace(self._pointer(namespace, table))  # atomic publish
+        return nxt
+
+    def read(
+        self, namespace: str, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Read the published snapshot (or time-travel to `version`)."""
+        v = version if version is not None else self.current_version(namespace, table)
+        if v is None:
+            raise FileNotFoundError(
+                f"{namespace}.{table} has no committed version"
+            )
+        vdir = self.path(namespace, table) / f"_v{v}"
+        if not vdir.exists():
+            raise FileNotFoundError(
+                f"{namespace}.{table} version {v} not found (vacuumed?)"
+            )
+        return self.spark.read.parquet(str(vdir))
+
+    def vacuum(self, namespace: str, table: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest `keep` versions (never the published
+        one). Returns removed version numbers."""
+        vs = self.versions(namespace, table)
+        cur = self.current_version(namespace, table)
+        removable = [v for v in vs[:-keep] if v != cur] if keep > 0 else []
+        for v in removable:
+            shutil.rmtree(self.path(namespace, table) / f"_v{v}")
+        return removable
