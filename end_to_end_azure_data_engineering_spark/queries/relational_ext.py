@@ -1029,3 +1029,135 @@ def latest_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("value", key).alias("first_value"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — wide→long reshaping, the inverse of the pivot query.
+# Catalyst plans DataFrame.unpivot as Expand (same node family as CUBE /
+# sliding windows): one pass, rows × n_value_columns output, no shuffle
+# until the downstream agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_order_flags",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_finished,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_open,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pending
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status_bucket, n_orders
+    FROM wide UNPIVOT (n_orders FOR status_bucket IN (n_finished, n_open, n_pending))
+    """,
+)
+def unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot (§2 API completeness: the
+    inverse of pivot_status_by_segment). DuckDB's UNPIVOT drops NULL value
+    rows by default; counts here are never NULL so both sides agree without
+    extra filters."""
+    o = load(spark, sf_dir, "orders")
+
+    def cnt(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    wide = o.groupBy("o_orderpriority").agg(
+        cnt("F").alias("n_finished"), cnt("O").alias("n_open"), cnt("P").alias("n_pending")
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_finished", "n_open", "n_pending"],
+        variableColumnName="status_bucket",
+        valueColumnName="n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys MATCH
+# each other, unlike plain equi-joins where NULL = NULL is NULL and the row
+# drops. The semantic corner every dedup-on-nullable-key pipeline hits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_safe_key_match",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k,
+             count(*) AS n_a
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k,
+             count(*) AS n_b
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe join: the NULL-keyed group on each side must pair up (a
+    plain equi-join silently drops it). Spark plans <=> as a hash join on
+    the key's null-wrapped struct — same shuffle shape as the equi-join."""
+    ev = load(spark, sf_dir, "events")
+    k = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("event_type"))
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap detection — generate the full day range with
+# F.sequence+explode, anti-join the observed days: "which days had no
+# qualifying orders". The spine is bounded (days, not rows) so it
+# broadcasts; the fact side contributes one distinct-days agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_date_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    observed AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT s.day FROM spine s LEFT JOIN observed o USING (day)
+    WHERE o.day IS NULL
+    """,
+)
+def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days inside the observed range with no urgent orders — the
+    completeness check a daily-ingest pipeline runs on its watermark
+    column. The day spine comes from one F.sequence over the min/max
+    scalar row (bounded: |days| elements), exploded and anti-joined
+    against the distinct observed days."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    days = o.select(F.col("o_orderdate").cast("date").alias("day"))
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return spine.join(days.distinct(), "day", "left_anti")
