@@ -281,3 +281,77 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0)).alias("n_removed"),
         )
     )
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=f"""
+    WITH
+    {_PAIRS_CTES},
+    de AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE lang = 'de'
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM de a JOIN de b ON a.doc_id < b.doc_id
+      WHERE {S.JACCARD_SQL('a.sh', 'b.sh')} >= 0.2
+    ),
+    found AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN de x ON x.doc_id = p.doc_a
+      JOIN de y ON y.doc_id = p.doc_b
+    )
+    SELECT count(*) AS n_truth,
+           CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_found,
+           CAST(sum(CASE WHEN f.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missed,
+           CAST((100 * CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT)) // greatest(count(*), 1) AS BIGINT)
+               AS recall_pct
+    FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall against exhaustive ground truth — the eval a
+    dedup pipeline runs before trusting its banding parameters at scale:
+    all-pairs shingle-Jaccard on a bounded slice (lang='de') is the truth
+    set; the production MinHash-LSH path (same threshold, whole corpus,
+    restricted to the slice) is the candidate set. Verification makes LSH
+    precision 1.0 by construction, so the one number that can degrade is
+    RECALL — pairs the banding never surfaced. Integer counts and floor-
+    division percent keep the output hash-exact."""
+    from ..functions.sketches import staged_word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    de = staged_word_shingles(
+        d.filter(F.col("lang") == "de").select("doc_id", "text"), "text"
+    ).select("doc_id", "sh")
+    a = de.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = de.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(S.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+    from ..operators.neardup import near_dup_pairs
+
+    de_ids = de.select("doc_id")
+    found = (
+        near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .join(de_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(de_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .withColumn("_hit", F.lit(1))
+    )
+    j = truth.join(found, ["doc_a", "doc_b"], "left")
+    hit = F.col("_hit").isNotNull()
+    return j.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_found"),
+        F.sum(F.when(~hit, 1).otherwise(0)).alias("n_missed"),
+        F.expr(
+            "div(100 * sum(CASE WHEN _hit IS NOT NULL THEN 1 ELSE 0 END),"
+            " greatest(count(*), 1))"
+        ).alias("recall_pct"),
+    )

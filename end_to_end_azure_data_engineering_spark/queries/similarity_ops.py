@@ -389,3 +389,70 @@ def kmeans_refine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "dim", "n_members", "mean_q")
     )
+
+
+@register(
+    "embedding_quantization_stats",
+    oracle="""
+    WITH scaled AS (
+      SELECT label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs,
+             greatest(list_max(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE)))) / 127.0, 1e-30) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(xs,
+                     x -> (x - round(x / scale) * scale)
+                        * (x - round(x / scale) * scale))),
+                 (acc, e) -> acc + e) AS err
+      FROM scaled
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(max(err), 12) AS max_sq_err,
+           round(CAST(sum(CAST(err AS DECIMAL(28,18))) AS DOUBLE)
+                 / count(*), 12) AS avg_sq_err
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit — the memory-4x compression
+    every billion-vector ANN index applies, evaluated before committing:
+    per vector, scale = max|x|/127, codes = round(x/scale) (|code| <= 127
+    by construction, no clamp branch), and the reconstruction error is the
+    squared-residual fold. Per label: vector count, worst and mean squared
+    error. Pure per-row expressions + one small agg; the fold order and
+    round-away-from-zero semantics are identical cross-engine, and the mean
+    accumulates in DECIMAL so it is summation-order-free."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    xd = V.as_double(F.col("embedding"))
+    staged = e.select("label", xd.alias("_v")).withColumn(
+        "_scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))) / 127.0,
+            F.lit(1e-30),
+        ),
+    )
+    resid = F.aggregate(
+        F.col("_v"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x - F.round(x / F.col("_scale")) * F.col("_scale"))
+        * (x - F.round(x / F.col("_scale")) * F.col("_scale")),
+    )
+    return (
+        staged.select("label", resid.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.max("err"), 12).alias("max_sq_err"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(28,18)")).cast("double")
+                / F.count("*"),
+                12,
+            ).alias("avg_sq_err"),
+        )
+    )

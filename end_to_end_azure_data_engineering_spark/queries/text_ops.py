@@ -454,3 +454,76 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _SAMPLE_K)
     )
+
+
+_VOCAB_SIZES = (10, 100, 1000)
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({X.TOKENS_SQL('text')}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk,
+             CAST(sum(c) OVER (ORDER BY c DESC, t ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM freq
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_vocab FROM freq
+    )
+    SELECT th.vocab_size,
+           r.cum AS covered_tokens,
+           tot.n_total AS total_tokens,
+           (100 * r.cum) // tot.n_total AS coverage_pct
+    FROM (VALUES {", ".join(f"({n})" for n in _VOCAB_SIZES)}) th(vocab_size)
+    CROSS JOIN tot
+    JOIN ranked r ON r.rk = least(th.vocab_size, tot.n_vocab)
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design diagnostic: what fraction of the corpus token mass
+    the top-N vocabulary entries cover (the curve that sizes a vocab before
+    training one). Explode → per-token counts → ONE globally-ordered
+    cumulative sum over the vocabulary frame — bounded by distinct-token
+    count, not corpus size, and explicitly single-partition (a vocabulary
+    fits one task even when the corpus doesn't; shard the cumsum by
+    frequency band if it ever didn't). Integer math throughout."""
+    d = spread(load(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window as W
+
+    freq = (
+        d.select(F.explode(X.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = freq.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    sizes = d.sparkSession.createDataFrame(
+        [(n,) for n in _VOCAB_SIZES], "vocab_size INT"
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ranked),
+            F.col("rk") == F.least(F.col("vocab_size"), F.col("n_vocab")),
+        )
+        .select(
+            "vocab_size",
+            F.col("cum").alias("covered_tokens"),
+            F.col("n_total").alias("total_tokens"),
+            F.expr("div(100 * cum, n_total)").alias("coverage_pct"),
+        )
+    )
