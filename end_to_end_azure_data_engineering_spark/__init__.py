@@ -11,3 +11,18 @@ the operator semantics, the pipeline DAG, and the state model.
 """
 
 __version__ = "0.1.0"
+
+
+# Public API — the operator/engine surface a reference user migrates onto.
+# Queries stay in `end_to_end_azure_data_engineering_spark.queries` (driver-facing registry); these are
+# the building blocks user pipelines compose directly.
+from .engine.session import get_spark, stop_spark  # noqa: E402
+from .engine.tableio import VersionedWarehouse, Warehouse  # noqa: E402
+
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "Warehouse",
+    "VersionedWarehouse",
+    "__version__",
+]
