@@ -1161,3 +1161,95 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi")).alias("day")
     )
     return spine.join(days.distinct(), "day", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows — ntile / percent_rank / cume_dist (§2.5 gap: the
+# statistical rank family beyond row_number/rank). percent_rank and
+# cume_dist are exact integer-ratio divisions ((rk-1)/(n-1), cume/n) — IEEE
+# deterministic, so they hash cross-engine without rounding tricks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_distribution",
+    oracle="""
+    SELECT o_orderkey, c_mktsegment,
+           ntile(4) OVER w AS value_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_totalprice > 400000
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing + exact distribution ranks per segment. The
+    deterministic (price, orderkey) ordering makes ntile assignment unique;
+    the filter keeps the windowed frame bounded (high-value orders), the
+    shape every 'top band analysis' report uses."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("value_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — levenshtein within blocking buckets: the entity-
+# reconciliation primitive (same-name-different-spelling dims). Blocking on
+# a cheap key (name length band) keeps the candidate set linear-ish — the
+# same never-all-pairs discipline as the LSH dedup family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, length(c_name) AS ln
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           levenshtein(c.c_name, s.s_name) AS edit_dist
+    FROM c JOIN s ON s.ln BETWEEN c.ln - 1 AND c.ln + 1
+    WHERE levenshtein(c.c_name, s.s_name) <= 10
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: candidates pair only within a +-1 name-length
+    band (broadcast range join on a bounded dim), then exact Levenshtein
+    filters. Integer distances hash cross-engine; at scale the blocking
+    key would be a phonetic/prefix bucket with the identical plan shape."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name", F.length("c_name").alias("c_ln"))
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.length("s_name").alias("s_ln")
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    return (
+        c.join(
+            F.broadcast(s),
+            (F.col("s_ln") >= F.col("c_ln") - 1) & (F.col("s_ln") <= F.col("c_ln") + 1),
+        )
+        .filter(dist <= 10)
+        .select("c_custkey", "s_suppkey", dist.alias("edit_dist"))
+    )
