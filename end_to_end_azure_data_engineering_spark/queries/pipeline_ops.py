@@ -141,3 +141,51 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(merged, avg_of=["value"]).select(
         "user_id", "n_rows", "sum_value", "min_value", "max_value", "avg_value"
     )
+
+
+@register(
+    "change_data_feed",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           coalesce(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS _change
+    FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    """,
+)
+def change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots (operators/appends.table_diff — the
+    VersionedWarehouse's Delta-CDF equivalent): orders plays version N-1
+    and a mutated slice plays version N (keys dropped, keys added, every
+    5th price bumped). Full-outer join on the key, null-safe change
+    predicate, unchanged rows dropped. The +1.0 price mutation is exact in
+    doubles, so the feed hashes cross-engine."""
+    from ..operators.appends import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(old, new, "o_orderkey")

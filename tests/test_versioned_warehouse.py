@@ -69,3 +69,30 @@ def test_vacuum_never_drops_current_pointer_target(spark, vwh):
 def test_missing_table_raises(spark, vwh):
     with pytest.raises(FileNotFoundError):
         vwh.read("silver", "nope")
+
+
+def test_change_feed_between_versions(spark, vwh):
+    """table_diff over two VersionedWarehouse snapshots is the Delta-CDF
+    equivalent: inserts/updates/deletes classified, unchanged dropped."""
+    from end_to_end_azure_data_engineering_spark.operators.appends import table_diff
+
+    df0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k INT, v STRING"
+    )
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, None)], "k INT, v STRING"
+    )
+    vwh.commit(df0, "silver", "t")
+    vwh.commit(df1, "silver", "t")
+    feed = {
+        r.k: (r.v, r._change)
+        for r in table_diff(
+            vwh.read("silver", "t", version=0), vwh.read("silver", "t"), "k"
+        ).collect()
+    }
+    assert feed == {
+        2: ("B", "update"),
+        3: (None, "delete"),
+        4: ("d", "insert"),
+        5: (None, "insert"),  # NULL payload still inserts (null-safe compare)
+    }
