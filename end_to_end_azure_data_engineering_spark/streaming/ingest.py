@@ -173,3 +173,40 @@ def enrich_stream_with_dim(
     the gold fact→dim joins (J1)."""
     cond = F.col(stream_key) == F.col(dim_key)
     return stream.join(F.broadcast(dim), cond, "left").drop(dim_key)
+
+
+def rollup_stream_sink(
+    wh: Warehouse,
+    table: str,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    namespace: str = "gold",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a materialized rollup incrementally —
+    operators/rollup.py running continuously: each micro-batch is
+    aggregated to mergeable partial-aggregate form (counts, DECIMAL-exact
+    sums, min/max, HLL sketch state) and folded into the standing rollup
+    table. Per batch this costs O(batch + |rollup|) and never rescans
+    history — the streaming upgrade of the reference's truncate+rebuild
+    gold refresh, and the production home of the rollup operator. Consumers
+    read through rollup.read_rollup for averages / distinct estimates.
+    """
+    from ..operators.rollup import merge_rollups, rollup_batch
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        delta = rollup_batch(
+            batch,
+            keys=keys,
+            sum_cols=sum_cols or [],
+            minmax_cols=minmax_cols or [],
+            distinct_cols=distinct_cols or [],
+        )
+        if wh.exists(namespace, table):
+            merged = merge_rollups(wh.read(namespace, table), delta, keys=keys)
+        else:
+            merged = delta
+        wh.overwrite(merged, namespace, table)
+
+    return sink

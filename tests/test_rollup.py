@@ -86,3 +86,22 @@ def test_merge_rejects_schema_drift(spark):
     a = _full(spark)
     with pytest.raises(ValueError):
         merge_rollups(a, a.drop("n_rows"), keys=["event_type"])
+
+
+def test_rollup_stream_sink_matches_batch(spark, tmp_path):
+    """Feeding the events table through the foreachBatch rollup sink in
+    micro-batches converges to the same readable state as one batch pass."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import rollup_stream_sink
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = rollup_stream_sink(
+        wh, "event_totals", keys=["event_type"],
+        sum_cols=["value"], minmax_cols=["value"], distinct_cols=["user_id"],
+    )
+    ev = load(spark, SF, "events")
+    for i in range(3):  # three micro-batches
+        sink(ev.filter(F.col("event_id") % 3 == i), i)
+
+    streamed = _readable(wh.read("gold", "event_totals"))
+    assert streamed == _readable(_full(spark))
