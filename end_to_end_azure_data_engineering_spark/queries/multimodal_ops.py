@@ -143,3 +143,70 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("meta_width") * scale, 0).cast("int").alias("target_width"),
         F.round(F.col("meta_height") * scale, 0).cast("int").alias("target_height"),
     )
+
+
+_PH_BLOCKS = 8
+
+
+def _phash_bit_sql(k: int) -> str:
+    # block k of the (ascii) payload: start = k*(len//8)+1, width = len//8
+    w = f"greatest(length(text) // {_PH_BLOCKS}, 1)"
+    return (
+        f"(('0x' || substr(md5(substr(text, {k} * {w} + 1, {w})), 1, 1))::INT % 2)"
+    )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id AS media_id,
+             {" + ".join(f"({_phash_bit_sql(k)} * {1 << k})" for k in range(_PH_BLOCKS))}
+                 AS phash
+      FROM documents
+    )
+    SELECT phash,
+           count(*) AS n_items,
+           min(media_id) AS canonical_media_id
+    FROM sigs GROUP BY phash
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style media dedup plumbing: a block signature over
+    the binary payload (one bit per payload block, md5-derived here — a
+    real pHash/dHash drops in at the same seam) computed in an Arrow
+    mapInPandas stage, then signature-bucket grouping with a canonical
+    min-id survivor — the image-dedup shape (signature → bucket → verify)
+    at training-data scale, where the verify step inside each bucket is
+    the near-dup machinery the dedup suite already provides. Payloads are
+    ascii text bytes, so the oracle's char-wise replay coincides with the
+    byte-wise kernel."""
+    import hashlib
+
+    d = spread(load(spark, sf_dir, "documents"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def phash(b) -> int:
+            b = bytes(b)
+            w = max(len(b) // _PH_BLOCKS, 1)
+            out = 0
+            for k in range(_PH_BLOCKS):
+                block = b[k * w : (k + 1) * w]
+                bit = int(hashlib.md5(block).hexdigest()[0], 16) % 2
+                out |= bit << k
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pdf["payload"].map(phash)}
+            )
+
+    sigs = media.mapInPandas(sig, "media_id long, phash int")
+    return sigs.groupBy("phash").agg(
+        F.count("*").alias("n_items"),
+        F.min("media_id").alias("canonical_media_id"),
+    )
