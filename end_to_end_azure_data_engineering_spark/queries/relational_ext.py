@@ -1253,3 +1253,85 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 10)
         .select("c_custkey", "s_suppkey", dist.alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frame-function completeness — first/last/nth_value + lag-with-
+# default over explicit ROWS frames (§2.5 remainder beyond
+# row_number/rank/lead/lag). Pure value SELECTION from existing rows — no
+# arithmetic, so cross-engine hashing is trivial; the explicit full frame
+# on last_value avoids Spark's default RANGE..CURRENT frame trap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_frame_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_val,
+           lag(value, 1, -1.0) OVER w AS prev_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+        F.nth_value("value", 2).over(wfull).alias("second_val"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe arithmetic — try_divide semantics: zero denominators yield
+# NULL instead of failing or producing Infinity. Spark's try_divide ==
+# DuckDB's `/` (NULL on zero divisor), so the contract is pinned by hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "safe_ratio_metrics",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_click
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_purchase, n_click,
+           n_purchase / nullif(n_click, 0) AS purchase_per_click
+    FROM per_user
+    """,
+)
+def safe_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion ratio with zero-denominator users: F.try_divide returns
+    NULL where a plain division would raise under ANSI mode — the
+    error-safe arithmetic family (try_add/try_cast/try_divide) every
+    quality pipeline leans on. Integer counts; one IEEE division."""
+    ev = load(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    per_user = ev.groupBy("user_id").agg(
+        cnt("purchase").alias("n_purchase"), cnt("click").alias("n_click")
+    )
+    return per_user.select(
+        "user_id", "n_purchase", "n_click",
+        F.try_divide(F.col("n_purchase"), F.col("n_click")).alias("purchase_per_click"),
+    )
