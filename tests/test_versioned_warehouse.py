@@ -96,3 +96,34 @@ def test_change_feed_between_versions(spark, vwh):
         4: ("d", "insert"),
         5: (None, "insert"),  # NULL payload still inserts (null-safe compare)
     }
+
+
+def test_change_feed_apply_reconstructs_new(spark, vwh):
+    """Applying a change feed to the old snapshot must reconstruct the new
+    snapshot exactly: new == (old minus deleted/updated keys) + feed's
+    insert/update rows. Closes the CDC loop (produce -> apply round-trip)
+    on a real table slice."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_data_engineering_spark.operators.appends import table_diff
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 3 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    feed = table_diff(old, new, "o_orderkey")
+
+    touched = feed.select("o_orderkey")
+    upserts = feed.filter(F.col("_change") != "delete").drop("_change")
+    rebuilt = old.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
+
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
