@@ -219,9 +219,10 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q15 shape — top supplier: per-supplier revenue, then keep the max-revenue
-# supplier(s) via a whole-relation window max (one extra exchange over the
-# 100-row aggregate, not the fact). Revenue rounded *before* the max compare
-# so both engines pick from identical values.
+# supplier(s) by crossJoin-broadcasting a 1-row max aggregate against the
+# per-supplier frame (no single-partition WindowExec: a whole-relation window
+# would funnel the entire revenue frame through one task at scale). Revenue
+# rounded *before* the max compare so both engines pick from identical values.
 # ---------------------------------------------------------------------------
 
 
@@ -256,9 +257,10 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    top = revenue.withColumn(
-        "_max_rev", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
     return (
         top.join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
