@@ -5,8 +5,10 @@ Scale architecture (per-query details in docstrings): sketches are per-row
 maps (no shuffle); candidate generation always goes through a bucket key
 (fingerprint, LSH band, simhash) and shuffles on it; exact verification
 runs only within buckets. Nothing here is O(n²) in the corpus — except the
-explicitly-bounded `dedup_ngram_jaccard` baseline, which exists as the
-small-scope ground truth for the LSH path.
+explicitly-bounded ground-truth evals (`dedup_simhash_pairs`,
+`dedup_ngram_jaccard`, `lsh_recall_eval`'s truth set), which exist as the
+small-scope exact baselines for the LSH path and are guarded by
+``assert_bounded_slice`` (raise, don't launch, past EXACT_EVAL_MAX_ROWS).
 
 Oracles are generated from the same constants (functions/sketches.py) as
 the Spark plans, so both sides compute identical hashes.
@@ -20,6 +22,35 @@ from pyspark.sql import functions as F
 from ..functions import sketches as S
 from ..functions import text as X
 from . import load, register, spread
+
+# Hard ceiling for the deliberately-bounded all-pairs ground-truth evals
+# below. 50k rows is the outer limit of a sane exact-eval slice: the pair
+# space is ~1.25e9 comparisons — a deliberate, hours-long ground-truth job
+# on a cluster, and the last point where "exact baseline" is a defensible
+# plan. Past it you are no longer evaluating the LSH path, you are
+# accidentally re-implementing it as a cartesian product, so we fail fast
+# instead of launching a corpus² join.
+EXACT_EVAL_MAX_ROWS = 50_000
+
+
+def assert_bounded_slice(df: DataFrame, what: str, cap: int | None = None) -> DataFrame:
+    """Guard an all-pairs self-join input: raise before the quadratic join
+    can be launched if the slice exceeds the documented cap.
+
+    Costs one `limit(cap+1).count()` job — it short-circuits as soon as
+    cap+1 rows exist, so the guard itself is O(cap), never O(corpus).
+    """
+    if cap is None:
+        cap = EXACT_EVAL_MAX_ROWS
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{what}: slice has >{cap} rows; the all-pairs ground-truth eval "
+            f"is quadratic and capped at {cap} rows by design. Use the "
+            "LSH/banding path (dedup_minhash_lsh / dedup_simhash banding) "
+            "for corpora beyond the eval cap."
+        )
+    return df
 
 
 @register(
@@ -124,8 +155,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs on a bounded slice (the exact
-    baseline; the scale path is bit-band bucketing per dedup_simhash)."""
+    baseline; the scale path is bit-band bucketing per dedup_simhash).
+    The slice is guarded: >EXACT_EVAL_MAX_ROWS rows raises instead of
+    launching the quadratic join."""
     d = spread(load(spark, sf_dir, "documents").filter(F.col("lang") == "de"))
+    assert_bounded_slice(d, "dedup_simhash_pairs")
     sigs = d.select("doc_id", S.simhash("text").alias("simhash"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
@@ -155,8 +189,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup on a bounded slice — the exact ground
     truth the LSH paths approximate. Deliberately scoped (single lang
     partition): the all-pairs form is the one operator here that would NOT
-    survive 100×, which is why minhash_lsh exists."""
+    survive 100×, which is why minhash_lsh exists. The slice is guarded:
+    >EXACT_EVAL_MAX_ROWS rows raises instead of launching the quadratic
+    join."""
     d = spread(load(spark, sf_dir, "documents").filter(F.col("lang") == "de"))
+    assert_bounded_slice(d, "dedup_ngram_jaccard")
     toks = d.select(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tk"),
@@ -324,9 +361,9 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import staged_word_shingles
 
     d = spread(load(spark, sf_dir, "documents"))
-    de = staged_word_shingles(
-        d.filter(F.col("lang") == "de").select("doc_id", "text"), "text"
-    ).select("doc_id", "sh")
+    de_docs = d.filter(F.col("lang") == "de").select("doc_id", "text")
+    assert_bounded_slice(de_docs, "lsh_recall_eval truth slice")
+    de = staged_word_shingles(de_docs, "text").select("doc_id", "sh")
     a = de.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = de.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     truth = (
