@@ -43,10 +43,17 @@ FEATURE_SCHEMA = (
     "byte_entropy_proxy double, content_hash string, feat_0 double, feat_1 double"
 )
 
+# Schema when a real decoder is injected: decoded dimensions + pixel stats
+# join the byte-level features.
+FEATURE_SCHEMA_DECODED = (
+    FEATURE_SCHEMA + ", decoded_width int, decoded_height int, mean_luma double"
+)
+
 
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
     """Decode an image payload. No codec libs in this build — inject a
-    ``decoder`` (e.g. PIL.Image.open) on a real cluster."""
+    ``decoder`` (e.g. PIL.Image.open on a real cluster, or the in-repo
+    dependency-free ``imagecodec.decode_any`` for PPM/BMP payloads)."""
     if decoder is None:
         raise NotImplementedError(
             "image codecs not available in this environment; inject `decoder`"
@@ -66,29 +73,60 @@ def _fake_features(payload: bytes) -> tuple[float, str, float, float]:
     return entropy_proxy, digest, f0, f1
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(
+    media: DataFrame, decoder: Callable[[bytes], object] | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over MEDIA_SCHEMA-shaped input.
 
     Narrow transformation: each Arrow batch maps 1:1 to an output batch;
     partitioning and ordering of the input are preserved, no shuffle.
+
+    With ``decoder`` injected (any callable returning an object exposing
+    ``width``/``height`` and optionally ``mean_luma()`` — PIL.Image fits,
+    as does the in-repo ``imagecodec.decode_any``), image rows additionally
+    carry real decoded dimensions and mean luma (FEATURE_SCHEMA_DECODED);
+    rows the decoder rejects get nulls in the decoded columns. Without a
+    decoder, output is byte-level-only (FEATURE_SCHEMA), unchanged.
     """
+
+    def row_features(pdf: pd.DataFrame) -> dict:
+        feats = pdf["payload"].map(_fake_features)
+        return {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+            "byte_entropy_proxy": feats.map(lambda t: t[0]),
+            "content_hash": feats.map(lambda t: t[1]),
+            "feat_0": feats.map(lambda t: t[2]),
+            "feat_1": feats.map(lambda t: t[3]),
+        }
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_features)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "byte_entropy_proxy": feats.map(lambda t: t[0]),
-                    "content_hash": feats.map(lambda t: t[1]),
-                    "feat_0": feats.map(lambda t: t[2]),
-                    "feat_1": feats.map(lambda t: t[3]),
-                }
-            )
+            yield pd.DataFrame(row_features(pdf))
 
-    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+    def op_decoded(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decoded(payload):
+            if payload is None:
+                return (None, None, None)
+            try:
+                img = decode_image(bytes(payload), decoder)
+            except (ValueError, NotImplementedError):
+                return (None, None, None)
+            luma = float(img.mean_luma()) if hasattr(img, "mean_luma") else None
+            return (int(img.width), int(img.height), luma)
+
+        for pdf in batches:
+            cols = row_features(pdf)
+            dec = pdf["payload"].map(decoded)
+            cols["decoded_width"] = dec.map(lambda t: t[0])
+            cols["decoded_height"] = dec.map(lambda t: t[1])
+            cols["mean_luma"] = dec.map(lambda t: t[2])
+            yield pd.DataFrame(cols)
+
+    if decoder is None:
+        return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(op_decoded, schema=FEATURE_SCHEMA_DECODED)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
