@@ -11,6 +11,7 @@ Namespaces mirror the medallion: bronze/silver/gold/audit.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -198,7 +199,21 @@ class VersionedWarehouse(Warehouse):
         ptr = self._pointer(namespace, table)
         if not ptr.exists():
             return None
-        return int(ptr.read_text().strip())
+        raw = ptr.read_text().strip()
+        try:
+            return int(raw)
+        except ValueError:
+            # A torn/garbled pointer is table corruption, not a parse bug.
+            # Deliberately NOT falling back to max(versions()): the newest
+            # version directory may be a fully-written but never-published
+            # commit, and silently promoting it would publish data no
+            # commit ever acknowledged.
+            raise RuntimeError(
+                f"{namespace}.{table}: _CURRENT pointer is corrupt "
+                f"(content {raw!r}). Existing versions: "
+                f"{self.versions(namespace, table)}. Repair by writing the "
+                "last known-published version number to _CURRENT."
+            ) from None
 
     def versions(self, namespace: str, table: str) -> list[int]:
         base = self.path(namespace, table)
@@ -218,8 +233,14 @@ class VersionedWarehouse(Warehouse):
         vdir = base / f"_v{nxt}"
         df.write.mode("overwrite").parquet(str(vdir))
         tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
-        tmp.write_text(str(nxt))
-        tmp.replace(self._pointer(namespace, table))  # atomic publish
+        # fsync before the rename: os.replace is atomic in the namespace,
+        # but without flushing the data blocks first a crash can publish a
+        # pointer file whose CONTENT never reached disk (torn/empty read).
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer(namespace, table))  # atomic publish
         return nxt
 
     def read(

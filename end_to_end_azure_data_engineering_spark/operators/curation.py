@@ -59,36 +59,50 @@ def curate_corpus(
       4. optional deterministic subsample — salted-hash percent keep
          (reproducible; no RNG).
 
-    Counts land in `report` when provided; counting forces one action per
-    stage, which is also what a checkpointed production run wants (each
-    stage's output is a materialization point).
+    With `report` provided, each counted stage is persisted BEFORE its
+    count so the count is a genuine materialization the next stage reuses
+    — not a throwaway re-execution of the whole upstream funnel — and the
+    returned corpus is localCheckpoint'ed (eager) so every intermediate
+    cache can be released before returning. Without `report`, the funnel
+    stays fully lazy and nothing is cached.
     """
-    if report is not None:
-        report.add("input", docs.count())
+    persisted: list[DataFrame] = []
+
+    def staged(df: DataFrame, stage: str) -> DataFrame:
+        if report is None:
+            return df
+        df = df.persist()
+        persisted.append(df)
+        report.add(stage, df.count())
+        return df
+
+    docs = staged(docs, "input")
 
     ok = (X.token_count(text_col) >= min_tokens) & (
         X.punct_ratio(text_col) <= max_punct_ratio
     )
-    quality = docs.filter(ok)
-    if report is not None:
-        report.add("quality", quality.count())
+    quality = staged(docs.filter(ok), "quality")
 
     fp = X.fingerprint(text_col)
     w_min = quality.groupBy(fp.alias("_fp")).agg(F.min(id_col).alias("_keep"))
-    exact = quality.join(
-        w_min.select(F.col("_keep").alias(id_col)), id_col, "left_semi"
+    exact = staged(
+        quality.join(w_min.select(F.col("_keep").alias(id_col)), id_col, "left_semi"),
+        "exact_dedup",
     )
-    if report is not None:
-        report.add("exact_dedup", exact.count())
 
-    deduped = dedup_corpus(exact, id_col, text_col, threshold=near_dup_threshold)
-    if report is not None:
-        report.add("near_dedup", deduped.count())
+    deduped = staged(
+        dedup_corpus(exact, id_col, text_col, threshold=near_dup_threshold),
+        "near_dedup",
+    )
 
     if sample_pct is not None:
         h = S.hash32(F.concat(F.lit("curate:"), F.col(id_col).cast("string"))) % 100
-        deduped = deduped.filter(h < sample_pct)
-        if report is not None:
-            report.add(f"sample_{sample_pct}pct", deduped.count())
+        deduped = staged(deduped.filter(h < sample_pct), f"sample_{sample_pct}pct")
 
+    if report is not None:
+        # cut lineage off the stage caches, then release them all
+        out = deduped.localCheckpoint()
+        for df in persisted:
+            df.unpersist()
+        return out
     return deduped

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from ..functions import similarity as V
 
 
-def nearest_cell(vec_dbl: Column, centroids: list[list[float]]) -> Column:
-    """Index (0-based) of the nearest centroid by squared L2 distance.
+def nearest_cell_struct(vec_dbl: Column, centroids: list[list[float]]) -> Column:
+    """struct(dist, cell) of the nearest centroid by squared L2 distance.
 
     `vec_dbl` must already be a double array (stage it once with
     V.as_double — the lambda-bound distance terms run interpreted, and
@@ -35,6 +35,11 @@ def nearest_cell(vec_dbl: Column, centroids: list[list[float]]) -> Column:
     struct(dist, cell): default ascending struct ordering stays on the
     interpreted-but-flat fast path (a comparator lambda would not), and
     ties break to the lowest cell id deterministically.
+
+    Returning the whole struct lets callers that need BOTH the assignment
+    and its distance (sse) evaluate the K-way fold once — Spark does not
+    CSE repeated HOF subtrees, so deriving the distance separately from
+    the selected cell would double the dominant cost.
     """
     cents = F.lit(centroids)
     cells = F.transform(
@@ -52,7 +57,12 @@ def nearest_cell(vec_dbl: Column, centroids: list[list[float]]) -> Column:
             (i - 1).alias("cell"),
         ),
     )
-    return F.array_min(cells)["cell"]
+    return F.array_min(cells)
+
+
+def nearest_cell(vec_dbl: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid by squared L2 distance."""
+    return nearest_cell_struct(vec_dbl, centroids)["cell"]
 
 
 def kmeans_refine(
@@ -75,8 +85,9 @@ def kmeans_refine(
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
             .groupBy("_cell", "_dim")
-            .agg(F.avg("_x").alias("_m"), F.count("*").alias("_n"))
+            .agg(F.avg("_x").alias("_m"))
             .collect()  # bounded: K×d rows — the codebook refresh
+            # (empty cells simply produce no rows and keep their centroid)
         )
         nxt = [list(c) for c in centroids]
         for r in means:
@@ -86,17 +97,11 @@ def kmeans_refine(
 
 
 def sse(vectors: DataFrame, vec_col: str, centroids: list[list[float]]) -> float:
-    """Total within-cluster sum of squared distances (the Lloyd objective)."""
+    """Total within-cluster sum of squared distances (the Lloyd objective).
+
+    One K-way distance fold per row: the min struct's own dist field IS
+    the within-cluster distance, so no second fold re-derives it from the
+    selected cell."""
     staged = vectors.select(V.as_double(F.col(vec_col)).alias("_v"))
-    cents = F.lit(centroids)
-    cell = nearest_cell(F.col("_v"), centroids)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_v"),
-            F.element_at(cents, cell + 1),
-            lambda x, c: (x - c) * (x - c),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+    d2 = nearest_cell_struct(F.col("_v"), centroids)["dist"]
     return staged.select(F.sum(d2).alias("s")).first()["s"]

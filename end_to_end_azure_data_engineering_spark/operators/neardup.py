@@ -30,7 +30,16 @@ def near_dup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verified near-duplicate pairs (id_a < id_b, exact shingle-Jaccard ≥
-    threshold) via MinHash+LSH banding. Columns: id_a, id_b, jaccard."""
+    threshold) via MinHash+LSH banding. Columns: id_a, id_b, jaccard.
+
+    EAGER: calling this runs the full shingle/LSH job immediately (the
+    returned frame is a ``localCheckpoint`` of the verified pairs, not a
+    lazy plan) — the price of releasing the corpus-sized shingle cache
+    deterministically instead of leaking it per call. The checkpointed
+    pair blocks (collision-bound, small) live until the returned DataFrame
+    is garbage-collected; callers holding many pair frames long-term should
+    ``unpersist()`` each when done with it.
+    """
     sh = (
         S.staged_word_shingles(
             docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),

@@ -86,8 +86,9 @@ def merge_rollups(
 def read_rollup(df: DataFrame, avg_of: Sequence[str] = ()) -> DataFrame:
     """Read-time view of a rollup: derive averages from exact sum/count and
     HLL estimates from sketch state; cast decimal sums to DOUBLE for
-    consumers."""
-    out = df
+    consumers. The streaming sink's ``_epoch`` bookkeeping column (replay
+    guard) is dropped — it is not a statistic."""
+    out = df.drop("_epoch")
     for c in avg_of:
         # exact-decimal sum → one cast to double, then IEEE double division:
         # bit-identical in any engine (decimal÷int type-promotion rules are

@@ -192,10 +192,21 @@ def rollup_stream_sink(
     history — the streaming upgrade of the reference's truncate+rebuild
     gold refresh, and the production home of the rollup operator. Consumers
     read through rollup.read_rollup for averages / distinct estimates.
+
+    Replay-safe under foreachBatch's at-least-once contract: the applied
+    epoch id is stored IN the rollup table (an ``_epoch`` literal column),
+    so data and high-water mark publish in one atomic overwrite swap — a
+    re-delivered micro-batch (failure retry, or restart from checkpoint
+    mid-epoch) sees ``epoch <= _epoch`` and is skipped instead of being
+    double-counted. The guard is tied to the query's checkpoint (epoch ids
+    restart at 0 without one): starting a NEW query against an existing
+    rollup table requires dropping the table or resuming from the old
+    checkpoint, which is the same discipline Delta's txn-version sinks
+    require.
     """
     from ..operators.rollup import merge_rollups, rollup_batch
 
-    def sink(batch: DataFrame, _epoch: int) -> None:
+    def sink(batch: DataFrame, epoch: int) -> None:
         delta = rollup_batch(
             batch,
             keys=keys,
@@ -204,9 +215,15 @@ def rollup_stream_sink(
             distinct_cols=distinct_cols or [],
         )
         if wh.exists(namespace, table):
-            merged = merge_rollups(wh.read(namespace, table), delta, keys=keys)
+            existing = wh.read(namespace, table)
+            if "_epoch" in existing.columns:
+                last = existing.agg(F.max("_epoch")).first()[0]
+                if last is not None and epoch <= last:
+                    return  # at-least-once replay: already folded in
+                existing = existing.drop("_epoch")
+            merged = merge_rollups(existing, delta, keys=keys)
         else:
             merged = delta
-        wh.overwrite(merged, namespace, table)
+        wh.overwrite(merged.withColumn("_epoch", F.lit(epoch)), namespace, table)
 
     return sink

@@ -105,3 +105,28 @@ def test_rollup_stream_sink_matches_batch(spark, tmp_path):
 
     streamed = _readable(wh.read("gold", "event_totals"))
     assert streamed == _readable(_full(spark))
+
+
+def test_rollup_stream_sink_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    micro-batch (same epoch id, e.g. failure retry or restart from
+    checkpoint mid-epoch) must be a no-op, not a double-count."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import rollup_stream_sink
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = rollup_stream_sink(
+        wh, "event_totals", keys=["event_type"],
+        sum_cols=["value"], minmax_cols=["value"], distinct_cols=["user_id"],
+    )
+    ev = load(spark, SF, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)  # replay of the last epoch
+    sink(batches[0], 0)  # stale replay from further back
+    sink(batches[2], 2)
+    sink(batches[2], 2)  # replay again
+
+    streamed = _readable(wh.read("gold", "event_totals"))
+    assert streamed == _readable(_full(spark))

@@ -26,6 +26,16 @@ def test_commit_read_roundtrip_and_versions(spark, vwh):
     assert {r.x for r in vwh.read("silver", "t").collect()} == {3}
 
 
+def test_corrupt_pointer_raises_descriptive_error(spark, vwh):
+    """A torn/garbled _CURRENT must surface as a named corruption error
+    (with repair guidance), never a bare ValueError — and never silently
+    promote an unpublished version directory."""
+    vwh.commit(_df(spark, 1), "silver", "t")
+    vwh._pointer("silver", "t").write_text("")  # simulate torn write
+    with pytest.raises(RuntimeError, match="_CURRENT pointer is corrupt"):
+        vwh.current_version("silver", "t")
+
+
 def test_time_travel_reads_immutable_history(spark, vwh):
     vwh.commit(_df(spark, 1, 2), "silver", "t")
     vwh.commit(_df(spark, 3), "silver", "t")
