@@ -127,3 +127,20 @@ def scd2_merge_sql(
         WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})
     """
     return expire, insert
+
+
+def scd2_snapshot_asof(table: DataFrame, ts: _dt.datetime) -> DataFrame:
+    """Reconstruct the table state as of ``ts`` from SCD2 history — the
+    row-validity twin of Delta time travel (``VERSION AS OF`` reads a
+    storage version; this reads business validity, the query the reference's
+    is_current-based silver layer supports implicitly).
+
+    A row was in effect at ``ts`` iff it had been inserted by then
+    (audit_insertdate <= ts) and had not yet been expired
+    (is_current, or expired later: audit_modifieddate > ts). Pure filter —
+    partition-prunable when the table is laid out by insert date."""
+    t = F.lit(ts).cast("timestamp")
+    return table.filter(
+        (F.col("audit_insertdate") <= t)
+        & (F.col("is_current") | (F.col("audit_modifieddate") > t))
+    )

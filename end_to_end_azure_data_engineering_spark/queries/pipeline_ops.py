@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.appends import append_if_absent
 from ..operators.dedup import keep_latest
-from ..operators.scd2 import scd2_init, scd2_merge
+from ..operators.scd2 import scd2_init, scd2_merge, scd2_snapshot_asof
 from . import load, register
 
 _T0 = dt.datetime(2024, 2, 1, 0, 0, 0)
@@ -189,3 +189,123 @@ def change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return table_diff(old, new, "o_orderkey")
+
+
+_T2 = dt.datetime(2024, 2, 3, 0, 0, 0)
+
+
+@register(
+    "scd2_as_of_snapshot",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type, value, event_id % 3 AS slice FROM (
+        SELECT user_id, event_type, value, event_id,
+               row_number() OVER (PARTITION BY user_id, event_id % 3
+                                  ORDER BY ts DESC NULLS LAST,
+                                           event_id DESC NULLS LAST) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    b0 AS (SELECT user_id, event_type, value FROM b WHERE slice = 0),
+    b1 AS (SELECT user_id, event_type, value FROM b WHERE slice = 1)
+    SELECT coalesce(b1.user_id, b0.user_id) AS user_id,
+           coalesce(b1.event_type, b0.event_type) AS event_type,
+           CASE WHEN b1.user_id IS NOT NULL THEN b1.value ELSE b0.value END
+               AS value
+    FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id
+    """,
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over SCD2 history: three batches (events sliced by
+    event_id mod 3, latest per user each) merge at T0 < T1 < T2; the query
+    reconstructs the state AS OF T1 via scd2_snapshot_asof — batch 0/1 rows
+    that were later expired by batch 2 must reappear, and batch-2 inserts
+    must vanish. The oracle is the closed form of that state: batch-1
+    values where present (changed-or-equal both yield them), else batch-0.
+    CASE (not coalesce) picks b1's value so a NULL-value b1 row correctly
+    masks an older non-null b0 value — the null-unsafe `<>` semantics."""
+    e = load(spark, sf_dir, "events")
+
+    def batch(k: int) -> DataFrame:
+        return keep_latest(
+            e.filter(F.col("event_id") % 3 == k),
+            ["user_id"],
+            [F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()],
+        ).select("user_id", "event_type", "value")
+
+    state = scd2_init(batch(0), _T0)
+    state = scd2_merge(state, batch(1), "user_id", ["event_type", "value"], _T1)
+    state = scd2_merge(state, batch(2), "user_id", ["event_type", "value"], _T2)
+    return scd2_snapshot_asof(state, _T1).select("user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering for scan pruning. The morton
+# key interleaves 16 bits of each dimension so rows near each other in
+# (custkey, orderdate) space land in the same bucket/file; min/max ranges
+# per bucket are then TIGHT in BOTH dimensions, which is what lets a filter
+# on either column skip files at 100 TB (the OPTIMIZE ZORDER BY twin). All
+# bit math — hash-stable by construction.
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = "1992-01-01"
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 20  # 32-bit morton >> 20 → ≤4096 buckets
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT o_custkey % 65536 AS x,
+             date_diff('day', DATE '{_Z_EPOCH}', o_orderdate) % 65536 AS y,
+             o_custkey, o_orderdate
+      FROM orders
+    ),
+    keyed AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(list_sum(list_transform(range(0, {_Z_BITS}), b ->
+               ((x >> b) & 1) * (CAST(1 AS BIGINT) << (2*b))
+               + ((y >> b) & 1) * (CAST(1 AS BIGINT) << (2*b + 1)))) AS BIGINT)
+                 AS morton
+      FROM dims
+    )
+    SELECT morton >> {_Z_BUCKET_SHIFT} AS z_bucket,
+           count(*) AS n_orders,
+           min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+           min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+    FROM keyed GROUP BY z_bucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order bucketing of orders on (custkey, orderdate): the
+    data-layout op behind multi-column file skipping. The key is one narrow
+    codegen expression (a 16-step fold of shifts/masks); the bucket agg's
+    min/max ranges are the skipping index a writer would persist as file
+    stats. In production the bucket becomes repartitionByRange(morton) +
+    sortWithinPartitions before the parquet write."""
+    o = load(spark, sf_dir, "orders")
+    dims = o.select(
+        "o_custkey", "o_orderdate",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date")) % 65536).alias("y"),
+    )
+    morton = F.expr(
+        f"aggregate(sequence(0, {_Z_BITS - 1}), 0L, (acc, b) -> acc"
+        " + pmod(shiftright(x, b), 2) * shiftleft(1L, 2*b)"
+        " + pmod(shiftright(y, b), 2) * shiftleft(1L, 2*b + 1))"
+    )
+    return (
+        dims.withColumn("morton", morton)
+        .select(
+            F.shiftright(F.col("morton"), _Z_BUCKET_SHIFT).alias("z_bucket"),
+            "o_custkey", "o_orderdate",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )

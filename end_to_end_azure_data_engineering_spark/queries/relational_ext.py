@@ -1335,3 +1335,84 @@ def safe_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_purchase", "n_click",
         F.try_divide(F.col("n_purchase"), F.col("n_click")).alias("purchase_per_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-asof join — the merge_asof(direction='nearest', tolerance=T)
+# operator: each purchase pairs with the temporally CLOSEST click of the
+# same user within ±1 hour, either direction (asof_join_last_click is the
+# backward-only variant). The plan is an equi-join on user_id with the
+# band predicate as a post-join filter — the shuffle keys on user_id alone,
+# so at 100 TB this scales exactly like any keyed join (plus AQE skew
+# handling for hot users); the per-purchase argmin is one partial-aggregable
+# min(struct). Ties (equidistant before/after) break to the earlier click,
+# then smaller value, deterministically on both engines.
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 3_600_000_000  # ±1 hour
+
+
+@register(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT p.event_id, c.ts AS cts, c.value AS cval,
+             epoch_us(c.ts) - epoch_us(p.ts) AS diff_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.value
+             ) AS rn
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {_NEAREST_TOL_US}
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           r.cts AS nearest_click_ts,
+           r.diff_us AS click_offset_us,
+           round(r.cval, 4) AS nearest_click_value
+    FROM purch p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        epoch_us("ts").alias("_c_us"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        epoch_us("ts").alias("_p_us"),
+    )
+    j = purch.join(clicks, "user_id").filter(
+        F.abs(F.col("_c_us") - F.col("_p_us")) <= _NEAREST_TOL_US
+    )
+    # argmin as a partial-aggregable min(struct): (|Δ|, ts, value) mirrors
+    # the oracle's row_number ordering, then the payload rides along
+    best = (
+        j.groupBy("event_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(F.col("_c_us") - F.col("_p_us")).alias("abs_us"),
+                    F.col("click_ts").alias("cts"),
+                    F.col("click_value").alias("cval"),
+                    (F.col("_c_us") - F.col("_p_us")).alias("diff_us"),
+                )
+            ).alias("_b")
+        )
+    )
+    return purch.join(best, "event_id", "left").select(
+        "event_id", "user_id", "purchase_ts",
+        F.col("_b.cts").alias("nearest_click_ts"),
+        F.col("_b.diff_us").alias("click_offset_us"),
+        F.round(F.col("_b.cval"), 4).alias("nearest_click_value"),
+    )

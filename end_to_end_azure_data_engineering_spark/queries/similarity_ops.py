@@ -456,3 +456,76 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_sq_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift — domain-shift detection over the embedding
+# corpus: how far each label's centroid sits from the global centroid, per
+# dimension. Embeddings are quantized to exact integers (round(x·10⁶)) at
+# the scan so every aggregate is an exact BIGINT sum, and the outputs stay
+# fixed-point BIGINT micro-units: floor() of rationals whose distance to
+# any integer is ≥ 1/(n·gn) ≫ double error, so the floor can never flip
+# cross-engine — unlike round(x, 9), which sat exactly on terminating-
+# decimal boundaries here and flipped by 1 ulp between engines (observed
+# at sf0.1). One posexplode + one (label, dim) agg: the shuffle carries
+# labels×64 groups, nothing corpus-sized.
+# ---------------------------------------------------------------------------
+
+_QUANT = 1_000_000  # 6-decimal fixed-point quantization
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, dim - 1 AS dim,
+             CAST(round(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT) AS xq
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    ),
+    per_label AS (
+      SELECT label, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sum_q
+      FROM q GROUP BY label, dim
+    ),
+    global_c AS (
+      SELECT dim, CAST(sum(n) AS BIGINT) AS gn, CAST(sum(sum_q) AS BIGINT) AS gsum
+      FROM per_label GROUP BY dim
+    )
+    SELECT p.label, p.dim, CAST(p.n AS BIGINT) AS n_vecs,
+           CAST(floor(p.sum_q / CAST(p.n AS DOUBLE)) AS BIGINT) AS centroid_micro,
+           CAST(floor((p.sum_q * g.gn - g.gsum * p.n)
+                      / CAST(p.n * g.gn AS DOUBLE)) AS BIGINT) AS drift_micro
+    FROM per_label p JOIN global_c g USING (dim)
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labels × 64 rows: per-dimension centroid and signed drift from the
+    global centroid, in exact micro-units (10⁻⁶ of embedding space).
+    drift's numerator (sum_q·gn − gsum·n) is exact BIGINT
+    cross-multiplication. The global centroid derives from the per-label
+    partials (a second tiny agg), never a second corpus pass."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "label", "dim",
+        F.round(F.col("x").cast("double") * _QUANT).cast("bigint").alias("xq"),
+    )
+    per_label = q.groupBy("label", "dim").agg(
+        F.count("*").alias("n"), F.sum("xq").alias("sum_q")
+    )
+    global_c = per_label.groupBy("dim").agg(
+        F.sum("n").alias("gn"), F.sum("sum_q").alias("gsum")
+    )
+    return per_label.join(F.broadcast(global_c), "dim").select(
+        "label", "dim", F.col("n").alias("n_vecs"),
+        F.floor(F.col("sum_q") / F.col("n").cast("double")).cast("bigint").alias(
+            "centroid_micro"
+        ),
+        F.floor(
+            (F.col("sum_q") * F.col("gn") - F.col("gsum") * F.col("n"))
+            / (F.col("n") * F.col("gn")).cast("double")
+        ).cast("bigint").alias("drift_micro"),
+    )

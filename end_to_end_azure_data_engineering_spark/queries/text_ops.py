@@ -527,3 +527,125 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(100 * cum, n_total)").alias("coverage_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-frequency fluency score — the integer-exact stand-in for unigram
+# log-prob quality scoring (CCNet-style "how typical is this document's
+# vocabulary of the corpus"). Two passes: corpus term frequencies (one
+# combiner-heavy shuffle keyed on word — vocabulary-bound, tiny at any
+# corpus size), then a broadcast-able join back and one exact-integer agg
+# per doc. mean_word_freq is a SINGLE division of two exact BIGINTs, so the
+# double is bit-identical across engines (no float accumulation anywhere).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_freq_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({X.TOKENS_SQL('text')}) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(f.c) AS BIGINT) AS freq_sum
+      FROM toks t JOIN freq f USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, freq_sum,
+           round(freq_sum / CAST(n_tokens AS DOUBLE), 6) AS mean_word_freq
+    FROM per_doc
+    """,
+)
+def unigram_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean corpus-frequency of its words: rare-word-heavy (noisy /
+    OOV) documents score low, boilerplate scores high — the unigram-LM
+    quality signal with exact integer math. At 100 TB the freq table is
+    vocabulary-bound (≪ corpus), so the join back is a broadcast and the
+    only corpus-wide shuffle is the word-count combine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    per_doc = (
+        toks.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("freq_sum"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "freq_sum",
+        F.round(F.col("freq_sum") / F.col("n_tokens").cast("double"), 6).alias(
+            "mean_word_freq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection by shared n-grams: the share of a document's
+# distinct 3-grams that appear in at least one OTHER document of the same
+# source. High ratios mark templated/boilerplate docs (nav bars, license
+# headers). Gram cardinality is corpus-bound but each gram row is tiny; the
+# one shuffle keys on (source, gram) with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_ngram_ratio",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, source, unnest(list_distinct({X.NGRAMS_SQL('text', 3)})) AS g
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, g, count(*) AS n_docs_with FROM grams GROUP BY source, g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+      FROM grams gr JOIN counts c ON gr.source = c.source AND gr.g = c.g
+      GROUP BY gr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           coalesce(p.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+           round(coalesce(p.n_shared, 0)
+                 / CAST(greatest(coalesce(p.n_grams, 0), 1) AS DOUBLE), 6)
+               AS boilerplate_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate ratio: distinct 3-grams shared with ≥1 other
+    same-source doc / distinct 3-grams. Docs under 3 tokens emit 0/0→0.0
+    (kept via left join so the output covers the whole corpus). All counts
+    exact integers; the ratio is one division — hash-stable."""
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(X.ngrams("text", 3))).alias("g"),
+    )
+    counts = grams.groupBy("source", "g").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        grams.join(counts, ["source", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    base = d.select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("boilerplate_ratio"),
+    )

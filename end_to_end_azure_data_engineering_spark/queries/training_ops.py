@@ -444,3 +444,57 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "len_bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("bucket_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture — the sampling-weight plan for a
+# multi-source pretraining corpus: small sources are upweighted relative to
+# their token share by sampling ∝ tokens^α (α = 0.5 here; the exact-math
+# choice — sqrt is correctly rounded IEEE in every engine, so
+# floor(sqrt(n)) is bit-stable cross-engine, unlike pow(n, 0.7) whose libm
+# rounding may differ). All downstream numbers are single divisions or pure
+# integer ops over exact BIGINTs — hash-stable by construction.
+# ---------------------------------------------------------------------------
+
+EPOCH_TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum({X.TOKEN_COUNT_SQL('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_raw
+      FROM src
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, w_raw,
+           round(w_raw / CAST(t.total_w AS DOUBLE), 6) AS sample_weight,
+           ({EPOCH_TOKEN_BUDGET} * w_raw) // t.total_w AS epoch_tokens
+    FROM w CROSS JOIN (SELECT CAST(sum(w_raw) AS BIGINT) AS total_w FROM w) t
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights ∝ sqrt(token mass), normalized, plus the
+    integer token allocation for a fixed epoch budget. One corpus agg
+    (combiner-heavy, keyed on source), then a broadcast 1-row total — the
+    scalar-aggregate pattern, no global window."""
+    d = spread(load(spark, sf_dir, "documents"))
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+    )
+    w = src.withColumn(
+        "w_raw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    total = w.agg(F.sum("w_raw").alias("total_w"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "n_tokens", "w_raw",
+        F.round(F.col("w_raw") / F.col("total_w").cast("double"), 6).alias("sample_weight"),
+        F.expr(f"div({EPOCH_TOKEN_BUDGET} * w_raw, total_w)").alias("epoch_tokens"),
+    )
