@@ -53,6 +53,14 @@ HEADLINE = [
     "cross_source_overlap",
     "sliding_window_counts",
     "incremental_rollup_merge",
+    # round-4 additions
+    "unigram_freq_quality",
+    "boilerplate_ngram_ratio",
+    "temperature_mixture_weights",
+    "scd2_as_of_snapshot",
+    "zorder_layout",
+    "embedding_centroid_drift",
+    "asof_join_nearest",
 ]
 
 
