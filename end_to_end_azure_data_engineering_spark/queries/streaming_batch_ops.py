@@ -112,3 +112,43 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = windowed_counts(ev, window="10 minutes", slide="5 minutes")
     return out.withColumn("total_value", F.round("total_value", 4))
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of streaming/ingest.py::interval_join_events — the
+    click→purchase attribution pairs within a 30-minute horizon. The same
+    function joins two live streams with bounded state
+    (tests/test_streaming.py::test_interval_join_streams); here the driver
+    hash-verifies its join semantics against DuckDB."""
+    from . import epoch_us
+    from ..streaming.ingest import interval_join_events
+
+    ev = load(spark, sf_dir, "events")
+    out = interval_join_events(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        (epoch_us("r_ts") - epoch_us("l_ts")).alias("lag_us"),
+        F.round(F.col("r_value"), 4).alias("purchase_value"),
+    )

@@ -227,3 +227,46 @@ def rollup_stream_sink(
         wh.overwrite(merged.withColumn("_epoch", F.lit(epoch)), namespace, table)
 
     return sink
+
+
+def interval_join_events(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    event_time: str = "ts",
+    horizon: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the right
+    events of the same key whose timestamp falls in [left_ts, left_ts +
+    horizon] — click→purchase attribution windows. On two streaming frames
+    Spark requires exactly this shape (watermarks on BOTH sides + a closed
+    time-range condition) and sizes the join state store to delay+horizon
+    per side; on batch frames the identical plan is a plain equi-join with
+    a band predicate. Columns: user key, l_id/l_ts (left), r_id/r_ts/
+    r_value (right).
+
+    State bound at 100 TB/day rates: each side retains only rows younger
+    than (watermark delay + horizon); hot keys shard across the join's
+    hash partitions by key."""
+    l = clicks.select(
+        F.col(key).alias("_k"),
+        F.col("event_id").alias("l_id"),
+        F.col(event_time).alias("l_ts"),
+    )
+    r = purchases.select(
+        F.col(key).alias("_rk"),
+        F.col("event_id").alias("r_id"),
+        F.col(event_time).alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    if clicks.isStreaming:
+        l = l.withWatermark("l_ts", delay)
+    if purchases.isStreaming:
+        r = r.withWatermark("r_ts", delay)
+    return l.join(
+        r,
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(F.col("_k").alias(key), "l_id", "l_ts", "r_id", "r_ts", "r_value")

@@ -201,3 +201,43 @@ def test_sliding_windowed_counts(spark, stream_dir, tmp_path):
         assert starts == {2, 3, 4, 5, 6}  # every 1-min slide covering 10:06
     finally:
         q.stop()
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: clicks and purchases arrive on two live
+    file streams; each click pairs with same-user purchases inside its
+    30-minute horizon, and the join is accepted by Spark as a bounded-state
+    stream-stream join (watermarks both sides + closed time range)."""
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        interval_join_events,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    _write_batch(spark, clicks_dir, [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=5), 2, "click", 0.0),
+        (3, t0 + dt.timedelta(hours=2), 1, "click", 0.0),
+    ])
+    _write_batch(spark, purch_dir, [
+        (10, t0 + dt.timedelta(minutes=10), 1, "purchase", 9.5),   # ← click 1
+        (11, t0 + dt.timedelta(minutes=20), 2, "purchase", 3.0),   # ← click 2
+        (12, t0 + dt.timedelta(minutes=50), 1, "purchase", 1.0),   # outside horizon
+        (13, t0 + dt.timedelta(hours=2, minutes=1), 1, "purchase", 7.0),  # ← click 3
+        (14, t0 + dt.timedelta(minutes=15), 9, "purchase", 2.0),   # no click user
+    ])
+    joined = interval_join_events(
+        stream_files(spark, clicks_dir, EVENT_SCHEMA),
+        stream_files(spark, purch_dir, EVENT_SCHEMA),
+        horizon="30 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ivj_out").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT l_id, r_id FROM ivj_out").collect()
+    assert {(r.l_id, r.r_id) for r in rows} == {(1, 10), (2, 11), (3, 13)}
