@@ -34,6 +34,10 @@ _DEFAULTS: dict[str, str] = {
     # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
     # read as long and convert in the loader (queries.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # catalog tables (bucketed layouts) land in /tmp, not the caller's cwd
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/end_to_end_azure_data_engineering_warehouse"
+    ),
 }
 
 
