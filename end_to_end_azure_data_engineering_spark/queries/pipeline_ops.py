@@ -206,12 +206,24 @@ _T2 = dt.datetime(2024, 2, 3, 0, 0, 0)
         FROM events) WHERE rn = 1
     ),
     b0 AS (SELECT user_id, event_type, value FROM b WHERE slice = 0),
-    b1 AS (SELECT user_id, event_type, value FROM b WHERE slice = 1)
-    SELECT coalesce(b1.user_id, b0.user_id) AS user_id,
-           coalesce(b1.event_type, b0.event_type) AS event_type,
-           CASE WHEN b1.user_id IS NOT NULL THEN b1.value ELSE b0.value END
-               AS value
-    FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id
+    b1 AS (SELECT user_id, event_type, value FROM b WHERE slice = 1),
+    m AS (
+      SELECT coalesce(b1.user_id, b0.user_id) AS user_id,
+             -- b1 takes effect only when it null-unsafe-differs from b0 or
+             -- b0 is absent; a NULL-vs-value comparison is NOT a change, so
+             -- the b0 row stays (CASE's NULL condition falls to ELSE)
+             b0.user_id IS NULL
+               OR (b1.event_type <> b0.event_type) OR (b1.value <> b0.value)
+                 AS takes,
+             b0.event_type AS et0, b0.value AS v0,
+             b1.event_type AS et1, b1.value AS v1,
+             b1.user_id IS NOT NULL AS has1
+      FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id
+    )
+    SELECT user_id,
+           CASE WHEN has1 AND takes THEN et1 ELSE et0 END AS event_type,
+           CASE WHEN has1 AND takes THEN v1 ELSE v0 END AS value
+    FROM m
     """,
 )
 def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,9 +232,11 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs the state AS OF T1 via scd2_snapshot_asof — batch 0/1 rows
     that were later expired by batch 2 must reappear, and batch-2 inserts
     must vanish. The oracle is the closed form of that state: batch-1
-    values where present (changed-or-equal both yield them), else batch-0.
-    CASE (not coalesce) picks b1's value so a NULL-value b1 row correctly
-    masks an older non-null b0 value — the null-unsafe `<>` semantics."""
+    values take effect only where the null-unsafe `<>` chain fires (or no
+    batch-0 row exists) — a NULL-vs-value comparison is NOT a change under
+    the reference's merge predicate, so in that case the batch-0 row
+    remains the state at T1. (The testdata carries no NULL payloads, but
+    the closed form models the merge exactly either way.)"""
     e = load(spark, sf_dir, "events")
 
     def batch(k: int) -> DataFrame:
