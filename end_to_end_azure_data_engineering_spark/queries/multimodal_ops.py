@@ -210,3 +210,66 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.min("media_id").alias("canonical_media_id"),
     )
+
+
+_CHUNK_S = 5   # chunk length, seconds
+_STRIDE_S = 4  # hop, seconds (1 s overlap)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                             ELSE 44100 END AS meta_sample_rate,
+             n_chars * 1000 AS meta_n_samples
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT media_id, meta_sample_rate,
+           unnest(generate_series(0, greatest(meta_n_samples - 1, 0),
+                                  {_STRIDE_S} * meta_sample_rate))
+               AS start_sample,
+           least(unnest(generate_series(0, greatest(meta_n_samples - 1, 0),
+                                        {_STRIDE_S} * meta_sample_rate))
+                 + {_CHUNK_S} * meta_sample_rate,
+                 meta_n_samples) AS end_sample
+    FROM media
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan — the audio twin of frame sampling: each track
+    fans out to fixed 5 s windows with a 4 s hop (1 s overlap, the standard
+    ASR/feature-extraction layout), expressed as sequence+explode over the
+    typed metadata (sample rate, sample count manufactured from documents —
+    no binary audio in the testdata). Narrow fan-out, no shuffle; the
+    per-chunk decode is the stubbed codec step behind mapInPandas, exactly
+    as in multimodal_features."""
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.lit([16000, 22050, 44100]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("meta_sample_rate"),
+        (F.col("n_chars") * 1000).alias("meta_n_samples"),
+    )
+    stride = F.lit(_STRIDE_S) * F.col("meta_sample_rate")
+    chunk = F.lit(_CHUNK_S) * F.col("meta_sample_rate")
+    return (
+        media.withColumn(
+            "start_sample",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("meta_n_samples") - 1, F.lit(0)).cast("long"),
+                    stride.cast("long"),
+                )
+            ),
+        )
+        .select(
+            "media_id", "meta_sample_rate", "start_sample",
+            F.least(F.col("start_sample") + chunk, F.col("meta_n_samples")).alias(
+                "end_sample"
+            ),
+        )
+    )
