@@ -125,3 +125,41 @@ def test_merge_sql_semantics_match_plan_form(spark):
     # current row — no expire, no second version
     k3 = [r for r in duck_rows if r[0] == 3]
     assert k3 == [(3, None, "OPEN", True, t0, t0)]
+
+
+def test_snapshot_asof_null_unsafe_and_expiry(spark):
+    """scd2_snapshot_asof reconstructs mid-history state, including the two
+    cases the driver testdata cannot exercise: (a) a NULL source value does
+    NOT expire the standing row (null-unsafe `<>`), so the as-of state
+    keeps the older value; (b) a row expired AFTER the as-of point must
+    reappear in the snapshot."""
+    import datetime as dt
+
+    from end_to_end_azure_data_engineering_spark.operators.scd2 import (
+        scd2_init, scd2_merge, scd2_snapshot_asof,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t0, t1, t2 = (dt.datetime(2024, 1, d) for d in (1, 2, 3))
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema)
+    b1 = spark.createDataFrame([("a", None), ("b", 5.0)], schema)  # a: NULL vs 1.0
+    b2 = spark.createDataFrame([("b", 9.0)], schema)
+
+    state = scd2_merge(scd2_init(b0, t0), b1, "k", ["v"], t1)
+    state = scd2_merge(state, b2, "k", ["v"], t2)
+
+    snap1 = {r.k: r.v for r in scd2_snapshot_asof(state, t1).collect()}
+    # (a) NULL <> 1.0 is not a change: 'a' keeps 1.0 at t1
+    # (b) 'b' changed at t1 (5.0) and again at t2 (9.0): the t1 row was
+    #     expired at t2, but the t1 snapshot must still show 5.0
+    assert snap1 == {"a": 1.0, "b": 5.0}
+
+    snap2 = {r.k: r.v for r in scd2_snapshot_asof(state, t2).collect()}
+    assert snap2 == {"a": 1.0, "b": 9.0}
+
+    snap0 = {r.k: r.v for r in scd2_snapshot_asof(state, t0).collect()}
+    assert snap0 == {"a": 1.0, "b": 2.0}
