@@ -623,15 +623,23 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate ratio: distinct 3-grams shared with ≥1 other
     same-source doc / distinct 3-grams. Docs under 3 tokens emit 0/0→0.0
     (kept via left join so the output covers the whole corpus). All counts
-    exact integers; the ratio is one division — hash-stable."""
+    exact integers; the ratio is one division — hash-stable.
+
+    The gram-frequency count rides a window over (source, gram) instead of
+    a groupBy + join-back: the join form re-runs the scan+explode for the
+    probe side (Spark does not CSE common subplans across join inputs) and
+    adds a join shuffle — measured 2× slower at sf0.1 (1.86s vs 0.96s).
+    One explode, one gram-keyed shuffle, one doc-keyed agg."""
+    from pyspark.sql.window import Window as W
+
     d = spread(load(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id", "source",
         F.explode(F.array_distinct(X.ngrams("text", 3))).alias("g"),
     )
-    counts = grams.groupBy("source", "g").agg(F.count("*").alias("n_docs_with"))
+    n_docs_with = F.count("*").over(W.partitionBy("source", "g"))
     per_doc = (
-        grams.join(counts, ["source", "g"])
+        grams.withColumn("n_docs_with", n_docs_with)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
