@@ -1416,3 +1416,219 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b.diff_us").alias("click_offset_us"),
         F.round(F.col("_b.cval"), 4).alias("nearest_click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel — view → click → purchase, each stage's timestamp at
+# or after the previous stage's for the same user. Three user-keyed aggs
+# chained by joins on user_id (co-partitioned; AQE broadcasts the shrinking
+# stage frames). All outputs are exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first view, first click at/after it, first
+    purchase at/after that; output is the stage survivor counts."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id").agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id").agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_view_click_purchase"))))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix — users grouped by first-activity week, counted in
+# each later week they return. Two user-keyed aggs + one (cohort, offset)
+# agg; weeks are exact integer epoch-day divisions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // (86400000000 * 7) AS week
+      FROM events GROUP BY user_id, week
+    ),
+    first_w AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+    SELECT f.cohort AS cohort_week,
+           w.week - f.cohort AS week_offset,
+           count(*) AS n_users
+    FROM w JOIN first_w f USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: (first-activity week, week offset) → distinct
+    returning users. The distinct (user, week) reduction happens FIRST, so
+    the cohort join carries one row per user-week, not per event."""
+    ev = load(spark, sf_dir, "events")
+    week = (epoch_us("ts") / F.lit(86_400_000_000 * 7)).cast("long")
+    w = ev.select("user_id", week.alias("week")).distinct()
+    first_w = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        w.join(first_w, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("week") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval merge — gaps-and-islands over derived validity spans
+# (order date .. +orderkey%30 days, per customer). The island detector is a
+# running max of span ends per customer; all window partitions are bounded
+# by per-customer order counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_overlapping_intervals",
+    oracle="""
+    WITH spans AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > max(e) OVER (
+                 PARTITION BY o_custkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                 PARTITION BY o_custkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ),
+    islands AS (
+      SELECT o_custkey, s, e,
+             sum(new_island) OVER (
+                 PARTITION BY o_custkey ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT o_custkey, min(s) AS merged_start, max(e) AS merged_end,
+           count(*) AS n_spans
+    FROM islands GROUP BY o_custkey, island
+    """,
+)
+def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-customer validity spans (gaps-and-islands):
+    a span starts a new island iff it begins after the running max of all
+    previous span ends. Two windows on the same (custkey, s, e) ordering —
+    one sort, bounded partitions."""
+    o = load(spark, sf_dir, "orders")
+    spans = o.select(
+        "o_custkey",
+        F.to_date(F.col("o_orderdate")).alias("s"),
+        F.date_add(F.col("o_orderdate"), (F.col("o_orderkey") % 30).cast("int")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("o_custkey").orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("o_custkey").orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return islands.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("merged_start"),
+        F.max("e").alias("merged_end"),
+        F.count("*").alias("n_spans"),
+    ).drop("island")
+    # (island id is the grouping key but not part of the reported shape)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day — first-seen reduction then a bounded
+# day-keyed cumsum (the window frame is #days, never #events).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      GROUP BY user_id, day
+    ),
+    daily AS (SELECT day, count(*) AS n_active FROM du GROUP BY day),
+    firsts AS (
+      SELECT min(day) AS first_day FROM du GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT d.day,
+           d.n_active,
+           coalesce(n.n_new, 0) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+               ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_cumulative
+    FROM daily d LEFT JOIN new_per_day n USING (day)
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, new users, and the running total of distinct users
+    ever seen. The global window runs over one row per DAY (bounded —
+    ~thousands of rows at any corpus size), never over events; the heavy
+    reductions are keyed aggs."""
+    ev = load(spark, sf_dir, "events")
+    day = (epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    du = ev.select("user_id", day.alias("day")).distinct()
+    daily = du.groupBy("day").agg(F.count("*").alias("n_active"))
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = firsts.groupBy("day").agg(F.count("*").alias("n_new"))
+    joined = daily.join(new_per_day, "day", "left").select(
+        "day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.withColumn("n_cumulative", F.sum("n_new").over(w))
