@@ -61,6 +61,12 @@ HEADLINE = [
     "zorder_layout",
     "embedding_centroid_drift",
     "asof_join_nearest",
+    "stream_interval_join",
+    "multimodal_audio_chunks",
+    "funnel_conversion",
+    "retention_cohorts",
+    "merge_overlapping_intervals",
+    "cumulative_distinct_users",
 ]
 
 

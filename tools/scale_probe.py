@@ -75,6 +75,13 @@ def main() -> int:
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
+    # the build leaves shuffle/broadcast blocks behind that inflate the
+    # first measurements in the same session (observed 9x on the heaviest
+    # query); force cleanup before timing
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
     qs = ent.queries()
     print(f"{'query':28s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>8s}  ratio(1/0.1)")
