@@ -32,8 +32,15 @@ class Warehouse:
         p = self.path(namespace, table)
         return p.exists() and any(p.iterdir())
 
-    def read(self, namespace: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.path(namespace, table)))
+    def read(self, namespace: str, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions the schemas of every file (columns
+        added by later evolving appends surface as NULL on older rows) —
+        the read half of Delta's mergeSchema. Off by default: schema
+        merging lists every footer, which costs on very wide tables."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(str(self.path(namespace, table)))
 
     def overwrite(
         self,
@@ -142,6 +149,32 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(self.path(namespace, table)))
+
+    def append_evolve(self, df: DataFrame, namespace: str, table: str) -> None:
+        """Schema-evolving append — the Delta ``mergeSchema`` write twin
+        (`4_silver` MERGEs rely on Delta's implicit evolution). New columns
+        are allowed (older rows read as NULL under ``read(...,
+        merge_schema=True)``); dropping columns is allowed (newer files
+        simply lack them); CHANGING an existing column's type is rejected
+        up front, because parquet footer-merge would otherwise fail at read
+        time with an opaque error far from the offending write."""
+        if self.exists(namespace, table):
+            current = {
+                f.name: f.dataType
+                for f in self.read(namespace, table, merge_schema=True).schema
+            }
+            clashes = [
+                f"{f.name}: table {current[f.name].simpleString()} vs "
+                f"batch {f.dataType.simpleString()}"
+                for f in df.schema
+                if f.name in current and f.dataType != current[f.name]
+            ]
+            if clashes:
+                raise TypeError(
+                    f"append_evolve into {namespace}.{table} would change "
+                    f"column types: {'; '.join(clashes)}"
+                )
+        self.append(df, namespace, table)
 
     def archive(
         self,

@@ -87,3 +87,34 @@ def test_compact_small_files(spark, wh):
     )
     spans = sorted((r.lo, r.hi) for r in ranges)
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """append_evolve: new columns surface NULL on old rows under
+    merge_schema reads; type changes are rejected before any file lands."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "evo_wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    wh.overwrite(v1, "silver", "accounts_evo")
+
+    v2 = spark.createDataFrame(
+        [(3, "c", "premium")], "id long, name string, tier string"
+    )
+    wh.append_evolve(v2, "silver", "accounts_evo")
+
+    merged = wh.read("silver", "accounts_evo", merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "tier"}
+    rows = {r.id: r.tier for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "premium"}
+
+    # dropping a column is fine — newer files just lack it
+    v3 = spark.createDataFrame([(4,)], "id long")
+    wh.append_evolve(v3, "silver", "accounts_evo")
+    assert wh.read("silver", "accounts_evo", merge_schema=True).count() == 4
+
+    # changing an existing column's type is rejected up front
+    bad = spark.createDataFrame([(5, 7.5)], "id long, name double")
+    with _pytest.raises(TypeError, match="name"):
+        wh.append_evolve(bad, "silver", "accounts_evo")
+    assert wh.read("silver", "accounts_evo", merge_schema=True).count() == 4
