@@ -498,3 +498,52 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_raw") / F.col("total_w").cast("double"), 6).alias("sample_weight"),
         F.expr(f"div({EPOCH_TOKEN_BUDGET} * w_raw, total_w)").alias("epoch_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + sharding — the data-loader prep step: every
+# epoch's read order must be (a) uniformly shuffled, (b) reproducible on any
+# cluster size, (c) shardable so each trainer rank reads its own files.
+# Achieved with the salted portable hash as BOTH the shard assigner and the
+# within-shard sort key: no RNG state, no driver involvement, stable under
+# re-partitioning. The only shuffle is the row_number's per-shard sort —
+# each shard is corpus/n_shards rows, and shards are independent (at 100 TB
+# this is `repartitionByRange(shard, h)` + `partitionBy(shard)` writes).
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SALT = "epoch-0"
+N_SHARDS = 8
+
+
+@register(
+    "training_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {S.HASH32_SQL(f"'{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    )
+    SELECT doc_id, hv % {N_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hv % {N_SHARDS} ORDER BY hv, doc_id) - 1 AS BIGINT)
+               AS position
+    FROM h
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, position) for every doc under a salted deterministic
+    permutation: change SHUFFLE_SALT per epoch for a fresh order,
+    re-run anywhere for the identical one. hv is the md5-based portable
+    32-bit hash (functions/sketches.hash32), so the oracle replays the
+    exact permutation."""
+    d = spread(load(spark, sf_dir, "documents"))
+    h = d.select(
+        "doc_id",
+        S.hash32(F.concat(F.lit(f"{SHUFFLE_SALT}:"), F.col("doc_id").cast("string"))).alias("hv"),
+    )
+    w = W.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("shard", F.col("hv") % N_SHARDS)
+        .withColumn("position", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("doc_id", "shard", "position")
+    )
