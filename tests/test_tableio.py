@@ -118,3 +118,37 @@ def test_schema_evolution_append(spark, tmp_path):
     with _pytest.raises(TypeError, match="name"):
         wh.append_evolve(bad, "silver", "accounts_evo")
     assert wh.read("silver", "accounts_evo", merge_schema=True).count() == 4
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: joining a date-partitioned fact to a FILTERED dim must inject a
+    runtime pruning subquery into the fact scan — only the partitions the
+    dim filter selects are read. This is the mechanism that turns the gold
+    star schema's dim filters into fact-scan skips at 100 TB (static
+    pruning can't see through the join; DPP can)."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "dpp_wh"))
+    fact = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 997).cast("double").alias("amount"),
+    )
+    wh.overwrite(fact, "gold", "fact_part", partition_by=["day"])
+    dim = spark.range(30).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tier"),
+    )
+    wh.overwrite(dim, "gold", "dim_day")
+
+    f = wh.read("gold", "fact_part")
+    d = wh.read("gold", "dim_day").filter(F.col("tier") == "hot")
+    j = f.join(d, "day").agg(F.sum("amount").alias("s"))
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # correctness: only days 0..2 contribute
+    expected = (
+        fact.filter(F.col("day") < 3).agg(F.sum("amount")).first()[0]
+    )
+    assert j.first().s == expected
