@@ -17,15 +17,37 @@ def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:
     return spark.read.parquet(pattern)
 
 
-def read_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
     """S7 — header, quote '\"', escape '\\'
-    (generic_adls_flat_file_ds.json:33-38). No inferSchema: conform casts."""
-    return (
+    (generic_adls_flat_file_ds.json:33-38). No inferSchema: conform casts.
+
+    ``keep_corrupt`` is the ADF fault-tolerance twin (the reference's copy
+    activities default to skip-incompatible-rows): malformed lines land in
+    a ``_corrupt_record`` column instead of failing the load, so the bad
+    rows can be quarantined downstream like any other DQ violation rather
+    than silently dropped. Requires an explicit ``schema`` (Spark only
+    materializes _corrupt_record under a user schema)."""
+    r = (
         spark.read.option("header", True)
         .option("quote", '"')
         .option("escape", "\\")
-        .csv(path)
     )
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt requires an explicit schema")
+        r = (
+            r.schema(f"{schema}, _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
 
 
 def read_jdbc(

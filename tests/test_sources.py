@@ -148,3 +148,34 @@ def test_incremental_ingest_partitioned_layout(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and stamp2 in m.group(1), plan
     assert {r.id for r in batch2.collect()} == {4}
+
+
+def test_read_csv_keep_corrupt_quarantines_bad_rows(spark, tmp_path):
+    """ADF fault-tolerance twin: malformed lines surface in
+    _corrupt_record for downstream quarantine instead of failing or
+    silently vanishing."""
+    import pytest as _pytest
+
+    from end_to_end_azure_data_engineering_spark.sources.readers import read_csv
+
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,amount,name\n"
+        "1,10.5,alice\n"
+        "2,notanumber,bob\n"      # type violation
+        "3,7.25,carol\n"
+    )
+    df = read_csv(
+        spark, str(p), schema="id int, amount double, name string",
+        keep_corrupt=True,
+    ).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert [r.id for r in good.orderBy("id").collect()] == [1, 3]
+    assert bad.count() == 1
+    assert "notanumber" in bad.first()._corrupt_record
+    df.unpersist()
+
+    with _pytest.raises(ValueError):
+        read_csv(spark, str(p), keep_corrupt=True)
