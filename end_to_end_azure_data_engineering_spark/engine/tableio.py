@@ -258,13 +258,34 @@ class VersionedWarehouse(Warehouse):
 
     def commit(self, df: DataFrame, namespace: str, table: str) -> int:
         """Write the next version and atomically publish it. Returns the
-        committed version number."""
+        committed version number.
+
+        Concurrent writers are serialized by optimistic concurrency: the
+        version DIRECTORY is the claim — ``mkdir`` is atomic, so exactly
+        one writer wins each number and losers re-list and take the next
+        (Delta's commit-log contention, file-system edition). Snapshots are
+        whole-table, so pointer publication is last-writer-wins; a crashed
+        claim leaves an empty ``_vN`` that is never reused, never published,
+        and is swept by ``vacuum``. The write APPENDS into the claimed
+        empty directory (an overwrite would delete-and-recreate it, opening
+        a window where a competitor could re-claim the same number)."""
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
-        vs = self.versions(namespace, table)
-        nxt = (vs[-1] + 1) if vs else 0
-        vdir = base / f"_v{nxt}"
-        df.write.mode("overwrite").parquet(str(vdir))
+        for _ in range(64):
+            vs = self.versions(namespace, table)
+            nxt = (vs[-1] + 1) if vs else 0
+            vdir = base / f"_v{nxt}"
+            try:
+                vdir.mkdir()  # atomic claim
+                break
+            except FileExistsError:
+                continue  # lost the race for nxt — re-list, take the next
+        else:
+            raise RuntimeError(
+                f"could not claim a version for {namespace}.{table} after 64 "
+                "attempts — pathological writer contention"
+            )
+        df.write.mode("append").parquet(str(vdir))
         tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
         # fsync before the rename: os.replace is atomic in the namespace,
         # but without flushing the data blocks first a crash can publish a

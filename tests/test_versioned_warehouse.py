@@ -137,3 +137,48 @@ def test_change_feed_apply_reconstructs_new(spark, vwh):
     assert rebuilt.count() == new.count()
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_concurrent_commits_serialize_via_occ(spark, tmp_path):
+    """Eight writers committing at once must each win a DISTINCT version
+    (the mkdir claim is the OCC lock), every version must be readable, and
+    the published pointer must name one of them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "occ_wh"))
+
+    def committer(i: int) -> int:
+        df = spark.range(10).selectExpr("id", f"{i} AS writer")
+        return vw.commit(df, "gold", "occ_t")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(committer, range(8)))
+
+    assert sorted(versions) == list(range(8))  # all distinct, no gaps
+    cur = vw.current_version("gold", "occ_t")
+    assert cur in versions
+    for v in versions:
+        assert vw.read("gold", "occ_t", version=v).count() == 10
+
+
+def test_crashed_claim_is_skipped_and_vacuumed(spark, tmp_path):
+    """An empty _vN left by a dead writer is never reused or published;
+    vacuum sweeps it."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "crash_wh"))
+    v0 = vw.commit(spark.range(5), "gold", "t")
+    assert v0 == 0
+    # simulate a writer that claimed _v1 then died
+    (vw.path("gold", "t") / "_v1").mkdir()
+    v2 = vw.commit(spark.range(6), "gold", "t")
+    assert v2 == 2  # the dead claim's number is burned, not reused
+    assert vw.current_version("gold", "t") == 2
+    removed = vw.vacuum("gold", "t", keep=1)
+    assert 1 in removed
