@@ -61,6 +61,40 @@ def main() -> None:
     print("\n== split x lang ==")
     final.groupBy("split").pivot("lang").count().orderBy("split").show()
 
+    # 4. temperature-scaled source mixture (∝ √tokens) for the train split
+    train = final.filter(F.col("split") == "train").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    src = train.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    w = src.withColumn(
+        "w_raw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    total = w.agg(F.sum("w_raw").alias("total_w"))
+    mix = w.crossJoin(F.broadcast(total)).select(
+        "source", "n_tokens",
+        F.round(F.col("w_raw") / F.col("total_w"), 4).alias("sample_weight"),
+    )
+    print("== mixture weights (top 5 by weight) ==")
+    mix.orderBy(F.desc("sample_weight")).show(5)
+
+    # 5. deterministic epoch shuffle -> shard layout a data loader reads:
+    # salted-hash permutation, one directory per shard (partitionBy write)
+    import tempfile
+
+    hv = S.hash32(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string")))
+    sharded = train.select("doc_id", "text", hv.alias("hv")).withColumn(
+        "shard", F.col("hv") % 8
+    )
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    (
+        sharded.repartition(8, "shard")
+        .sortWithinPartitions("shard", "hv")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    print(f"epoch-0 shards written under {out} (one dir per trainer rank)")
+
 
 if __name__ == "__main__":
     main()
