@@ -28,6 +28,18 @@ class Warehouse:
     def path(self, namespace: str, table: str) -> Path:
         return self.root / namespace / table
 
+    @staticmethod
+    def _count_files(root: Path) -> int:
+        """Row count from parquet footers (recursive — covers hive
+        partition dirs): exact and driver-side, replacing the full Spark
+        count job every write used to pay just to report rows written.
+        Footer reads are metadata-only — no data pages touched."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f).num_rows for f in root.rglob("*.parquet")
+        )
+
     def exists(self, namespace: str, table: str) -> bool:
         p = self.path(namespace, table)
         return p.exists() and any(p.iterdir())
@@ -66,7 +78,7 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(tmp))
-        n = self.spark.read.parquet(str(tmp)).count()
+        n = self._count_files(tmp)
         if final.exists():
             shutil.rmtree(final)
         tmp.rename(final)

@@ -53,8 +53,7 @@ def run_silver(
             t0 = audit.start("silver", name)
             try:
                 staged = conform_entity(spec, bronze[name])
-                load_entity(wh, spec, staged, clock)
-                n = wh.read("silver", name).count()
+                n = load_entity(wh, spec, staged, clock)
                 audit.success("silver", name, t0, n, None)
                 return n
             except Exception as exc:

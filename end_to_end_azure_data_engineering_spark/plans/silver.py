@@ -114,8 +114,10 @@ def conform_entity(spec: EntitySpec, sources: list[tuple[DataFrame, str | None]]
 
 def load_entity(
     wh: Warehouse, spec: EntitySpec, staged: DataFrame, clock: Clock
-) -> None:
-    """Apply the entity's load pattern against the warehouse silver table."""
+) -> int:
+    """Apply the entity's load pattern against the warehouse silver table.
+    Returns rows written (the overwrite's footer count), so callers can
+    audit without a re-read."""
     now = clock.now()
     if spec.load == "scd2":
         if wh.exists("silver", spec.name):
@@ -123,16 +125,16 @@ def load_entity(
             new_state = scd2_merge(target, staged, spec.key, list(spec.compare_cols), now)
         else:
             new_state = scd2_init(staged, now)
-        wh.overwrite(new_state, "silver", spec.name)
+        return wh.overwrite(new_state, "silver", spec.name)
     elif spec.load == "append":
         batch = staged.withColumn("audit_insertdate", F.lit(now).cast("timestamp"))
         if wh.exists("silver", spec.name):
             new_state = append_if_absent(wh.read("silver", spec.name), batch, spec.key)
         else:
             new_state = batch
-        wh.overwrite(new_state, "silver", spec.name)
+        return wh.overwrite(new_state, "silver", spec.name)
     else:  # full refresh — M3
-        wh.overwrite(staged, "silver", spec.name)
+        return wh.overwrite(staged, "silver", spec.name)
 
 
 # ---------------------------------------------------------------------------
