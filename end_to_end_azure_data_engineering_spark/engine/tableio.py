@@ -147,6 +147,35 @@ class Warehouse:
         self.overwrite(df, namespace, table)
         return len(list(self.path(namespace, table).glob("*.parquet")))
 
+    def overwrite_zordered(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        x: str,
+        y: str,
+        target_files: int = 32,
+    ) -> int:
+        """Overwrite with Z-order clustering on two pre-reduced 16-bit
+        dimension columns (`OPTIMIZE ZORDER BY` on plain parquet): rows are
+        range-partitioned and sorted by the morton interleave of (x, y), so
+        each file's min/max footer stats are tight on BOTH columns and a
+        filter on EITHER skips most files — one sorted axis can only give
+        that for its leading column. ``x``/``y`` must already be in
+        0..65535 (modulo / bucketed rank / epoch-day); see
+        functions/zorder.py. Returns rows written."""
+        from ..functions.zorder import morton_key
+
+        clustered = (
+            df.withColumn("_z", morton_key(x, y))
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        # repartitionByRange needs the key at plan time, so _z is computed,
+        # used for the exchange+sort, and dropped before the files land
+        return self.overwrite(clustered, namespace, table)
+
     def append(
         self,
         df: DataFrame,

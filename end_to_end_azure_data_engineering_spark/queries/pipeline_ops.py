@@ -266,15 +266,6 @@ _Z_BITS = 16
 _Z_BUCKET_SHIFT = 20  # 32-bit morton >> 20 → ≤4096 buckets
 
 
-def _bit_spread(expr: str) -> str:
-    """16-bit value → 32 bits with zeros interleaved (closed-form morton
-    half): four shift-or-mask steps, pure codegen arithmetic — the whole
-    query ran 2.3× faster at sf0.1 (1.26s → 0.56s warm) than with the
-    equivalent interpreted `aggregate` HOF fold."""
-    e = expr
-    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
-        e = f"((({e}) | shiftleft(({e}), {shift})) & {mask}L)"
-    return e
 
 
 @register(
@@ -315,7 +306,9 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 65536).alias("x"),
         (F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date")) % 65536).alias("y"),
     )
-    morton = F.expr(f"{_bit_spread('x')} | shiftleft({_bit_spread('y')}, 1)")
+    from ..functions.zorder import morton_key
+
+    morton = morton_key("x", "y")
     return (
         dims.withColumn("morton", morton)
         .select(

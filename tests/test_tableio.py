@@ -152,3 +152,59 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         fact.filter(F.col("day") < 3).agg(F.sum("amount")).first()[0]
     )
     assert j.first().s == expected
+
+
+def test_zordered_write_skips_on_both_dims(spark, tmp_path):
+    """overwrite_zordered: per-file footer min/max ranges must be tight on
+    BOTH interleaved dimensions, so a point filter on EITHER column skips
+    most files — a single-axis sort can only do that for its leading
+    column. Verified from the parquet footers themselves (the same stats a
+    scan's file pruning reads)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "z_wh"))
+    n = 60_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 4096).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 4096).alias("y"),
+        F.col("id").alias("payload"),
+    ).withColumn("x", F.abs("x")).withColumn("y", F.abs("y"))
+
+    wh.overwrite_zordered(df, "gold", "zt", "x", "y", target_files=16)
+    wh.overwrite(df.repartitionByRange(16, "x").sortWithinPartitions("x"), "gold", "lin")
+
+    def file_ranges(table):
+        out = []
+        for f in wh.path("gold", table).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            out.append((lo, hi))
+        return out
+
+    def files_hit(ranges, col, point):
+        return sum(1 for lo, hi in ranges if lo[col] <= point <= hi[col])
+
+    zr, lr = file_ranges("zt"), file_ranges("lin")
+    assert len(zr) >= 8 and len(lr) >= 8
+    probes = [100, 1000, 2000, 3000, 4000]
+    z_x = sum(files_hit(zr, "x", p) for p in probes) / (len(probes) * len(zr))
+    z_y = sum(files_hit(zr, "y", p) for p in probes) / (len(probes) * len(zr))
+    l_x = sum(files_hit(lr, "x", p) for p in probes) / (len(probes) * len(lr))
+    l_y = sum(files_hit(lr, "y", p) for p in probes) / (len(probes) * len(lr))
+    # the x-sorted layout skips on x but reads EVERY file for y filters
+    assert l_x < 0.35 and l_y > 0.95
+    # the z-ordered layout skips meaningfully on BOTH
+    assert z_x < 0.75 and z_y < 0.75, (z_x, z_y)
+    # and rows survive intact
+    assert wh.read("gold", "zt").count() == n
