@@ -148,6 +148,13 @@ def main() -> None:
 
     wh_root = tempfile.mkdtemp(prefix="bench_wh_")
     try:
+        # release query-phase shuffle/broadcast blocks before timing the
+        # pipeline (same block-manager-pressure mechanism as the per-query
+        # GC above)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         pipe = run_pipeline_benchmark(spark, sf_dir, wh_root)
         out["pipeline_total"] = pipe["pipeline_total"]
         out["pipeline"] = {
