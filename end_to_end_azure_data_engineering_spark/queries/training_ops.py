@@ -322,10 +322,11 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = toks.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("tok").alias("total_tokens")
     ).withColumn("w", F.expr(_MIX_W_SPARK))
-    # sum of weights over the (tiny) per-source frame: single-partition
-    # window over ~#sources rows, not the corpus
+    # sum of weights as a 1-row broadcast aggregate (the scalar-aggregate
+    # pattern, replacing a single-partition window over the per-source
+    # frame — same result, no global-window warning in the bench tail)
     rates = (
-        totals.withColumn("sum_w", F.sum("w").over(W.partitionBy()))
+        totals.crossJoin(F.broadcast(totals.agg(F.sum("w").alias("sum_w"))))
         .withColumn(
             "target_tokens", F.expr(f"div({MIX_BUDGET_TOKENS} * w, sum_w)")
         )
