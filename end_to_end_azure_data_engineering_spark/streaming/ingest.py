@@ -236,6 +236,7 @@ def interval_join_events(
     event_time: str = "ts",
     horizon: str = "30 minutes",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with the right
     events of the same key whose timestamp falls in [left_ts, left_ts +
@@ -264,9 +265,16 @@ def interval_join_events(
         l = l.withWatermark("l_ts", delay)
     if purchases.isStreaming:
         r = r.withWatermark("r_ts", delay)
+    # how="left_outer": clicks with no purchase in their horizon emit with
+    # null right columns — on streams, only after the watermark passes the
+    # click's horizon (state can then prove no match will arrive). The
+    # watermark-delayed emission is the defining outer-join semantics on
+    # unbounded input; tests drive it by advancing the watermark with a
+    # later batch.
     return l.join(
         r,
         (F.col("_k") == F.col("_rk"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(F.col("_k").alias(key), "l_id", "l_ts", "r_id", "r_ts", "r_value")

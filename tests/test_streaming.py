@@ -241,3 +241,47 @@ def test_interval_join_streams(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT l_id, r_id FROM ivj_out").collect()
     assert {(r.l_id, r.r_id) for r in rows} == {(1, 10), (2, 11), (3, 13)}
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream interval join: a click with no purchase in
+    its horizon emits with null right columns once the watermark (advanced
+    by a later batch) proves no match can still arrive."""
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        interval_join_events,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    _write_batch(spark, clicks_dir, [
+        (1, t0, 1, "click", 0.0),                            # will match
+        (2, t0 + dt.timedelta(minutes=1), 2, "click", 0.0),  # never matches
+    ])
+    _write_batch(spark, purch_dir, [
+        (10, t0 + dt.timedelta(minutes=5), 1, "purchase", 4.0),
+    ])
+    joined = interval_join_events(
+        stream_files(spark, clicks_dir, EVENT_SCHEMA),
+        stream_files(spark, purch_dir, EVENT_SCHEMA),
+        horizon="30 minutes",
+        delay="5 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ivjo_out").start()
+    )
+    q.processAllAvailable()
+    # advance the watermark far past click 2's horizon on BOTH inputs
+    far = t0 + dt.timedelta(hours=3)
+    _write_batch(spark, clicks_dir, [(3, far, 9, "click", 0.0)])
+    _write_batch(spark, purch_dir, [(11, far, 9, "purchase", 1.0)])
+    q.processAllAvailable()
+    # one more micro-batch so the state store evicts + emits outer rows
+    _write_batch(spark, clicks_dir, [(4, far + dt.timedelta(minutes=1), 8, "click", 0.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.l_id, r.r_id) for r in spark.sql("SELECT l_id, r_id FROM ivjo_out").collect()}
+    assert (1, 10) in rows          # matched pair
+    assert (2, None) in rows        # unmatched click emitted with nulls
