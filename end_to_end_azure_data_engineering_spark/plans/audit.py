@@ -149,6 +149,14 @@ class AuditLog:
     def read(self) -> DataFrame:
         return self.wh.read(NAMESPACE, TABLE)
 
+    def compact(self, target_files: int = 8) -> int:
+        """Fold the accumulated one-file-per-insert audit rows into
+        ``target_files`` files, clustered by insert time (watermark fetch
+        sorts on it). Run periodically — the Arrow fast path trades one
+        tiny file per audit row for insert latency, and a long-lived
+        deployment should sweep them like any other small-file accretion."""
+        return self.wh.compact(NAMESPACE, TABLE, target_files, cluster_by=["inserted_at"])
+
     def fetch_last_watermark(self, source_system: str, source_object: str) -> str:
         """O1/P6 — reference: 1_audit/fetch_logs.py:21-35. Empty string when
         no successful prior run (⇒ caller does a full scan, S6)."""

@@ -109,10 +109,17 @@ def test_fact_dispute_inherits_currency(wh):
 
 
 def test_audit_bracketing(wh):
-    logs = AuditLog(wh).read()
+    audit = AuditLog(wh)
+    logs = audit.read()
     assert logs.filter(F.col("status") == "STARTED").count() >= 18
     assert logs.filter(F.col("status") == "SUCCESS").count() >= 18
     assert logs.filter(F.col("status") == "FAILED").count() == 0
+    # compaction folds the per-insert files without losing rows, and the
+    # watermark fetch still works on the compacted layout
+    n_before = audit.read().count()
+    n_files = audit.compact(target_files=2)
+    assert n_files <= 4
+    assert audit.read().count() == n_before
 
 
 def test_idempotent_rerun_settlements_and_scd2(spark, wh):
