@@ -657,3 +657,141 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boilerplate_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the acting half of the PII scan (pii_pattern_counts
+# detects; this rewrites). The synthetic corpus carries no real PII, so the
+# query first plants a deterministic contact line per doc (same expression
+# both engines), then strips every email/IP/URL through the shared RE2-safe
+# patterns. Narrow per-row map, no shuffle; output is the redacted text's
+# md5 + the redaction count so the driver hashes proof-of-rewrite, not
+# megabytes of text.
+# ---------------------------------------------------------------------------
+
+_REDACT = [
+    ("n_emails", "<EMAIL>"),
+    ("n_ipv4", "<IP>"),
+    ("n_urls", "<URL>"),
+]
+
+
+@register(
+    "pii_redact_text",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or http://host' || CAST(doc_id AS VARCHAR)
+                  || '.test via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{X.PII_PATTERNS["n_emails"]}'))
+             + len(regexp_extract_all(t, '{X.PII_PATTERNS["n_ipv4"]}'))
+             + len(regexp_extract_all(t, '{X.PII_PATTERNS["n_urls"]}'))
+               AS n_redacted,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{X.PII_PATTERNS["n_emails"]}', '<EMAIL>', 'g'),
+               '{X.PII_PATTERNS["n_ipv4"]}', '<IP>', 'g'),
+               '{X.PII_PATTERNS["n_urls"]}', '<URL>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+)
+def pii_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a per-doc contact line, then redact emails → <EMAIL>,
+    IPv4 → <IP>, URLs → <URL> (emails before IPs/URLs: orderings where one
+    pattern's replacement could feed another are pinned identically in
+    both engines). Counts + md5 of the redacted text prove the rewrite."""
+    d = spread(load(spark, sf_dir, "documents"))
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://host"), F.col("doc_id").cast("string"),
+            F.lit(".test via 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("t"),
+    )
+    n = sum(
+        (F.regexp_count(F.col("t"), F.lit(X.PII_PATTERNS[k])) for k, _ in _REDACT),
+        F.lit(0),
+    )
+    red = F.col("t")
+    for k, token in _REDACT:
+        red = F.regexp_replace(red, X.PII_PATTERNS[k], token)
+    return planted.select(
+        "doc_id",
+        n.alias("n_redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust length-outlier screen — median/MAD instead of mean/stddev (one
+# giant doc shifts a mean; it cannot shift a median). Token counts are
+# integers, so the interpolated median and MAD are exact multiples of 0.5
+# — every comparison below is exact double arithmetic, identical across
+# engines (no epsilon games).
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0  # flag |x - median| > 3 * MAD
+
+
+@register(
+    "doc_length_outliers",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {X.TOKEN_COUNT_SQL('text')} AS n FROM documents
+    ),
+    med AS (
+      SELECT source, quantile_cont(n, 0.5) AS med FROM toks GROUP BY source
+    ),
+    dev AS (
+      SELECT t.doc_id, t.source, t.n, m.med, abs(t.n - m.med) AS ad
+      FROM toks t JOIN med m USING (source)
+    ),
+    mad AS (
+      SELECT source, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT d.source,
+           round(d.med, 1) AS median_tokens,
+           round(m.mad, 1) AS mad_tokens,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.ad > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (source)
+    GROUP BY d.source, d.med, m.mad
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier counts: docs whose token count deviates
+    from the source median by more than 3 MADs. Two grouped exact-percentile
+    passes with a broadcast join-back between them — both aggs shuffle
+    #sources groups only."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "source", X.token_count("text").alias("n"))
+    med = toks.groupBy("source").agg(F.percentile("n", 0.5).alias("med"))
+    dev = toks.join(F.broadcast(med), "source").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.percentile("ad", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("ad") > _MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "source",
+            F.round("med", 1).alias("median_tokens"),
+            F.round("mad", 1).alias("mad_tokens"),
+            "n_docs",
+            "n_outliers",
+        )
+    )
