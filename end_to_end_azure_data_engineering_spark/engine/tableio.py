@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -204,11 +205,17 @@ class Warehouse:
                 f.name: f.dataType
                 for f in self.read(namespace, table, merge_schema=True).schema
             }
+            # compare on simpleString: nested NULLABILITY differences
+            # (ArrayType.containsNull, StructField.nullable) are merge-
+            # compatible in parquet and must not block an append — strict
+            # DataType equality rejected array<int> vs array<int> whose
+            # only difference was containsNull
             clashes = [
                 f"{f.name}: table {current[f.name].simpleString()} vs "
                 f"batch {f.dataType.simpleString()}"
                 for f in df.schema
-                if f.name in current and f.dataType != current[f.name]
+                if f.name in current
+                and f.dataType.simpleString() != current[f.name].simpleString()
             ]
             if clashes:
                 raise TypeError(
@@ -327,21 +334,66 @@ class VersionedWarehouse(Warehouse):
                 "attempts — pathological writer contention"
             )
         df.write.mode("append").parquet(str(vdir))
-        tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
-        # fsync before the rename: os.replace is atomic in the namespace,
-        # but without flushing the data blocks first a crash can publish a
-        # pointer file whose CONTENT never reached disk (torn/empty read).
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer(namespace, table))  # atomic publish
+        self._publish(namespace, table, nxt)
         return nxt
 
+    def _publish(self, namespace: str, table: str, nxt: int) -> None:
+        """Monotonic pointer publish under a short-lived lock file.
+
+        Without the monotonicity check, a SLOW writer holding a lower
+        claimed version could overwrite a faster writer's already-published
+        higher pointer — silently un-publishing an acknowledged commit
+        (reported in round-4 review). The lock serializes the
+        read-compare-replace; it protects microseconds of driver-side work,
+        so contention is bounded, and a lock older than 60 s is treated as
+        a crashed holder and stolen. A skipped publish is still a durable
+        commit: the version directory exists and time-travel reads it."""
+        base = self.path(namespace, table)
+        lock = base / ".ptr.lock"
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - lock.stat().st_mtime > 60.0:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"pointer lock for {namespace}.{table} held too long"
+                    )
+                time.sleep(0.01)
+        try:
+            cur = self.current_version(namespace, table)
+            if cur is not None and cur >= nxt:
+                return  # a newer commit already published — never go backwards
+            tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
+            # fsync before the rename: os.replace is atomic in the
+            # namespace, but without flushing the data blocks first a crash
+            # can publish a pointer file whose CONTENT never reached disk.
+            with open(tmp, "w") as f:
+                f.write(str(nxt))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._pointer(namespace, table))
+        finally:
+            lock.unlink(missing_ok=True)
+
     def read(
-        self, namespace: str, table: str, version: int | None = None
+        self,
+        namespace: str,
+        table: str,
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
-        """Read the published snapshot (or time-travel to `version`)."""
+        """Read the published snapshot (or time-travel to `version`).
+        ``merge_schema`` matches the base-class signature so inherited
+        callers (append_evolve) work polymorphically."""
         v = version if version is not None else self.current_version(namespace, table)
         if v is None:
             raise FileNotFoundError(
@@ -352,7 +404,10 @@ class VersionedWarehouse(Warehouse):
             raise FileNotFoundError(
                 f"{namespace}.{table} version {v} not found (vacuumed?)"
             )
-        return self.spark.read.parquet(str(vdir))
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(str(vdir))
 
     def vacuum(self, namespace: str, table: str, keep: int = 2) -> list[int]:
         """Drop all but the newest `keep` versions (never the published

@@ -101,6 +101,11 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 def decode_bmp(payload: bytes) -> DecodedImage:
     if payload[:2] != b"BM":
         raise ValueError("bmp: bad magic")
+    if len(payload) < 34:
+        # struct.unpack_from on a shorter buffer raises struct.error, which
+        # is NOT a ValueError — normalize truncation to the decoder's
+        # documented rejection type
+        raise ValueError("bmp: truncated header")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size, width, height_raw) = struct.unpack_from("<Iii", payload, 14)
     if hdr_size < 40:
@@ -110,6 +115,11 @@ def decode_bmp(payload: bytes) -> DecodedImage:
         raise ValueError(f"bmp: only 24bpp BI_RGB supported (bpp={bpp})")
     bottom_up = height_raw > 0
     height = abs(height_raw)
+    if not (0 < width <= 1 << 15 and 0 < height <= 1 << 15):
+        # a corrupt header can declare gigapixel dimensions; allocating the
+        # raster before validating would raise MemoryError and kill the
+        # executor instead of rejecting the row
+        raise ValueError(f"bmp: implausible dimensions {width}x{height_raw}")
     stride = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for row in range(height):

@@ -111,7 +111,13 @@ def extract_features(
                 return (None, None, None)
             try:
                 img = decode_image(bytes(payload), decoder)
-            except (ValueError, NotImplementedError):
+            except Exception:
+                # broad by design: decode failures are DATA problems
+                # (truncated headers raise struct.error, absurd declared
+                # dimensions raise before allocation, injected decoders
+                # raise whatever they raise) and the contract is
+                # rejected-row-gets-nulls — a malformed payload must never
+                # abort the job
                 return (None, None, None)
             luma = float(img.mean_luma()) if hasattr(img, "mean_luma") else None
             return (int(img.width), int(img.height), luma)

@@ -16,6 +16,7 @@ removes its SQL-injection surface entirely.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import threading
 from dataclasses import dataclass, field
 
@@ -116,7 +117,15 @@ class AuditLog:
         tbl = pa.table({k: [v] for k, v in row.items()}, schema=schema)
         path = self.wh.path(NAMESPACE, TABLE)
         path.mkdir(parents=True, exist_ok=True)
-        pq.write_table(tbl, path / f"part-audit-{uuid.uuid4().hex}.parquet")
+        # stage under a dot-name (parquet readers ignore hidden files), then
+        # atomically rename: an interrupted write (ENOSPC, kill -9) must
+        # never leave a footerless partial in the live table — that would
+        # poison every later audit read, where the old Spark append staged
+        # through _temporary/ and never had this failure mode
+        name = f"part-audit-{uuid.uuid4().hex}.parquet"
+        tmp = path / f".{name}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path / name)
 
     def start(self, source_system: str, source_object: str) -> _dt.datetime:
         t0 = self.clock.now()
@@ -151,11 +160,44 @@ class AuditLog:
 
     def compact(self, target_files: int = 8) -> int:
         """Fold the accumulated one-file-per-insert audit rows into
-        ``target_files`` files, clustered by insert time (watermark fetch
-        sorts on it). Run periodically — the Arrow fast path trades one
-        tiny file per audit row for insert latency, and a long-lived
-        deployment should sweep them like any other small-file accretion."""
-        return self.wh.compact(NAMESPACE, TABLE, target_files, cluster_by=["inserted_at"])
+        ``target_files`` files. Run periodically — the Arrow fast path
+        trades one tiny file per audit row for insert latency, and a
+        long-lived deployment should sweep the accretion.
+
+        Concurrency-safe by construction: the file list is SNAPSHOTTED
+        first, the compacted output lands in the same directory under new
+        names, and then exactly the snapshotted sources are deleted —
+        inserts racing with the sweep are untouched. (A whole-directory
+        overwrite would silently delete rows inserted between its listing
+        and its rmtree — including SUCCESS rows carrying watermarks.)
+        Crash window: after output lands, before sources are deleted ⇒
+        duplicate audit rows, which the readers tolerate (watermark fetch
+        takes the latest row; duplicated telemetry rows are benign) — rows
+        are never lost. Returns the file count after the sweep."""
+        path = self.wh.path(NAMESPACE, TABLE)
+        sources = sorted(str(f) for f in path.glob("*.parquet"))
+        if len(sources) <= target_files:
+            return len(sources)
+        compacted = (
+            self.wh.spark.read.parquet(*sources)
+            .repartitionByRange(target_files, "inserted_at")
+            .sortWithinPartitions("inserted_at")
+        )
+        import shutil
+        import uuid as _uuid
+
+        tmp = path.parent / f".{TABLE}.compact.{_uuid.uuid4().hex[:8]}"
+        compacted.write.mode("overwrite").parquet(str(tmp))
+        with self._write_lock:
+            for f in tmp.glob("*.parquet"):
+                os.replace(f, path / f"part-compacted-{_uuid.uuid4().hex}.parquet")
+            for s in sources:
+                try:
+                    os.remove(s)
+                except FileNotFoundError:
+                    pass
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(list(path.glob("*.parquet")))
 
     def fetch_last_watermark(self, source_system: str, source_object: str) -> str:
         """O1/P6 — reference: 1_audit/fetch_logs.py:21-35. Empty string when

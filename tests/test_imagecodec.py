@@ -90,3 +90,45 @@ def test_extract_features_real_decode(spark):
     # decoder-less call keeps the original schema exactly
     plain = MM.extract_features(media)
     assert "decoded_width" not in plain.columns
+
+
+def test_corrupt_bmp_rejected_not_crashed():
+    """Truncated headers and absurd declared dimensions must reject with
+    ValueError (the decoder's documented type), never struct.error or a
+    pre-validation MemoryError allocation."""
+    import struct
+
+    import pytest as _pytest
+
+    from end_to_end_azure_data_engineering_spark.functions.imagecodec import decode_bmp
+
+    with _pytest.raises(ValueError, match="truncated header"):
+        decode_bmp(b"BM" + b"\x00" * 10)  # shorter than the fixed headers
+    # well-formed prefix declaring a gigapixel raster
+    huge = bytearray(64)
+    huge[0:2] = b"BM"
+    struct.pack_into("<I", huge, 10, 54)
+    struct.pack_into("<Iii", huge, 14, 40, 1 << 29, 1 << 29)
+    struct.pack_into("<HHI", huge, 26, 1, 24, 0)
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_bmp(bytes(huge))
+
+
+def test_decoded_features_null_out_corrupt_payloads(spark):
+    """extract_features' decoded path: a malformed BMP row yields nulls in
+    the decoded columns; the job never aborts (the rejected-row contract)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_data_engineering_spark.functions.imagecodec import (
+        decode_any, encode_bmp,
+    )
+    from end_to_end_azure_data_engineering_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    good = encode_bmp(2, 2, bytes(range(12)))
+    rows = [(1, "image", bytearray(good)), (2, "image", bytearray(b"BM\x00\x01"))]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = {r.media_id: r for r in extract_features(media, decoder=decode_any).collect()}
+    assert out[1].decoded_width == 2 and out[1].decoded_height == 2
+    assert out[2].decoded_width is None and out[2].mean_luma is None

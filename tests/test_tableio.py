@@ -208,3 +208,21 @@ def test_zordered_write_skips_on_both_dims(spark, tmp_path):
     assert z_x < 0.75 and z_y < 0.75, (z_x, z_y)
     # and rows survive intact
     assert wh.read("gold", "zt").count() == n
+
+
+def test_schema_evolution_ignores_nested_nullability(spark, tmp_path):
+    """Array columns differing only in containsNull are merge-compatible
+    and must not be rejected (review finding: strict DataType equality
+    produced a self-contradictory 'array<int> vs array<int>' error)."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "nul_wh"))
+    v1 = spark.createDataFrame([(1, [1, 2])], "id long, xs array<int>")
+    wh.overwrite(v1, "silver", "t")
+    # F.array of literals yields containsNull=False — same simpleString
+    v2 = spark.range(1).select(
+        (F.col("id") + 10).alias("id"),
+        F.array(F.lit(3), F.lit(4)).alias("xs"),
+    )
+    wh.append_evolve(v2, "silver", "t")  # must not raise
+    assert wh.read("silver", "t", merge_schema=True).count() == 2

@@ -182,3 +182,22 @@ def test_crashed_claim_is_skipped_and_vacuumed(spark, tmp_path):
     assert vw.current_version("gold", "t") == 2
     removed = vw.vacuum("gold", "t", keep=1)
     assert 1 in removed
+
+
+def test_pointer_never_published_backwards(spark, tmp_path):
+    """A slow writer holding a LOWER claimed version must not un-publish a
+    faster writer's higher pointer (review finding): _publish is a no-op
+    when the current pointer is already newer, and the lower version stays
+    readable via time travel."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "mono_wh"))
+    vw.commit(spark.range(3), "gold", "t")   # v0
+    vw.commit(spark.range(4), "gold", "t")   # v1, pointer=1
+    assert vw.current_version("gold", "t") == 1
+    # a straggler trying to publish the older version changes nothing
+    vw._publish("gold", "t", 0)
+    assert vw.current_version("gold", "t") == 1
+    assert vw.read("gold", "t", version=0).count() == 3  # still time-travelable
