@@ -392,3 +392,50 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " greatest(count(*), 1))"
         ).alias("recall_pct"),
     )
+
+
+@register(
+    "dedup_cluster_size_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    bidir AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    ),
+    comp AS (SELECT n, min(lbl) AS c FROM reach GROUP BY n),
+    sizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY c)
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup DIAGNOSTIC an operator
+    reads before pulling the trigger: how many clusters of each size, how
+    many docs they hold, and how many rows canonical-survivor dedup would
+    remove. Rides the verified component labeling; the histogram itself is
+    two tiny keyed aggs over the (collision-bound) component set."""
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+    )
