@@ -1,0 +1,91 @@
+"""Plan-regression guards — the PLANS.md design rules as executable tests.
+
+Builds the physical plan of EVERY registered query at sf0.001 and asserts
+the scale invariants hold:
+
+  1. no CartesianProduct anywhere;
+  2. BroadcastNestedLoopJoin only where a bounded build side justifies it
+     (explicit allowlist — the exhaustive ground-truth evals, the banded
+     range join, and broadcast 1-row scalar aggregates);
+  3. no row-at-a-time Python UDFs (BatchEvalPython) in any plan — the
+     zero-UDF rule; Arrow-batched mapInPandas is the one sanctioned
+     Python path (multimodal decode);
+  4. no single-partition window outside the two documented bounded curves.
+
+A new query that violates a rule fails HERE with its name, instead of
+surfacing as a mystery regression in a future round's bench tail.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as ent
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ is legitimate only where the docstring pins a bounded side:
+BNLJ_ALLOWED = {
+    "ann_bruteforce_topk",      # exhaustive by spec (the recall baseline)
+    "dedup_simhash_pairs",      # guarded all-pairs ground truth (capped)
+    "dedup_ngram_jaccard",      # guarded all-pairs ground truth (capped)
+    "lsh_recall_eval",          # consumes the exhaustive baseline above
+    "range_join_price_bands",   # theta join against a 9-row band table
+    "embedding_quantization_stats",  # broadcast scalar-aggregate crossjoin
+    "temperature_mixture_weights",   # broadcast 1-row total crossjoin
+    "forecast_revenue_change",       # broadcast scalar aggregates
+    "top_supplier_revenue",          # broadcast scalar max (the r3 fix)
+    "corpus_mixture_plan",           # broadcast 1-row weight normalizer
+    "funnel_conversion",             # three broadcast 1-row stage counts
+    "vocab_coverage",                # broadcast corpus-total scalar
+    "cross_source_overlap",          # broadcast per-source totals (~20 rows)
+    "promo_revenue_pct",             # broadcast scalar ratio denominator
+    "lsh_bucket_stats",              # broadcast 1-row corpus total
+    "minhash_band_candidates",       # broadcast 1-row candidate total
+    "important_part_value",          # broadcast scalar threshold subquery
+    "scalar_subquery_below_avg",     # broadcast scalar average
+    "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
+    "tfidf_top_terms",               # broadcast scalar corpus doc count
+    "fuzzy_name_match",              # broadcast bounded dim, ±1 length band
+}
+
+# the two documented bounded global-window curves (PLANS.md inventory)
+GLOBAL_WINDOW_ALLOWED = {"cumulative_distinct_users", "vocab_coverage"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in ent.queries().items():
+        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_bnlj_only_where_bounded(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert not offenders, offenders
+
+
+def test_no_row_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_global_windows_only_documented(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if re.search(r"Exchange SinglePartition", p)
+        and "Window" in p
+        and n not in GLOBAL_WINDOW_ALLOWED
+    ]
+    assert not offenders, offenders
