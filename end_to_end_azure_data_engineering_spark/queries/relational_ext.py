@@ -1632,3 +1632,138 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     return joined.withColumn("n_cumulative", F.sum("n_new").over(w))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs — the classic association mining shape.
+# The pair fan-out is bounded by ORDER size (items per order), never corpus
+# size: the self-join keys on l_orderkey, so at 100 TB the shuffle carries
+# order-sized groups and the pair space is Σ k_i², not N².
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders_together,
+           CAST(sum(a.l_quantity + b.l_quantity) AS BIGINT) AS units_together
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in ≥2 orders, with order and unit counts
+    — the support counts feeding association rules. One order-keyed
+    self-join (co-partitioned after the first shuffle) + one pair-keyed
+    agg."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    a = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("l_quantity").alias("q_a"),
+    )
+    b = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("l_quantity").alias("q_b"),
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("n_orders_together"),
+            F.sum(F.col("q_a") + F.col("q_b")).cast("bigint").alias("units_together"),
+        )
+        .filter(F.col("n_orders_together") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency/frequency/monetary quartiles assigned
+# by BROADCAST percentile boundaries, not a global ntile: an ntile needs a
+# total order (one task sorting every customer — the exact single-partition
+# window the plan guard bans), whereas three exact quartile scalars
+# broadcast back give the same segmentation as pure comparisons, fully
+# parallel at any customer count. Dates quartile via exact epoch-day ints.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE))
+                 AS last_day,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(last_day, 0.25) AS r1, quantile_cont(last_day, 0.5) AS r2,
+             quantile_cont(last_day, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM per_cust
+    )
+    SELECT 1 + CAST(last_day > q.r1 AS INT) + CAST(last_day > q.r2 AS INT)
+             + CAST(last_day > q.r3 AS INT) AS r,
+           1 + CAST(freq > q.f1 AS INT) + CAST(freq > q.f2 AS INT)
+             + CAST(freq > q.f3 AS INT) AS f,
+           1 + CAST(monetary > q.m1 AS INT) + CAST(monetary > q.m2 AS INT)
+             + CAST(monetary > q.m3 AS INT) AS m,
+           count(*) AS n_customers
+    FROM per_cust CROSS JOIN q
+    GROUP BY r, f, m
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM cells: each customer scored 1-4 per dimension by comparison
+    against the exact quartile boundaries (9 scalars, one broadcast row);
+    count the resulting lattice. Quartile arithmetic is exact: recency is
+    integer epoch-days, frequency integer, monetary decimal-accumulated —
+    interpolated quantiles of exact inputs match quantile_cont/percentile
+    bit-for-bit (the established percentile parity)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    q = per_cust.agg(
+        F.percentile("last_day", 0.25).alias("r1"),
+        F.percentile("last_day", 0.5).alias("r2"),
+        F.percentile("last_day", 0.75).alias("r3"),
+        F.percentile("freq", 0.25).alias("f1"),
+        F.percentile("freq", 0.5).alias("f2"),
+        F.percentile("freq", 0.75).alias("f3"),
+        F.percentile("monetary", 0.25).alias("m1"),
+        F.percentile("monetary", 0.5).alias("m2"),
+        F.percentile("monetary", 0.75).alias("m3"),
+    )
+
+    def bucket(col, b1, b2, b3):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(b1)).cast("int")
+            + (F.col(col) > F.col(b2)).cast("int")
+            + (F.col(col) > F.col(b3)).cast("int")
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(q))
+        .select(
+            bucket("last_day", "r1", "r2", "r3").alias("r"),
+            bucket("freq", "f1", "f2", "f3").alias("f"),
+            bucket("monetary", "m1", "m2", "m3").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -49,17 +49,23 @@ BNLJ_ALLOWED = {
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
     "fuzzy_name_match",              # broadcast bounded dim, ±1 length band
+    "rfm_segmentation",              # broadcast 9-scalar quartile boundaries
 }
 
-# the two documented bounded global-window curves (PLANS.md inventory)
-GLOBAL_WINDOW_ALLOWED = {"cumulative_distinct_users", "vocab_coverage"}
+# the documented bounded global-window curves (PLANS.md inventory):
+# cumulative_distinct_users runs over one row per DAY; vocab_coverage and
+# tfidf_top_terms rank/accumulate over the (vocabulary-bound) term frame
+GLOBAL_WINDOW_ALLOWED = {"cumulative_distinct_users", "vocab_coverage", "tfidf_top_terms"}
 
 
 @pytest.fixture(scope="module")
 def plans(spark):
     out = {}
     for name, fn in ent.queries().items():
-        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+        # executedPlan (unexecuted: the AQE initial plan) — NOT sparkPlan,
+        # which is pre-EnsureRequirements and contains no Exchange nodes,
+        # silently blinding the single-partition-window guard
+        out[name] = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     return out
 
 
