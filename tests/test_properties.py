@@ -132,3 +132,56 @@ def test_keep_latest_idempotent_singleton(spark, rows):
     assert got_once == got_twice
     keys = [t[0] for t in got_once]
     assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
+
+
+# SCD2 as-of invariant: for ANY batch sequence, the snapshot of the FINAL
+# history at time T_i must equal the current rows of the PREFIX state after
+# batch i — i.e., history encodes every intermediate state losslessly.
+# One randomized multi-batch example per run keeps this a single bounded
+# Spark job; hypothesis drives the batch contents.
+
+_KEYS = ["a", "b", "c", "d"]
+_BATCH = st.lists(
+    st.tuples(st.sampled_from(_KEYS), st.one_of(st.none(), st.integers(0, 3))),
+    min_size=0, max_size=4, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_BATCH, min_size=1, max_size=3))
+def test_scd2_snapshot_asof_reconstructs_every_prefix(spark, batches):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from end_to_end_azure_data_engineering_spark.operators.scd2 import (
+        scd2_init, scd2_merge, scd2_snapshot_asof,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    times = [dt.datetime(2024, 1, 1 + i) for i in range(len(batches))]
+    states = []
+    state = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        state = (
+            scd2_init(df, times[0])
+            if state is None
+            else scd2_merge(state, df, "k", ["v"], times[i])
+        )
+        states.append(state)
+
+    final = states[-1]
+    for i, t in enumerate(times):
+        snap = {
+            (r.k, r.v)
+            for r in scd2_snapshot_asof(final, t).select("k", "v").collect()
+        }
+        prefix_current = {
+            (r.k, r.v)
+            for r in states[i].filter(F.col("is_current")).select("k", "v").collect()
+        }
+        assert snap == prefix_current, (i, batches)
