@@ -67,6 +67,12 @@ HEADLINE = [
     "retention_cohorts",
     "merge_overlapping_intervals",
     "cumulative_distinct_users",
+    "pii_redact_text",
+    "doc_length_outliers",
+    "dedup_cluster_size_stats",
+    "copurchase_pairs",
+    "rfm_segmentation",
+    "trending_users_hourly",
 ]
 
 

@@ -1767,3 +1767,62 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "f", "m")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending top-k per time window — the "what's hot right now" query: top-3
+# users by summed value in each hourly bucket. The rank window partitions
+# by the hour bucket (bounded groups); the corpus-sized work is the keyed
+# (hour, user) pre-aggregation before it. Streaming twin: the same shape
+# over windowed_counts' tumbling windows with output-mode complete.
+# ---------------------------------------------------------------------------
+
+_TREND_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "trending_users_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // {_TREND_US} AS hour_bucket,
+             user_id,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+             count(*) AS n_events
+      FROM events GROUP BY hour_bucket, user_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY hour_bucket
+          ORDER BY total_value DESC, user_id ASC) AS rnk
+      FROM hourly
+    )
+    SELECT hour_bucket, rnk, user_id, total_value, CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def trending_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by decimal-exact summed value per hour bucket;
+    deterministic user_id tie-break. Spark plans the rank-filter as
+    WindowGroupLimit (per-partition top-k pushed below the full sort)."""
+    ev = load(spark, sf_dir, "events")
+    # positive epoch values: floor division == integer cast division
+    hourly = (
+        ev.select(
+            (epoch_us("ts") / _TREND_US).cast("long").alias("hour_bucket"),
+            "user_id",
+            "value",
+        )
+        .groupBy("hour_bucket", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = W.partitionBy("hour_bucket").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_bucket", "rnk", "user_id", "total_value", "n_events")
+    )
