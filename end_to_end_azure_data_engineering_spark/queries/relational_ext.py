@@ -1826,3 +1826,55 @@ def trending_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("hour_bucket", "rnk", "user_id", "total_value", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-contract report — the expectations pattern (null rates,
+# range bounds, vocabulary membership) as ONE conditional-aggregation pass:
+# every rule is a CASE-sum over the same scan, so adding expectations never
+# adds jobs. This generalizes the silver quarantine catalog into a
+# monitoring artifact an operator tracks per load.
+# ---------------------------------------------------------------------------
+
+_ORDER_EXPECTATIONS = [
+    ("custkey_not_null", "o_custkey IS NULL"),
+    ("totalprice_positive", "o_totalprice <= 0"),
+    ("orderdate_in_range",
+     "o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31'"),
+    ("status_in_vocab", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("priority_wellformed", "o_orderpriority NOT LIKE '_-%'"),
+]
+
+
+@register(
+    "table_expectations_report",
+    oracle=f"""
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT '{name}' AS expectation, "
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
+        f"count(*) AS n_rows FROM orders"
+        for name, pred in _ORDER_EXPECTATIONS
+      )}
+    )
+    """,
+)
+def table_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation counts per declared expectation over orders. The Spark
+    side computes every rule in one aggregation and unpivots to the
+    report shape; the oracle spells the same counts as a UNION (DuckDB
+    re-reads per branch — the single-pass form is the point of the Spark
+    plan). All exact integers."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+            for name, pred in _ORDER_EXPECTATIONS
+        ],
+    )
+    stack = ", ".join(f"'{name}', {name}" for name, _ in _ORDER_EXPECTATIONS)
+    return agg.selectExpr(
+        f"stack({len(_ORDER_EXPECTATIONS)}, {stack}) AS (expectation, n_violations)",
+        "n_rows",
+    ).select("expectation", "n_violations", "n_rows")

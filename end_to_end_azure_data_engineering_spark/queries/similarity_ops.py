@@ -529,3 +529,44 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("gn")).cast("double")
         ).cast("bigint").alias("drift_micro"),
     )
+
+
+@register(
+    "embedding_coverage_audit",
+    oracle="""
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_embedding,
+           CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           (SELECT count(*) FROM embeddings e2
+            WHERE e2.vec_id NOT IN (SELECT doc_id FROM documents))
+               AS n_orphan_embeddings
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-integrity audit across the text↔embedding pair: per source,
+    how many docs have an embedding row, how many are missing, plus the
+    corpus-wide orphan-embedding count (vectors whose doc vanished —
+    usually a stale-index symptom after dedup). One key-equi left join +
+    one anti-join count broadcast onto every row — both co-keyed on the
+    doc id, no corpus² anywhere."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    orphans = e.join(d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+    n_orphans = orphans.agg(F.count("*").alias("n_orphan_embeddings"))
+    return (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_embedding"
+            ),
+            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+        .crossJoin(F.broadcast(n_orphans))
+    )
