@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",               # broadcast scalar corpus doc count
     "fuzzy_name_match",              # broadcast bounded dim, ±1 length band
     "rfm_segmentation",              # broadcast 9-scalar quartile boundaries
+    "embedding_coverage_audit",      # broadcast 1-row orphan-count crossjoin
 }
 
 # the documented bounded global-window curves (PLANS.md inventory):
