@@ -317,6 +317,13 @@ class VersionedWarehouse(Warehouse):
         and is swept by ``vacuum``. The write APPENDS into the claimed
         empty directory (an overwrite would delete-and-recreate it, opening
         a window where a competitor could re-claim the same number)."""
+        nxt, vdir = self._claim_next(namespace, table)
+        df.write.mode("append").parquet(str(vdir))
+        self._publish(namespace, table, nxt)
+        return nxt
+
+    def _claim_next(self, namespace: str, table: str) -> tuple[int, Path]:
+        """Atomically claim the next version number (mkdir is the claim)."""
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
         for _ in range(64):
@@ -325,15 +332,45 @@ class VersionedWarehouse(Warehouse):
             vdir = base / f"_v{nxt}"
             try:
                 vdir.mkdir()  # atomic claim
-                break
+                return nxt, vdir
             except FileExistsError:
                 continue  # lost the race for nxt — re-list, take the next
-        else:
-            raise RuntimeError(
-                f"could not claim a version for {namespace}.{table} after 64 "
-                "attempts — pathological writer contention"
+        raise RuntimeError(
+            f"could not claim a version for {namespace}.{table} after 64 "
+            "attempts — pathological writer contention"
+        )
+
+    def restore(self, namespace: str, table: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF v`` parity: publish a
+        NEW commit whose content is the snapshot at ``version``. History is
+        preserved — the restore itself is a version, so it can be undone by
+        another restore, exactly like Delta's (reference storage layer is
+        Delta, `4_silver/silver_transactions.py:50`; RESTORE is its standard
+        rollback path after a bad load).
+
+        Metadata-cost only: the immutable parquet files of the source
+        snapshot are HARD-LINKED into the new version directory (O(#files),
+        zero bytes rewritten — the same trick as Delta re-adding files to
+        the log). Falls back to copy when the filesystem refuses links.
+        ``vacuum`` stays safe: removing either directory just drops a link.
+        """
+        src = self.path(namespace, table) / f"_v{version}"
+        if not src.exists():
+            raise FileNotFoundError(
+                f"{namespace}.{table} version {version} not found (vacuumed?)"
             )
-        df.write.mode("append").parquet(str(vdir))
+        nxt, vdir = self._claim_next(namespace, table)
+        for f in sorted(src.rglob("*")):
+            rel = f.relative_to(src)
+            dst = vdir / rel
+            if f.is_dir():
+                dst.mkdir(parents=True, exist_ok=True)
+            else:
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
         self._publish(namespace, table, nxt)
         return nxt
 

@@ -201,3 +201,38 @@ def test_pointer_never_published_backwards(spark, tmp_path):
     vw._publish("gold", "t", 0)
     assert vw.current_version("gold", "t") == 1
     assert vw.read("gold", "t", version=0).count() == 3  # still time-travelable
+
+
+def test_restore_publishes_old_snapshot_as_new_version(spark, vwh):
+    """Delta RESTORE parity: restoring v0 after a bad v1 publishes a NEW
+    version with v0's content; history (including the bad load) remains
+    time-travelable, and the restore itself can be rolled forward again."""
+    vwh.commit(spark.range(10), "gold", "r")            # v0 — good load
+    vwh.commit(spark.range(3), "gold", "r")             # v1 — bad load
+    v2 = vwh.restore("gold", "r", 0)
+    assert v2 == 2
+    assert vwh.current_version("gold", "r") == 2
+    assert vwh.read("gold", "r").count() == 10          # content == v0
+    assert vwh.read("gold", "r", version=1).count() == 3  # history intact
+    # roll forward: restore the bad version back — still a new commit
+    v3 = vwh.restore("gold", "r", 1)
+    assert v3 == 3 and vwh.read("gold", "r").count() == 3
+
+
+def test_restore_missing_version_raises(spark, vwh):
+    import pytest as _pytest
+
+    vwh.commit(spark.range(2), "gold", "r2")
+    with _pytest.raises(FileNotFoundError):
+        vwh.restore("gold", "r2", 7)
+
+
+def test_restore_survives_vacuum_of_source_version(spark, vwh):
+    """Hard-linked restore files stay valid when the SOURCE version
+    directory is vacuumed away (link count semantics, not path sharing)."""
+    vwh.commit(spark.range(8), "gold", "r3")   # v0
+    vwh.commit(spark.range(1), "gold", "r3")   # v1
+    vwh.restore("gold", "r3", 0)               # v2 links v0's files
+    removed = vwh.vacuum("gold", "r3", keep=1)
+    assert 0 in removed
+    assert vwh.read("gold", "r3").count() == 8
