@@ -1878,3 +1878,160 @@ def table_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_ORDER_EXPECTATIONS)}, {stack}) AS (expectation, n_violations)",
         "n_rows",
     ).select("expectation", "n_violations", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — Markov next-event counts per user sequence.
+# One user-keyed window (lead) feeds one grouped count; the per-from-type
+# probability normalization runs over the tiny #types x #types grouped frame,
+# never the event stream. Deterministic ordering: (ts, event_id) tie-break.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    m AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM m
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts and row-normalized probabilities between
+    consecutive events of each user's timeline — the session-behavior
+    summary behind next-event prediction features. The lead() window
+    shuffles once on user_id (same key as every other per-user op, so AQE
+    reuses the exchange when composed); normalization windows over the
+    grouped #types^2 frame only."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    m = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = W.partitionBy("from_type")
+    return m.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph — 3 unrolled power iterations in
+# FIXED-POINT integer arithmetic (rank in millionths): every operation is
+# exact integer math (floor-div contributions, 85/100 damping), so the
+# result is bit-identical regardless of summation order or engine — the
+# same cross-engine floor-div discipline as the corpus sampling ops.
+# Per iteration: one src-keyed join + one dst-keyed agg (two shuffles),
+# the canonical distributed PageRank shape; the edge list is materialized
+# once (localCheckpoint) and reused by all three iterations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    it1 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * sum(r0.r // g.d)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN r0 ON r0.node = e.src JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    ),
+    it2 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * sum(it1.r // g.d)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it1 ON it1.node = e.src JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    ),
+    it3 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * sum(it2.r // g.d)) // 100 AS BIGINT) AS r
+      FROM edges e JOIN it2 ON it2.node = e.src JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT it3.node AS part, it3.r AS rank_millionths, g.d AS degree
+    FROM it3 JOIN deg g ON g.src = it3.node
+    ORDER BY rank_millionths DESC, part
+    LIMIT 100
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 parts by 3-iteration PageRank over the >=2-support
+    co-purchase graph — the link-analysis quality signal (damping 0.85,
+    symmetric edges, so every node has in- and out-degree and no dangling
+    mass). Ranks are exact bigint millionths; contributions floor-divide
+    by degree, damping is (85*sum) div 100."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # materialize the (bounded: >=2-support pairs) edge+degree frame once —
+    # three iterations reuse it instead of re-mining the self-join 3x
+    ew = edges.join(deg, "src").localCheckpoint()
+    ranks = ew.select(F.col("src").alias("node")).distinct().withColumn(
+        "r", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(3):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150_000) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(
+            F.col("node").alias("part"),
+            F.col("r").alias("rank_millionths"),
+            F.col("d").alias("degree"),
+        )
+        .orderBy(F.desc("rank_millionths"), "part")
+        .limit(100)
+    )

@@ -795,3 +795,59 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "bpe_pair_merges",
+    oracle="""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wn
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(v.w, CAST(t.i AS INTEGER), 2) AS pair, v.wn
+      FROM vocab v JOIN generate_series(1, 64) AS t(i)
+        ON t.i <= length(v.w) - 1
+    )
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, round 0: the top adjacent-symbol-pair
+    frequencies that a byte-pair-encoding trainer would merge first.
+
+    Scale shape: the corpus is collapsed to its VOCABULARY first (groupBy
+    word — one shuffle whose output is |vocab|, not corpus tokens), and
+    character pairs are exploded over that tiny frame weighted by word
+    frequency — the standard BPE trainer optimization (Sennrich et al.
+    2016 operate on the word-frequency dictionary, never the raw corpus).
+    At 100 TB the pair counting therefore touches ~millions of vocab rows
+    instead of ~trillions of token rows; the final top-50 is a single
+    reduction. All Catalyst HOFs (transform/sequence), no UDFs.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(X.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    # adjacent char pairs of each vocab word: substring(w, i, 2), i = 1..len-1
+    pairs = vocab.select(
+        "wn",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
