@@ -219,3 +219,42 @@ def hamming32(a: Column, b: Column) -> Column:
 
 def HAMMING32_SQL(a: str, b: str) -> str:
     return f"bit_count(xor({a}::BIGINT, {b}::BIGINT))"
+
+
+# count-min sketch -----------------------------------------------------------
+#
+# Mergeable frequency sketch: D independent md5-salted hash rows x W counter
+# buckets. The sketch of a corpus is the elementwise SUM of per-partition
+# (or per-micro-batch) sketches — a groupBy (row, bucket) count with map-side
+# partial aggregation, so building it over 100 TB shuffles only D*W bounded
+# counter rows, never the keys. Point estimate = min over rows of the key's
+# bucket counter (always >= true count; error <= N/W with prob 1-2^-D).
+
+CMS_D = 4     # hash rows
+CMS_W = 1024  # buckets per row
+
+
+def cms_bucket(col: Column, j: int) -> Column:
+    """Bucket index of `col` in sketch row j (portable md5-salted hash)."""
+    return hash32(F.concat(F.lit(f"cms{j}:"), col)) % CMS_W
+
+
+def CMS_BUCKET_SQL(expr: str, j: "int | str") -> str:
+    """DuckDB twin; `j` may be an int literal or a SQL expression (e.g. the
+    generate_series column when building all rows at once)."""
+    salt = (
+        f"'cms{j}:'" if isinstance(j, int)
+        else f"('cms' || CAST({j} AS VARCHAR) || ':')"
+    )
+    return f"({HASH32_SQL(f'{salt} || {expr}')} % {CMS_W})"
+
+
+def cms_entries(col: Column) -> Column:
+    """Array of (row j, bucket) structs for one key — explode and count to
+    build the sketch; join against it to probe."""
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cms_bucket(col, j).alias("b"))
+            for j in range(CMS_D)
+        ]
+    )

@@ -14,6 +14,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import sketches as S
 from ..operators.appends import append_if_absent
 from ..operators.dedup import keep_latest
 from ..operators.scd2 import scd2_init, scd2_merge, scd2_snapshot_asof
@@ -323,4 +324,67 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("min_date"),
             F.max("o_orderdate").alias("max_date"),
         )
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH sk AS (
+      SELECT t.j AS j,
+             {S.CMS_BUCKET_SQL('CAST(user_id AS VARCHAR)', 't.j')} AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events CROSS JOIN generate_series(0, {S.CMS_D - 1}) AS t(j)
+      GROUP BY j, b
+    ),
+    top AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT top.user_id, top.exact_n, t.j AS j,
+             {S.CMS_BUCKET_SQL('CAST(top.user_id AS VARCHAR)', 't.j')} AS b
+      FROM top CROSS JOIN generate_series(0, {S.CMS_D - 1}) AS t(j)
+    )
+    SELECT p.user_id, p.exact_n, CAST(min(sk.c) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN sk ON sk.j = p.j AND sk.b = p.b
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe: the sketch (4 md5-salted rows x
+    1024 buckets, functions/sketches.py::cms_entries) is one groupBy over
+    exploded (row, bucket) entries — map-side combine reduces every
+    partition to <= D*W counters before the shuffle, and two sketches
+    merge by adding counters, so the build is a mergeable rollup partial
+    like the HLL column. Probing the exact top-20 users compares each true
+    count with the sketch's min-over-rows estimate (always >=, within N/W
+    w.h.p.). All-integer arithmetic — bit-identical cross-engine."""
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("k")
+    )
+    entries = ev.select(F.explode(S.cms_entries(F.col("k"))).alias("e"))
+    sk = (
+        entries.select(F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(S.cms_entries(F.col("user_id").cast("string"))).alias("e"),
+    ).select("user_id", "exact_n", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+    return (
+        F.broadcast(probes)
+        .join(sk, ["j", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
     )

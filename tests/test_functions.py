@@ -206,3 +206,44 @@ def test_pii_counts(spark):
     cnts = X.pii_counts("text")
     r = df.select(*[c.alias(n) for n, c in cnts.items()]).first()
     assert (r.n_emails, r.n_phones, r.n_ipv4, r.n_urls) == (2, 1, 1, 1)
+
+
+def test_cms_sketch_merge_and_overestimate(spark):
+    """Count-min sketches are mergeable (sum of half-corpus sketches ==
+    whole-corpus sketch) and estimates never undercount."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+
+    df = spark.createDataFrame(
+        [(i, str(i % 7)) for i in range(200)], ["i", "k"]
+    )
+
+    def sketch(frame):
+        return (
+            frame.select(F.explode(S.cms_entries(F.col("k"))).alias("e"))
+            .groupBy("e.j", "e.b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    whole = {(r.j, r.b): r.c for r in sketch(df).collect()}
+    lo = sketch(df.filter("i < 100"))
+    hi = sketch(df.filter("i >= 100"))
+    merged = {
+        (r.j, r.b): r.c
+        for r in lo.unionByName(hi).groupBy("j", "b").agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged == whole
+
+    # point estimates: min over rows of the key's counter, >= exact count
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = df.select("k").distinct().select(
+        "k", F.explode(S.cms_entries(F.col("k"))).alias("e")
+    )
+    est = {
+        r.k: r.est
+        for r in probes.join(
+            sketch(df), (F.col("e.j") == F.col("j")) & (F.col("e.b") == F.col("b"))
+        ).groupBy("k").agg(F.min("c").alias("est")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
