@@ -135,6 +135,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash LSH. The driver's synthetic embeddings are near-orthogonal (max
     in-bucket cosine ≈ 0.43 at sf0.01), so the demo threshold is 0.35 to
     exercise a non-empty result; a real corpus would use ~0.9."""
+    return _emb_near_dup_pairs(spark, sf_dir).select(
+        "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
+    )
+
+
+def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair builder for embedding_near_dup / semantic_dedup_survivors:
+    sign-bucket LSH join, raw-cosine threshold, columns (vec_a, vec_b, _cos)."""
     e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
     buckets = e.select(
         "vec_id", "_e_v", "_e_n", V.sign_bucket(F.col("embedding")).alias("bucket")
@@ -162,7 +170,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.35)  # threshold on the raw value (oracle parity)
-        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", "_cos")
     )
 
 
@@ -569,4 +577,71 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
         .crossJoin(F.broadcast(n_orphans))
+    )
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    buckets AS (
+      SELECT vec_id, embedding, {V.SIGN_BUCKET_SQL('embedding')} AS bucket
+      FROM embeddings
+    ),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {V.COSINE_SQL('a.embedding', 'b.embedding')} >= 0.35
+    ),
+    bidir AS (
+      SELECT va AS n, vb AS m FROM prs
+      UNION
+      SELECT vb, va FROM prs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    ),
+    losers AS (
+      SELECT n AS vec_id FROM reach GROUP BY n HAVING min(lbl) <> n
+    )
+    SELECT e.label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(sum(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed
+    FROM embeddings e LEFT JOIN losers l USING (vec_id)
+    GROUP BY e.label
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (sign-
+    bucket LSH, never all-pairs) → connected components (pointer-doubled
+    min-label propagation) → each cluster keeps its min-id vector; reported
+    as survivor counts per class label. The text-side twin is
+    dedup_corpus_survivors; this is the same composition in embedding
+    space, which is how near-paraphrase duplicates that share no shingles
+    are removed from a pre-training corpus. Oracle replays everything —
+    including the transitive closure — as a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = _emb_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("vec_id"), F.lit(1).alias("_lost")
+    )
+    return (
+        e.join(losers, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("_lost").isNull(), 1).otherwise(0)).alias("n_survivors"),
+            F.sum(F.when(F.col("_lost").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
     )
