@@ -229,6 +229,53 @@ def rollup_stream_sink(
     return sink
 
 
+def cms_stream_sink(
+    wh: Warehouse,
+    table: str,
+    key_col: str,
+    namespace: str = "gold",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a count-min sketch of `key_col`
+    frequencies (functions/sketches.py: D md5-salted rows x W buckets).
+    Each micro-batch is reduced to its own <= D*W counter rows map-side,
+    then merged into the standing sketch by elementwise ADDITION — the
+    sketch's defining property, so the continuously-maintained sketch is
+    bit-identical to a one-shot batch build over the same events. Heavy-
+    hitter queries probe it without touching history (cms_heavy_hitters'
+    probe side). Replay-safe exactly like rollup_stream_sink: the applied
+    epoch id rides IN the table (``_epoch`` column), so an at-least-once
+    re-delivery is skipped, and data + high-water mark publish in one
+    atomic overwrite swap."""
+    from ..functions import sketches as S
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        delta = (
+            batch.select(
+                F.explode(S.cms_entries(F.col(key_col).cast("string"))).alias("e")
+            )
+            .select(F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+            .groupBy("j", "b")
+            .agg(F.count("*").alias("c"))
+        )
+        if wh.exists(namespace, table):
+            existing = wh.read(namespace, table)
+            if "_epoch" in existing.columns:
+                last = existing.agg(F.max("_epoch")).first()[0]
+                if last is not None and epoch <= last:
+                    return  # at-least-once replay: already folded in
+                existing = existing.drop("_epoch")
+            merged = (
+                existing.unionByName(delta)
+                .groupBy("j", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        wh.overwrite(merged.withColumn("_epoch", F.lit(epoch)), namespace, table)
+
+    return sink
+
+
 def interval_join_events(
     clicks: DataFrame,
     purchases: DataFrame,

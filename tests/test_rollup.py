@@ -130,3 +130,38 @@ def test_rollup_stream_sink_replay_safe(spark, tmp_path):
 
     streamed = _readable(wh.read("gold", "event_totals"))
     assert streamed == _readable(_full(spark))
+
+
+def test_cms_stream_sink_matches_batch_and_replays_safely(spark, tmp_path):
+    """The continuously-maintained count-min sketch equals a one-shot batch
+    build (merge = counter addition), and epoch replays are no-ops."""
+    from pyspark.sql import functions as F2
+
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import cms_stream_sink
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = cms_stream_sink(wh, "user_freq_cms", key_col="user_id")
+    ev = load(spark, SF, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)  # replay
+    sink(batches[2], 2)
+    sink(batches[0], 0)  # stale replay
+
+    streamed = {
+        (r.j, r.b): r.c
+        for r in wh.read("gold", "user_freq_cms").drop("_epoch").collect()
+    }
+    oneshot = {
+        (r.j, r.b): r.c
+        for r in ev.select(
+            F2.explode(S.cms_entries(F.col("user_id").cast("string"))).alias("e")
+        )
+        .groupBy("e.j", "e.b")
+        .agg(F2.count("*").alias("c"))
+        .collect()
+    }
+    assert streamed == oneshot
