@@ -73,6 +73,11 @@ HEADLINE = [
     "copurchase_pairs",
     "rfm_segmentation",
     "trending_users_hourly",
+    "bpe_pair_merges",
+    "event_transition_matrix",
+    "pagerank_copurchase",
+    "cms_heavy_hitters",
+    "semantic_dedup_survivors",
 ]
 
 

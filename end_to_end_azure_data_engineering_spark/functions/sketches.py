@@ -172,6 +172,19 @@ def JACCARD_SQL(a: str, b: str) -> str:
     return f"{inter} / greatest(len({a}) + len({b}) - {inter}, 1)"
 
 
+def containment(a: Column, b: Column) -> Column:
+    """Exact containment of A in B: |A∩B| / |A| — the asymmetric companion
+    to Jaccard, high when a small doc is quoted inside a large one even
+    though their Jaccard is low."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.greatest(F.size(a), F.lit(1))
+
+
+def CONTAINMENT_SQL(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return f"{inter} / greatest(len({a}), 1)"
+
+
 # simhash --------------------------------------------------------------------
 
 def simhash(col: str | Column) -> Column:

@@ -40,6 +40,29 @@ def near_dup_pairs(
     is garbage-collected; callers holding many pair frames long-term should
     ``unpersist()`` each when done with it.
     """
+    scored, sh = _candidate_pairs_with_shingles(docs, id_col, text_col)
+    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    pairs = (
+        scored
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        # materialize the (collision-bound, small) verified pairs, then
+        # RELEASE the corpus-sized shingle cache deterministically: leaving
+        # it persisted leaked one corpus of shingle arrays per call, and the
+        # accumulated block-manager pressure progressively slowed every
+        # later query in a long-lived session (2.5x run-to-run variance on
+        # the downstream connected-components measured before this fix).
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return pairs
+
+
+def _candidate_pairs_with_shingles(docs, id_col, text_col):
+    """LSH candidate pairs joined back to both shingle arrays. Returns
+    (candidates with sh_a/sh_b, the persisted shingle frame) — the caller
+    scores/filters, then MUST unpersist the shingle frame after
+    materializing (see near_dup_pairs)."""
     sh = (
         S.staged_word_shingles(
             docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
@@ -57,18 +80,35 @@ def near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    scored = cands.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    return scored, sh
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs scored by ASYMMETRIC containment (|A∩B|/|A| and
+    |A∩B|/|B|), kept when either direction ≥ threshold — catches a short
+    document quoted inside a long one, which Jaccard dilutes below any
+    usable threshold. Candidates come from the same minhash-LSH banding as
+    near_dup_pairs (collision-bound, never corpus²); note the standard
+    caveat that Jaccard-tuned bands under-recall extreme small-in-large
+    pairs — a dedicated containment index (prefix filtering) is the
+    specialist alternative at 100 TB. Same eager/unpersist contract as
+    near_dup_pairs."""
+    scored, sh = _candidate_pairs_with_shingles(docs, id_col, text_col)
+    c_ab = S.containment(F.col("sh_a"), F.col("sh_b"))
+    c_ba = S.containment(F.col("sh_b"), F.col("sh_a"))
     pairs = (
-        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        # materialize the (collision-bound, small) verified pairs, then
-        # RELEASE the corpus-sized shingle cache deterministically: leaving
-        # it persisted leaked one corpus of shingle arrays per call, and the
-        # accumulated block-manager pressure progressively slowed every
-        # later query in a long-lived session (2.5x run-to-run variance on
-        # the downstream connected-components measured before this fix).
+        scored.withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+        .select("id_a", "id_b", "c_ab", "c_ba")
         .localCheckpoint()
     )
     sh.unpersist()

@@ -439,3 +439,49 @@ def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
         )
     )
+
+
+@register(
+    "minhash_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, sh, {_MH_SQL} AS mh FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, unnest({S.BAND_SIGNATURES_SQL('mh')}) AS band FROM mh
+    ),
+    cands AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.doc_id < b2.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round({S.CONTAINMENT_SQL('sa.sh', 'sb.sh')}, 6) AS containment_ab,
+           round({S.CONTAINMENT_SQL('sb.sh', 'sa.sh')}, 6) AS containment_ba
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {S.CONTAINMENT_SQL('sa.sh', 'sb.sh')} >= 0.2
+       OR {S.CONTAINMENT_SQL('sb.sh', 'sa.sh')} >= 0.2
+    """,
+)
+def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring (|A∩B|/|A|, both directions) over the
+    SAME LSH candidate set as dedup_minhash_lsh — the quote/excerpt
+    detector: a short doc embedded in a long one scores ~1.0 containment
+    while its Jaccard stays far below any dedup threshold
+    (operators/neardup.containment_pairs). Shuffle profile identical to
+    the Jaccard path; threshold 0.2 matches the synthetic corpus's
+    overlap levels (a production corpus would use ~0.8)."""
+    from ..operators.neardup import containment_pairs
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return containment_pairs(d, "doc_id", "text", threshold=0.2).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("c_ab", 6).alias("containment_ab"),
+        F.round("c_ba", 6).alias("containment_ba"),
+    )

@@ -2025,8 +2025,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             (F.lit(150_000) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
         )
+    # degrees come from the CHECKPOINTED frame — joining the original `deg`
+    # here would re-run the whole pair-mining self-join a second time at the
+    # final action (measured: ~2x the query)
+    dd = ew.select("src", "d").distinct()
     return (
-        ranks.join(deg, ranks["node"] == deg["src"])
+        ranks.join(dd, ranks["node"] == dd["src"])
         .select(
             F.col("node").alias("part"),
             F.col("r").alias("rank_millionths"),
