@@ -645,3 +645,55 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_lost").isNotNull(), 1).otherwise(0)).alias("n_removed"),
         )
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe, label AS probe_label
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, p.probe_label, e.vec_id,
+             {V.COSINE_SQL('p.pe', 'e.embedding')} AS cos
+      FROM probes p JOIN embeddings e
+        ON e.vec_id <> p.probe_id AND e.label <> p.probe_label
+    ),
+    ranked AS (
+      SELECT probe_id, probe_label, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT probe_id, probe_label, vec_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the top-3
+    most-similar vectors bearing a DIFFERENT class label — the negatives
+    that actually move an embedding model. Same broadcast-probe exhaustive
+    scan shape as ann_bruteforce_topk with the label-mismatch predicate
+    fused into the join (filter runs before scoring, so excluded
+    candidates are never dotted); the scale path swaps in the IVF/LSH
+    candidate generation exactly as for plain ANN."""
+    e = V.staged(spread(load(spark, sf_dir, "embeddings")), "embedding", "_e")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("_e_v").alias("_p_v"), F.col("_e_n").alias("_p_n"),
+    )
+    cand = e.select("vec_id", "label", "_e_v", "_e_n")
+    cos = V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n")
+    scored = cand.join(
+        F.broadcast(probes),
+        (F.col("vec_id") != F.col("probe_id"))
+        & (F.col("label") != F.col("probe_label")),
+    ).select("probe_id", "probe_label", "vec_id", cos.alias("cos"))
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "probe_label", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )

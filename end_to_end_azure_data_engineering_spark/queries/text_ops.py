@@ -851,3 +851,110 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {X.FINGERPRINT_SQL('text')} AS fp
+      FROM documents
+    ),
+    by_fp AS (
+      SELECT lang, fp,
+             count(DISTINCT split) AS ns,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM assigned GROUP BY lang, fp
+    )
+    SELECT lang,
+           count(*) AS n_fingerprints,
+           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_fps,
+           CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT)
+               AS n_leaked_docs
+    FROM by_fp GROUP BY lang
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: content fingerprints that land in more
+    than one hash-assigned split (duplicate text crossing the train/eval
+    boundary — the leak that inflates benchmark scores). Composes the
+    deterministic split assignment with exact-dedup fingerprints; one
+    fp-keyed agg + one lang-keyed agg, both bounded. A clean corpus
+    (post exact-dedup) reports zero leaked fingerprints."""
+    d = spread(load(spark, sf_dir, "documents"))
+    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    by_fp = (
+        d.select("lang", split.alias("split"), X.fingerprint("text").alias("fp"))
+        .groupBy("lang", "fp")
+        .agg(
+            F.count_distinct("split").alias("ns"),
+            F.count("*").alias("nd"),
+        )
+    )
+    return by_fp.groupBy("lang").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias("n_leaked_fps"),
+        F.sum(F.when(F.col("ns") > 1, F.col("nd")).otherwise(0)).alias("n_leaked_docs"),
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({S.WORD_SHINGLES_SQL('text')}) AS g
+      FROM documents
+    ),
+    first_claim AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN fc.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams gr JOIN first_claim fc ON fc.g = gr.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           round(n_novel * 1.0 / greatest(n_grams, 1), 6) AS novelty
+    FROM per_doc
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-shingles not already claimed by any lower-id document — the corpus
+    redundancy curve used to prioritize fresh data and demote boilerplate
+    re-crawls. First-claim is a shingle-keyed min agg (same bucket shape
+    as boilerplate_ngram_ratio: the shuffle key is the shingle, collision-
+    bound); the join-back then doc-keyed agg are the only other shuffles.
+    All exact integers + one final ratio."""
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = S.staged_word_shingles(
+        d.select("doc_id", "text"), "text"
+    ).select("doc_id", F.explode("sh").alias("g"))
+    first_claim = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_claim, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
+            "novelty"
+        ),
+    )
