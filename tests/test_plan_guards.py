@@ -29,6 +29,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # BNLJ is legitimate only where the docstring pins a bounded side:
 BNLJ_ALLOWED = {
     "ann_bruteforce_topk",      # exhaustive by spec (the recall baseline)
+    "hard_negative_mining",     # same broadcast 5-probe exhaustive scan
     "dedup_simhash_pairs",      # guarded all-pairs ground truth (capped)
     "dedup_ngram_jaccard",      # guarded all-pairs ground truth (capped)
     "lsh_recall_eval",          # consumes the exhaustive baseline above
