@@ -78,6 +78,10 @@ HEADLINE = [
     "pagerank_copurchase",
     "cms_heavy_hitters",
     "semantic_dedup_survivors",
+    "minhash_containment_pairs",
+    "ngram_novelty",
+    "split_leakage_audit",
+    "hard_negative_mining",
 ]
 
 

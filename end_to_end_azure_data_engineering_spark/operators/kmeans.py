@@ -83,7 +83,11 @@ def kmeans_refine(
     for _ in range(n_iter):
         assigned = staged.withColumn("_cell", nearest_cell(F.col("_v"), centroids))
         means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            # posexplode_outer, not posexplode: the inferred size(_v) > 0
+            # generate-filter would inline the as_double transform a second
+            # time per row (the explode-of-HOF pathology fixed in
+            # ngram_novelty); vectors are never empty, so outer == inner
+            assigned.select("_cell", F.posexplode_outer("_v").alias("_dim", "_x"))
             .groupBy("_cell", "_dim")
             .agg(F.avg("_x").alias("_m"))
             .collect()  # bounded: K×d rows — the codebook refresh

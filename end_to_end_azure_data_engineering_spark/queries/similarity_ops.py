@@ -382,7 +382,11 @@ def kmeans_refine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = staged.withColumn("cell", nearest_cell(F.col("_v"), cents))
     return (
-        assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+        # posexplode_outer: a plain posexplode gets an inferred
+        # size(_v) > 0 filter that re-inlines the as_double transform per
+        # row (plan-guard test_no_inferred_hof_generate_filters); vectors
+        # are never empty, so outer == inner
+        assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
         .groupBy("cell", "dim")
         .agg(
             F.count("*").alias("n_members"),

@@ -911,20 +911,21 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({S.WORD_SHINGLES_SQL('text')}) AS g
       FROM documents
     ),
-    first_claim AS (
-      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      FROM (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+      GROUP BY first_doc
     ),
-    per_doc AS (
-      SELECT gr.doc_id,
-             CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(sum(CASE WHEN fc.first_doc = gr.doc_id THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_novel
-      FROM grams gr JOIN first_claim fc ON fc.g = gr.g
-      GROUP BY gr.doc_id
+    totals AS (
+      SELECT doc_id,
+             CAST(len({S.WORD_SHINGLES_SQL('text')}) AS BIGINT) AS n_grams
+      FROM documents
     )
-    SELECT doc_id, n_grams, n_novel,
-           round(n_novel * 1.0 / greatest(n_grams, 1), 6) AS novelty
-    FROM per_doc
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(n.n_novel, 0) * 1.0 / greatest(t.n_grams, 1), 6)
+               AS novelty
+    FROM totals t LEFT JOIN novel n USING (doc_id)
     """,
 )
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,28 +934,38 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundancy curve used to prioritize fresh data and demote boilerplate
     re-crawls. First-claim is a shingle-keyed min agg (same bucket shape
     as boilerplate_ngram_ratio: the shuffle key is the shingle, collision-
-    bound); the join-back then doc-keyed agg are the only other shuffles.
-    All exact integers + one final ratio."""
+    bound). NO join-back over the gram stream: per-doc totals come from
+    size(shingles) per row, and novel counts are a second agg OVER THE
+    FIRST-CLAIM OUTPUT (one row per distinct shingle), so after the one
+    shingle-keyed shuffle everything is doc-cardinality — the join-back
+    formulation re-shuffled the whole gram stream a second time (measured
+    ~2x this plan). All exact integers + one final ratio."""
     d = spread(load(spark, sf_dir, "documents"))
-    grams = S.staged_word_shingles(
-        d.select("doc_id", "text"), "text"
-    ).select("doc_id", F.explode("sh").alias("g"))
-    first_claim = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first_claim, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    staged = S.staged_word_shingles(d.select("doc_id", "text"), "text")
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    # `size(sh) > 0` filter under a plain explode, and filter pushdown
+    # inlines the ENTIRE shingle HOF into it — a third full evaluation per
+    # row (measured ~2x the query). Shingle arrays are never empty
+    # (_shingles_of emits >= 1 element), so outer == inner here.
+    grams = staged.select("doc_id", F.explode_outer("sh").alias("g"))
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
     )
-    return per_doc.select(
-        "doc_id",
-        "n_grams",
-        "n_novel",
-        F.round(F.col("n_novel") / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
-            "novelty"
-        ),
+    totals = staged.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
     )

@@ -97,3 +97,17 @@ def test_global_windows_only_documented(plans):
         and n not in GLOBAL_WINDOW_ALLOWED
     ]
     assert not offenders, offenders
+
+
+def test_no_inferred_hof_generate_filters(plans):
+    """InferFiltersFromGenerate + filter pushdown can inline an expensive
+    higher-order-function array expression into a `size(...) > 0` Filter
+    below the explode — silently re-evaluating the whole HOF once more per
+    input row (measured ~2-4x on ngram_novelty / kmeans before switching
+    those to explode_outer). Guard: no Filter condition may both call a
+    lambda and test size(...) > 0."""
+    offenders = [
+        n for n, p in plans.items()
+        if re.search(r"Filter .*size\([^\n]*lambdafunction[^\n]*> 0", p)
+    ]
+    assert not offenders, offenders
