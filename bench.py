@@ -82,6 +82,7 @@ HEADLINE = [
     "ngram_novelty",
     "split_leakage_audit",
     "hard_negative_mining",
+    "incremental_components_merge",
 ]
 
 

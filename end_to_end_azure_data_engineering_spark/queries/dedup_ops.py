@@ -485,3 +485,54 @@ def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_ab", 6).alias("containment_ab"),
         F.round("c_ba", 6).alias("containment_ba"),
     )
+
+
+@register(
+    "incremental_components_merge",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    bidir AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    )
+    SELECT n AS node, min(lbl) AS label FROM reach GROUP BY n
+    """,
+)
+def incremental_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup clustering: the standing corpus's component
+    state (docs with doc_id % 3 != 0, already clustered) is merged with a
+    newly-arrived batch (doc_id % 3 == 0) WITHOUT re-clustering history —
+    the old components are summarized as (node → label) edges, new pairs
+    are mined only where a new doc is an endpoint, and one CC pass over
+    (label edges ∪ new pairs) yields labels provably identical to a full
+    recompute (min-label of a merged component = min over its old labels
+    and new ids). The oracle IS the full recompute — a recursive CTE over
+    the complete corpus pair set — so the equivalence is hash-verified.
+    At 100 TB this is the daily-ingest path: O(state + batch-pairs), never
+    O(corpus-pairs-again)."""
+    from ..operators.dedup import connected_components
+    from ..operators.neardup import near_dup_pairs
+
+    d = spread(load(spark, sf_dir, "documents"))
+    old_docs = d.filter(F.col("doc_id") % 3 != 0)
+    old_state = connected_components(
+        near_dup_pairs(old_docs, "doc_id", "text", threshold=0.2), "id_a", "id_b"
+    )
+    # pairs touching the new batch: mined against the FULL corpus (new-new
+    # and new-old collisions), old-old pairs excluded — those are already
+    # summarized in old_state
+    all_pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+    new_pairs = all_pairs.filter(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    ).select("id_a", "id_b")
+    merged_edges = old_state.select(
+        F.col("node").alias("id_a"), F.col("label").alias("id_b")
+    ).unionByName(new_pairs)
+    return connected_components(merged_edges, "id_a", "id_b")
