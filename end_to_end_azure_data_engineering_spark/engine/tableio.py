@@ -304,7 +304,9 @@ class VersionedWarehouse(Warehouse):
             int(p.name[2:]) for p in base.glob("_v*") if p.name[2:].isdigit()
         )
 
-    def commit(self, df: DataFrame, namespace: str, table: str) -> int:
+    def commit(
+        self, df: DataFrame, namespace: str, table: str, op: str = "WRITE"
+    ) -> int:
         """Write the next version and atomically publish it. Returns the
         committed version number.
 
@@ -319,6 +321,7 @@ class VersionedWarehouse(Warehouse):
         a window where a competitor could re-claim the same number)."""
         nxt, vdir = self._claim_next(namespace, table)
         df.write.mode("append").parquet(str(vdir))
+        self._stamp(vdir, op)
         self._publish(namespace, table, nxt)
         return nxt
 
@@ -361,6 +364,10 @@ class VersionedWarehouse(Warehouse):
             )
         nxt, vdir = self._claim_next(namespace, table)
         for f in sorted(src.rglob("*")):
+            if f.name == ".op":
+                continue  # never hard-link the stamp: writing the new
+                # version's label through a shared inode would rewrite the
+                # SOURCE version's history entry
             rel = f.relative_to(src)
             dst = vdir / rel
             if f.is_dir():
@@ -371,8 +378,39 @@ class VersionedWarehouse(Warehouse):
                     os.link(f, dst)
                 except OSError:
                     shutil.copy2(f, dst)
+        self._stamp(vdir, f"RESTORE v{version}")
         self._publish(namespace, table, nxt)
         return nxt
+
+    @staticmethod
+    def _stamp(vdir: Path, op: str) -> None:
+        """Record the operation label inside the version directory (written
+        before publish, so a published version always carries its stamp).
+        The hidden dot-name keeps it out of Spark's parquet file listing."""
+        (vdir / ".op").write_text(op)
+
+    def history(self, namespace: str, table: str) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY`` parity: one entry per retained
+        version, newest first — operation label, parquet file count and
+        bytes (from the filesystem, not a log), and whether the version is
+        the published snapshot. Vacuumed versions disappear from history
+        exactly as Delta's do once their files are gone."""
+        cur = self.current_version(namespace, table)
+        out = []
+        for v in reversed(self.versions(namespace, table)):
+            vdir = self.path(namespace, table) / f"_v{v}"
+            files = [f for f in vdir.rglob("*.parquet") if f.is_file()]
+            op_file = vdir / ".op"
+            out.append(
+                {
+                    "version": v,
+                    "operation": op_file.read_text() if op_file.exists() else "WRITE",
+                    "n_files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                    "is_current": v == cur,
+                }
+            )
+        return out
 
     def _publish(self, namespace: str, table: str, nxt: int) -> None:
         """Monotonic pointer publish under a short-lived lock file.

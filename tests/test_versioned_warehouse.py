@@ -236,3 +236,22 @@ def test_restore_survives_vacuum_of_source_version(spark, vwh):
     removed = vwh.vacuum("gold", "r3", keep=1)
     assert 0 in removed
     assert vwh.read("gold", "r3").count() == 8
+
+
+def test_history_describes_versions_with_ops(spark, vwh):
+    """DESCRIBE HISTORY parity: newest-first entries carry operation
+    labels, file stats, and the current-pointer marker; a restore stamps
+    its own label without rewriting the source version's entry."""
+    vwh.commit(spark.range(10), "gold", "h")                   # v0
+    vwh.commit(spark.range(3), "gold", "h", op="MERGE")        # v1
+    vwh.restore("gold", "h", 0)                                # v2
+    hist = vwh.history("gold", "h")
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operation"] == "RESTORE v0"
+    assert hist[1]["operation"] == "MERGE"
+    assert hist[2]["operation"] == "WRITE"     # restore must not clobber v0
+    assert [h["is_current"] for h in hist] == [True, False, False]
+    assert all(h["n_files"] > 0 and h["bytes"] > 0 for h in hist)
+    # vacuumed versions drop out of history, like Delta after file removal
+    vwh.vacuum("gold", "h", keep=1)
+    assert [h["version"] for h in vwh.history("gold", "h")] == [2]
