@@ -536,3 +536,65 @@ def incremental_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("id_a"), F.col("label").alias("id_b")
     ).unionByName(new_pairs)
     return connected_components(merged_edges, "id_a", "id_b")
+
+
+@register(
+    "dedup_best_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    bidir AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, lbl) AS (
+      SELECT DISTINCT n, n FROM bidir
+      UNION
+      SELECT b.n, r.lbl FROM bidir b JOIN reach r ON r.n = b.m
+    ),
+    comp AS (
+      SELECT n AS doc_id, min(lbl) AS label FROM reach GROUP BY n
+    ),
+    ranked AS (
+      SELECT c.label, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.label
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.label) AS cluster_size
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT label AS cluster_label, doc_id AS survivor_doc_id,
+           n_chars AS survivor_chars, cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax survivor policy: each near-dup cluster keeps its
+    LONGEST document (n_chars desc, doc_id tiebreak) instead of the min-id
+    — the production policy when duplicates differ in truncation or
+    boilerplate stripping and you want the richest copy. Same pair →
+    component machinery as dedup_corpus_survivors; the policy is one
+    row_number window over the (cluster-sized, small) component frame
+    joined to the doc metadata. The oracle replays clustering AND the
+    argmax policy as a recursive CTE + window."""
+    from ..operators.dedup import connected_components
+    from ..operators.neardup import near_dup_pairs
+    from pyspark.sql.window import Window as W2
+
+    d = spread(load(spark, sf_dir, "documents"))
+    comp = connected_components(
+        near_dup_pairs(d, "doc_id", "text", threshold=0.2), "id_a", "id_b"
+    ).withColumnRenamed("node", "doc_id")
+    ranked = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = W2.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(W2.partitionBy("label")))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("label").alias("cluster_label"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            "cluster_size",
+        )
+    )
