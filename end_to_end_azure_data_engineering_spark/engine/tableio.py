@@ -362,6 +362,13 @@ class VersionedWarehouse(Warehouse):
             raise FileNotFoundError(
                 f"{namespace}.{table} version {version} not found (vacuumed?)"
             )
+        if not any(f.suffix == ".parquet" for f in src.rglob("*") if f.is_file()):
+            # a crashed writer's claimed-but-never-written directory: it was
+            # never published and must not be promotable to current
+            raise FileNotFoundError(
+                f"{namespace}.{table} version {version} is an unpublished "
+                "empty claim (crashed writer) — not restorable"
+            )
         nxt, vdir = self._claim_next(namespace, table)
         for f in sorted(src.rglob("*")):
             if f.name == ".op":
@@ -400,6 +407,9 @@ class VersionedWarehouse(Warehouse):
         for v in reversed(self.versions(namespace, table)):
             vdir = self.path(namespace, table) / f"_v{v}"
             files = [f for f in vdir.rglob("*.parquet") if f.is_file()]
+            if not files:
+                continue  # crashed writer's empty claim: never published,
+                # never data — not a history entry (vacuum sweeps it)
             op_file = vdir / ".op"
             out.append(
                 {

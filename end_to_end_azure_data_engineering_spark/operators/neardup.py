@@ -58,6 +58,57 @@ def near_dup_pairs(
     return pairs
 
 
+def near_dup_pairs_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verified near-dup pairs with AT LEAST ONE endpoint in ``batch``
+    (columns id_a < id_b, jaccard) — the incremental-ingest mining path:
+    candidate generation joins the BATCH's band rows against the corpus's
+    band rows, so the pair space explored is O(batch x collisions), never
+    corpus x corpus, and old-old pairs are never re-examined. In
+    production the corpus-side shingle/band frame is the standing
+    signatures table maintained by ingestion; this self-contained form
+    recomputes it from ``corpus`` (one pass). ``batch`` rows must also be
+    present in ``corpus`` (so batch-batch pairs verify). Same
+    eager/unpersist contract as near_dup_pairs."""
+    sh = (
+        S.staged_word_shingles(
+            corpus.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+            "_text",
+        )
+        .drop("_text")
+        .persist()
+    )
+    mh = sh.select("_id", S.minhash_signature(F.col("sh")).alias("mh"))
+    bands = mh.select("_id", F.explode(S.band_signatures(F.col("mh"))).alias("band"))
+    batch_ids = batch.select(F.col(id_col).alias("_id")).distinct()
+    bands_batch = bands.join(batch_ids, "_id")
+    cands = (
+        bands_batch.select(F.col("_id").alias("bid"), "band")
+        .join(bands.select(F.col("_id").alias("cid"), "band"), "band")
+        .filter(F.col("bid") != F.col("cid"))
+        .select(
+            F.least("bid", "cid").alias("id_a"),
+            F.greatest("bid", "cid").alias("id_b"),
+        )
+        .distinct()
+    )
+    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    pairs = (
+        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return pairs
+
+
 def _candidate_pairs_with_shingles(docs, id_col, text_col):
     """LSH candidate pairs joined back to both shingle arrays. Returns
     (candidates with sh_a/sh_b, the persisted shingle frame) — the caller

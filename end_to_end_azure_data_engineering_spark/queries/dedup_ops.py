@@ -515,22 +515,25 @@ def incremental_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute (min-label of a merged component = min over its old labels
     and new ids). The oracle IS the full recompute — a recursive CTE over
     the complete corpus pair set — so the equivalence is hash-verified.
-    At 100 TB this is the daily-ingest path: O(state + batch-pairs), never
-    O(corpus-pairs-again)."""
+    At 100 TB this is the daily-ingest path: candidate generation joins
+    the BATCH's LSH bands against the corpus signature table
+    (operators/neardup.near_dup_pairs_against), so mining explores
+    O(batch x collisions) — old-old pairs are never re-examined. (The
+    old_state build below replays history only to construct the demo's
+    standing state; a production pipeline carries it forward.)"""
     from ..operators.dedup import connected_components
-    from ..operators.neardup import near_dup_pairs
+    from ..operators.neardup import near_dup_pairs, near_dup_pairs_against
 
     d = spread(load(spark, sf_dir, "documents"))
     old_docs = d.filter(F.col("doc_id") % 3 != 0)
+    new_docs = d.filter(F.col("doc_id") % 3 == 0)
     old_state = connected_components(
         near_dup_pairs(old_docs, "doc_id", "text", threshold=0.2), "id_a", "id_b"
     )
-    # pairs touching the new batch: mined against the FULL corpus (new-new
-    # and new-old collisions), old-old pairs excluded — those are already
-    # summarized in old_state
-    all_pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.2)
-    new_pairs = all_pairs.filter(
-        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    # the incremental mine: batch bands x corpus bands (new-new and
+    # new-old collisions only)
+    new_pairs = near_dup_pairs_against(
+        new_docs, d, "doc_id", "text", threshold=0.2
     ).select("id_a", "id_b")
     merged_edges = old_state.select(
         F.col("node").alias("id_a"), F.col("label").alias("id_b")

@@ -105,16 +105,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H = S.HASH32_SQL("'split:' || CAST(doc_id AS VARCHAR)")
 
+# ONE definition of the split assignment, shared by hash_split_stratified
+# (the assignment op) and split_leakage_audit (the audit of that op) — if
+# the salt, modulus, or boundaries drift between them the audit silently
+# audits a different split than the one produced.
+_SPLIT_CASE_SQL = f"""CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END"""
+
+
+def _split_col():
+    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
 
 @register(
     "hash_split_stratified",
     oracle=f"""
     WITH assigned AS (
-      SELECT lang,
-             CASE WHEN {_H} % 100 < 80 THEN 'train'
-                  WHEN {_H} % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split,
-             n_chars
+      SELECT lang, {_SPLIT_CASE_SQL} AS split, n_chars
       FROM documents
     )
     SELECT lang, split, count(*) AS n_docs,
@@ -131,12 +140,8 @@ def hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     same id. Pure per-row map + small-key agg; the oracle shares the same
     md5-derived hash, so assignment is hash-verified cross-engine."""
     d = spread(load(spark, sf_dir, "documents"))
-    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split = (
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    )
     return (
-        d.select("lang", split.alias("split"), "n_chars")
+        d.select("lang", _split_col().alias("split"), "n_chars")
         .groupBy("lang", "split")
         .agg(
             F.count("*").alias("n_docs"),
@@ -797,19 +802,25 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE pair enumeration looks at the first _BPE_MAX_WORD symbols of a vocab
+# word on BOTH engines (the oracle's generate_series is necessarily bounded;
+# the Spark sequence caps to match). 64 covers every real tokenizer's
+# max-word-length cutoff (HF tokenizers default 100; GPT-2 splits longer).
+_BPE_MAX_WORD = 64
+
+
 @register(
     "bpe_pair_merges",
-    oracle="""
+    oracle=f"""
     WITH vocab AS (
       SELECT w, CAST(count(*) AS BIGINT) AS wn
-      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM documents)
+      FROM (SELECT unnest({X.TOKENS_SQL('text')}) AS w FROM documents)
       WHERE length(w) >= 2
       GROUP BY w
     ),
     pairs AS (
       SELECT substring(v.w, CAST(t.i AS INTEGER), 2) AS pair, v.wn
-      FROM vocab v JOIN generate_series(1, 64) AS t(i)
+      FROM vocab v JOIN generate_series(1, {_BPE_MAX_WORD - 1}) AS t(i)
         ON t.i <= length(v.w) - 1
     )
     SELECT pair, CAST(sum(wn) AS BIGINT) AS n
@@ -842,7 +853,10 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = vocab.select(
         "wn",
         F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            F.expr(
+            f"transform(sequence(1, least(length(w) - 1, {_BPE_MAX_WORD - 1})),"
+            " i -> substring(w, i, 2))"
+        )
         ).alias("pair"),
     )
     return (
@@ -857,10 +871,7 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_leakage_audit",
     oracle=f"""
     WITH assigned AS (
-      SELECT lang,
-             CASE WHEN {_H} % 100 < 80 THEN 'train'
-                  WHEN {_H} % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split,
+      SELECT lang, {_SPLIT_CASE_SQL} AS split,
              {X.FINGERPRINT_SQL('text')} AS fp
       FROM documents
     ),
@@ -887,10 +898,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp-keyed agg + one lang-keyed agg, both bounded. A clean corpus
     (post exact-dedup) reports zero leaked fingerprints."""
     d = spread(load(spark, sf_dir, "documents"))
-    h = S.hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     by_fp = (
-        d.select("lang", split.alias("split"), X.fingerprint("text").alias("fp"))
+        d.select("lang", _split_col().alias("split"), X.fingerprint("text").alias("fp"))
         .groupBy("lang", "fp")
         .agg(
             F.count_distinct("split").alias("ns"),

@@ -29,33 +29,38 @@ def _joined(spark, sf="/root/testdata/sf0.01"):
     )
 
 
-def test_bloom_filter_injected_under_smj(spark):
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
+from contextlib import contextmanager
+
+
+@contextmanager
+def _forced_smj_bloom(spark):
+    """Force SMJ + bloom injection, RESTORING the session's configured
+    values afterward — conf.unset would drop to Spark's 10 MB default,
+    not the engine session's 64 MB, leaking a smaller broadcast threshold
+    into every later test of the session-scoped fixture."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    prior = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(keys[0], "-1")
+    spark.conf.set(keys[1], "0")
     try:
+        yield
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+
+
+def test_bloom_filter_injected_under_smj(spark):
+    with _forced_smj_bloom(spark):
         plan = _joined(spark)._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan      # built on the filtered dim side
         assert "might_contain" in plan         # applied to the fact scan side
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-        )
 
 
 def test_bloom_pruned_results_identical(spark):
     baseline = _joined(spark).first()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
-    try:
+    with _forced_smj_bloom(spark):
         pruned = _joined(spark).first()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-        )
     assert (pruned.n, pruned.s) == (baseline.n, baseline.s)

@@ -255,3 +255,16 @@ def test_history_describes_versions_with_ops(spark, vwh):
     # vacuumed versions drop out of history, like Delta after file removal
     vwh.vacuum("gold", "h", keep=1)
     assert [h["version"] for h in vwh.history("gold", "h")] == [2]
+
+
+def test_phantom_claims_excluded_from_history_and_restore(spark, vwh):
+    """A crashed writer's claimed-but-empty version directory is not a
+    history entry and cannot be restored to current."""
+    import pytest as _pytest
+
+    vwh.commit(spark.range(4), "gold", "ph")      # v0
+    (vwh.path("gold", "ph") / "_v1").mkdir()      # crashed claim, no data
+    vwh.commit(spark.range(5), "gold", "ph")      # v2
+    assert [h["version"] for h in vwh.history("gold", "ph")] == [2, 0]
+    with _pytest.raises(FileNotFoundError):
+        vwh.restore("gold", "ph", 1)
