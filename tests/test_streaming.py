@@ -285,3 +285,37 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     rows = {(r.l_id, r.r_id) for r in spark.sql("SELECT l_id, r_id FROM ivjo_out").collect()}
     assert (1, 10) in rows          # matched pair
     assert (2, None) in rows        # unmatched click emitted with nulls
+
+
+def test_dedup_stream_sink_matches_batch_dedup(spark, tmp_path):
+    """Continuous dedup: feeding the corpus through the foreachBatch dedup
+    sink in three micro-batches (with replays) converges to the same
+    survivor set as one-shot batch dedup_corpus over everything — and
+    later batches read stored signatures instead of re-shingling history."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.operators.neardup import dedup_corpus
+    from end_to_end_azure_data_engineering_spark.queries import load as qload
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import dedup_stream_sink
+
+    docs = qload(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = dedup_stream_sink(wh, threshold=0.2)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[1], 1)  # at-least-once replay: must be a no-op
+    sink(batches[2], 2)
+    sink(batches[0], 0)  # stale replay from further back
+
+    state = wh.read("silver", "dedup_components").drop("_epoch")
+    losers = {r.node for r in state.filter(F.col("node") != F.col("label")).collect()}
+    streamed_survivors = {
+        r.doc_id for r in docs.collect() if r.doc_id not in losers
+    }
+    batch_survivors = {
+        r.doc_id for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert streamed_survivors == batch_survivors
+    # the signature store covers the corpus exactly once per doc
+    sigs = wh.read("silver", "dedup_signatures")
+    assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
