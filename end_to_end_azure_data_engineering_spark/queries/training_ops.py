@@ -548,3 +548,61 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", (F.row_number().over(w) - 1).cast("bigint"))
         .select("doc_id", "shard", "position")
     )
+
+
+# quality-weighted sampling: keep-probability tier by document quality, as
+# pretraining corpora demote (not drop) low-quality strata. Parts-per-
+# million thresholds keep the hash comparison exact-integer on both engines.
+_QS_TIERS_PPM = {"high": 1_000_000, "mid": 500_000, "low": 100_000}
+_QS_HASH_SQL = S.HASH32_SQL("'qsamp:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH tiered AS (
+      SELECT source,
+             CASE WHEN n_chars >= 400 THEN 'high'
+                  WHEN n_chars >= 250 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             CASE WHEN n_chars >= 400 THEN {_QS_TIERS_PPM['high']}
+                  WHEN n_chars >= 250 THEN {_QS_TIERS_PPM['mid']}
+                  ELSE {_QS_TIERS_PPM['low']} END AS keep_ppm,
+             {_QS_HASH_SQL} % 1000000 AS h
+      FROM documents
+    )
+    SELECT source, tier,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN h < keep_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM tiered GROUP BY source, tier
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: each quality tier keeps a different
+    fraction of its documents (high 100%, mid 50%, low 10%) by comparing a
+    salted content-key hash against the tier's parts-per-million threshold
+    — the Dolma/RefinedWeb-style 'demote, don't drop' mixture step, fully
+    deterministic (reproducible across re-runs, re-partitioning, and
+    engines; no RNG seed coordination across 1000 executors). Pure per-row
+    map + one (source, tier) agg."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tier = (
+        F.when(F.col("n_chars") >= 400, "high")
+        .when(F.col("n_chars") >= 250, "mid")
+        .otherwise("low")
+    )
+    keep_ppm = (
+        F.when(F.col("n_chars") >= 400, _QS_TIERS_PPM["high"])
+        .when(F.col("n_chars") >= 250, _QS_TIERS_PPM["mid"])
+        .otherwise(_QS_TIERS_PPM["low"])
+    )
+    h = S.hash32(F.concat(F.lit("qsamp:"), F.col("doc_id").cast("string"))) % 1_000_000
+    return (
+        d.select("source", tier.alias("tier"), (h < keep_ppm).alias("_keep"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
