@@ -276,6 +276,32 @@ class VersionedWarehouse(Warehouse):
     def _pointer(self, namespace: str, table: str) -> Path:
         return self.path(namespace, table) / "_CURRENT"
 
+    def exists(self, namespace: str, table: str) -> bool:
+        """A versioned table exists when a version has been PUBLISHED —
+        directory presence alone (the base-class rule) would make a crashed
+        first commit's claim look like a readable table."""
+        return (
+            self._pointer(namespace, table).exists()
+            and self.current_version(namespace, table) is not None
+        )
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Versioned overwrite = commit + publish. Overrides the base
+        swap-in-place write so EVERY mutation through a VersionedWarehouse
+        is a version (callers written against the plain Warehouse API —
+        the streaming sinks, the silver loaders — get MVCC snapshots,
+        time travel, and history for free when handed this class; without
+        this override their overwrites landed outside the version layout
+        and read() could not see them). Returns rows written."""
+        v = self.commit(df, namespace, table, op="OVERWRITE", partition_by=partition_by)
+        return self._count_files(self.path(namespace, table) / f"_v{v}")
+
     def current_version(self, namespace: str, table: str) -> int | None:
         ptr = self._pointer(namespace, table)
         if not ptr.exists():
@@ -305,7 +331,12 @@ class VersionedWarehouse(Warehouse):
         )
 
     def commit(
-        self, df: DataFrame, namespace: str, table: str, op: str = "WRITE"
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        op: str = "WRITE",
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write the next version and atomically publish it. Returns the
         committed version number.
@@ -320,7 +351,10 @@ class VersionedWarehouse(Warehouse):
         empty directory (an overwrite would delete-and-recreate it, opening
         a window where a competitor could re-claim the same number)."""
         nxt, vdir = self._claim_next(namespace, table)
-        df.write.mode("append").parquet(str(vdir))
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(vdir))
         self._stamp(vdir, op)
         self._publish(namespace, table, nxt)
         return nxt

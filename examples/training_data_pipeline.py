@@ -95,6 +95,22 @@ def main() -> None:
     )
     print(f"epoch-0 shards written under {out} (one dir per trainer rank)")
 
+    # 6. the same dedup running CONTINUOUSLY: feed the corpus through the
+    # foreachBatch dedup sink in three arrivals — the signature store and
+    # component state accrete incrementally (batch-vs-corpus band mining,
+    # never a full re-cluster), converging to the batch result above
+    from end_to_end_azure_data_engineering_spark.engine.tableio import VersionedWarehouse
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import dedup_stream_sink
+
+    wh = VersionedWarehouse(spark, tempfile.mkdtemp(prefix="stream_wh_"))
+    sink = dedup_stream_sink(wh, threshold=0.8)
+    for i in range(3):
+        sink(kept.filter(F.col("doc_id") % 3 == i).select("doc_id", "text"), i)
+    state = wh.read("silver", "dedup_components")
+    n_losers = state.filter(F.col("node") != F.col("label")).count()
+    print(f"continuous dedup state: {n_losers} non-survivors "
+          f"(batch pass removed {n1 - n2})")
+
 
 if __name__ == "__main__":
     main()
