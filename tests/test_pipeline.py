@@ -200,3 +200,26 @@ def test_per_bank_validation():
         conform_entity(SILVER_SPECS["customers"], [(None, None)])
     with pytest.raises(ValueError, match="single-source"):
         conform_entity(SILVER_SPECS["fx_rates"], [(None, "bank_a")])
+
+
+def test_pipeline_runs_on_versioned_warehouse_with_time_travel(spark, tmp_path):
+    """The whole medallion pipeline runs unchanged against the MVCC engine
+    (VersionedWarehouse.overwrite = versioned commit): two runs produce
+    two gold versions, yesterday's fact table stays time-travelable, and
+    history records every publish — the Delta-ACID deployment story at the
+    Warehouse seam."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    run_pipeline(vwh, bronze_frames(spark), FixedClock(dt.datetime(2024, 2, 1, 12)))
+    v_first = vwh.current_version("gold", "fact_transaction")
+    n_first = vwh.read("gold", "fact_transaction").count()
+    run_pipeline(vwh, bronze_frames(spark), FixedClock(dt.datetime(2024, 2, 2, 12)))
+    v_second = vwh.current_version("gold", "fact_transaction")
+    assert v_second > v_first
+    # yesterday's snapshot still reads exactly as it was published
+    assert vwh.read("gold", "fact_transaction", version=v_first).count() == n_first
+    ops = {h["operation"] for h in vwh.history("gold", "fact_transaction")}
+    assert ops == {"OVERWRITE"}
