@@ -36,3 +36,33 @@ def test_planted_duplicates_removed(spark):
     assert all(k < 1_000_000 for k in kept)
     stages = report.as_dict()
     assert stages["exact_dedup"] <= stages["quality"] // 2
+
+
+def test_near_dup_pairs_against_equals_filtered_full_mine(spark):
+    """Batch-vs-corpus mining returns exactly the full-mine pairs that
+    touch the batch — the incremental path loses nothing and adds
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs,
+        near_dup_pairs_against,
+    )
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    full = near_dup_pairs(docs, "doc_id", "text", threshold=0.2)
+    expected = {
+        (r.id_a, r.id_b)
+        for r in full.filter(
+            (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_against(
+            batch, docs, "doc_id", "text", threshold=0.2
+        ).collect()
+    }
+    assert got == expected and expected  # non-trivial fixture
