@@ -15,6 +15,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,25 @@ class Warehouse:
     def exists(self, namespace: str, table: str) -> bool:
         p = self.path(namespace, table)
         return p.exists() and any(p.iterdir())
+
+    def data_dir(self, namespace: str, table: str) -> Path:
+        """Directory holding the table's LIVE data files (the table root
+        here; the published version directory on VersionedWarehouse).
+        Callers inspecting files (compaction counts, footer stats) must go
+        through this, never path()."""
+        return self.path(namespace, table)
+
+    def insert_file(self, namespace: str, table: str, name: str, write_fn) -> None:
+        """Driver-side single-file insert (the audit fast path): stage via
+        ``write_fn(tmp_path)`` under a hidden dot-name, then atomically
+        rename into the live table — an interrupted write never leaves a
+        footerless partial visible. VersionedWarehouse overrides this to
+        publish the file as a proper APPEND version instead."""
+        path = self.path(namespace, table)
+        path.mkdir(parents=True, exist_ok=True)
+        tmp = path / f".{name}.tmp"
+        write_fn(tmp)
+        os.replace(tmp, path / name)
 
     def read(self, namespace: str, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions the schemas of every file (columns
@@ -146,7 +166,7 @@ class Warehouse:
         else:
             df = df.repartition(target_files)
         self.overwrite(df, namespace, table)
-        return len(list(self.path(namespace, table).glob("*.parquet")))
+        return len(list(self.data_dir(namespace, table).glob("*.parquet")))
 
     def overwrite_zordered(
         self,
@@ -301,6 +321,106 @@ class VersionedWarehouse(Warehouse):
         and read() could not see them). Returns rows written."""
         v = self.commit(df, namespace, table, op="OVERWRITE", partition_by=partition_by)
         return self._count_files(self.path(namespace, table) / f"_v{v}")
+
+    def data_dir(self, namespace: str, table: str) -> Path:
+        v = self.current_version(namespace, table)
+        if v is None:
+            raise FileNotFoundError(
+                f"{namespace}.{table} has no committed version"
+            )
+        return self.path(namespace, table) / f"_v{v}"
+
+    @contextmanager
+    def _append_lock(self, namespace: str, table: str):
+        """Serialize link-forward appends per table: two concurrent appends
+        that both link from the same base version would each publish a
+        snapshot missing the other's rows (lost update) — the parallel
+        silver loads + audit inserts hit exactly this. Same lock-file
+        discipline as _publish (crashed holders stolen after 60 s); held
+        across claim + link + write + publish, with _publish's own
+        short-lived lock (a different file) nesting inside."""
+        base = self.path(namespace, table)
+        base.mkdir(parents=True, exist_ok=True)
+        lock = base / ".append.lock"
+        deadline = time.monotonic() + 120.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - lock.stat().st_mtime > 60.0:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"append lock for {namespace}.{table} held too long"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            lock.unlink(missing_ok=True)
+
+    def _link_forward(self, namespace: str, table: str, vdir: Path) -> None:
+        """Hard-link the published snapshot's files into a claimed new
+        version directory (Delta's append commit re-adds prior files to
+        the log; here links make that O(#files), zero bytes copied)."""
+        cur = self.current_version(namespace, table)
+        if cur is None:
+            return
+        src = self.path(namespace, table) / f"_v{cur}"
+        for f in sorted(src.rglob("*")):
+            if f.name == ".op":
+                continue
+            rel = f.relative_to(src)
+            dst = vdir / rel
+            if f.is_dir():
+                dst.mkdir(parents=True, exist_ok=True)
+            else:
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+
+    def append(
+        self,
+        df: DataFrame,
+        namespace: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Versioned append: new version = prior snapshot (hard-linked
+        forward) + the batch's files — Delta's append commit. Readers on
+        the old version are untouched; the base swap-in-place append would
+        have written files read() can never see."""
+        with self._append_lock(namespace, table):
+            nxt, vdir = self._claim_next(namespace, table)
+            self._link_forward(namespace, table, vdir)
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(vdir))
+            self._stamp(vdir, "APPEND")
+            self._publish(namespace, table, nxt)
+
+    def insert_file(self, namespace: str, table: str, name: str, write_fn) -> None:
+        """Driver-side single-file insert as a versioned APPEND commit:
+        claim, link the snapshot forward, write the new file, publish.
+        Keeps the audit fast path's no-Spark-job property while every row
+        lands in a readable published version."""
+        with self._append_lock(namespace, table):
+            nxt, vdir = self._claim_next(namespace, table)
+            self._link_forward(namespace, table, vdir)
+            tmp = vdir / f".{name}.tmp"
+            write_fn(tmp)
+            os.replace(tmp, vdir / name)
+            self._stamp(vdir, "APPEND")
+            self._publish(namespace, table, nxt)
 
     def current_version(self, namespace: str, table: str) -> int | None:
         ptr = self._pointer(namespace, table)

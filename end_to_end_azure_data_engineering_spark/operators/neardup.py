@@ -58,6 +58,63 @@ def near_dup_pairs(
     return pairs
 
 
+def sign_corpus(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Signature frame (_id, sh, mh) for a corpus — the standing artifact
+    incremental mining reads instead of re-shingling history."""
+    staged = S.staged_word_shingles(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        "_text",
+    ).drop("_text")
+    return staged.withColumn("mh", S.minhash_signature(F.col("sh")))
+
+
+def pairs_from_signatures(
+    sig: DataFrame,
+    threshold: float,
+    batch_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a < id_b, jaccard >= threshold) mined
+    from a PRECOMPUTED signature frame (_id, sh, mh) — the single mining
+    implementation behind near_dup_pairs_against and the streaming dedup
+    sink, so the batch and streaming paths cannot diverge. With
+    ``batch_ids`` (a 1-column ``_id`` frame), one join side is restricted
+    to the batch: O(batch x collisions) candidates, old-old pairs never
+    examined. Lazy — callers materialize (localCheckpoint) and release
+    their own signature persists. Band explodes are explode_outer per the
+    PLANS.md rule-5 guard (a plain explode's inferred size() filter would
+    re-run the minhash kernel per row)."""
+    bands = sig.select(
+        "_id", F.explode_outer(S.band_signatures(F.col("mh"))).alias("band")
+    )
+    if batch_ids is None:
+        cands = (
+            bands.select(F.col("_id").alias("id_a"), "band")
+            .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cands = (
+            bands.join(batch_ids, "_id")
+            .select(F.col("_id").alias("bid"), "band")
+            .join(bands.select(F.col("_id").alias("cid"), "band"), "band")
+            .filter(F.col("bid") != F.col("cid"))
+            .select(
+                F.least("bid", "cid").alias("id_a"),
+                F.greatest("bid", "cid").alias("id_b"),
+            )
+            .distinct()
+        )
+    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cands.join(sig.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
 def near_dup_pairs_against(
     batch: DataFrame,
     corpus: DataFrame,
@@ -70,42 +127,15 @@ def near_dup_pairs_against(
     candidate generation joins the BATCH's band rows against the corpus's
     band rows, so the pair space explored is O(batch x collisions), never
     corpus x corpus, and old-old pairs are never re-examined. In
-    production the corpus-side shingle/band frame is the standing
-    signatures table maintained by ingestion; this self-contained form
-    recomputes it from ``corpus`` (one pass). ``batch`` rows must also be
-    present in ``corpus`` (so batch-batch pairs verify). Same
-    eager/unpersist contract as near_dup_pairs."""
-    sh = (
-        S.staged_word_shingles(
-            corpus.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
-            "_text",
-        )
-        .drop("_text")
-        .persist()
-    )
-    mh = sh.select("_id", S.minhash_signature(F.col("sh")).alias("mh"))
-    bands = mh.select("_id", F.explode(S.band_signatures(F.col("mh"))).alias("band"))
+    production the corpus-side signature frame is the standing table
+    maintained by ingestion (see streaming.ingest.dedup_stream_sink);
+    this self-contained form recomputes it from ``corpus`` (one pass).
+    ``batch`` rows must also be present in ``corpus`` (so batch-batch
+    pairs verify). Same eager/unpersist contract as near_dup_pairs."""
+    sig = sign_corpus(corpus, id_col, text_col).persist()
     batch_ids = batch.select(F.col(id_col).alias("_id")).distinct()
-    bands_batch = bands.join(batch_ids, "_id")
-    cands = (
-        bands_batch.select(F.col("_id").alias("bid"), "band")
-        .join(bands.select(F.col("_id").alias("cid"), "band"), "band")
-        .filter(F.col("bid") != F.col("cid"))
-        .select(
-            F.least("bid", "cid").alias("id_a"),
-            F.greatest("bid", "cid").alias("id_b"),
-        )
-        .distinct()
-    )
-    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
-    pairs = (
-        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .localCheckpoint()
-    )
-    sh.unpersist()
+    pairs = pairs_from_signatures(sig, threshold, batch_ids).localCheckpoint()
+    sig.unpersist()
     return pairs
 
 
@@ -123,7 +153,12 @@ def _candidate_pairs_with_shingles(docs, id_col, text_col):
         .persist()
     )
     mh = sh.select("_id", S.minhash_signature(F.col("sh")).alias("mh"))
-    bands = mh.select("_id", F.explode(S.band_signatures(F.col("mh"))).alias("band"))
+    # explode_outer: band arrays are always length BANDS, and a plain
+    # explode's inferred size() filter would inline the minhash kernel
+    # (PLANS.md rule 5)
+    bands = mh.select(
+        "_id", F.explode_outer(S.band_signatures(F.col("mh"))).alias("band")
+    )
     cands = (
         bands.select(F.col("_id").alias("id_a"), "band")
         .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")

@@ -115,17 +115,16 @@ class AuditLog:
             ]
         )
         tbl = pa.table({k: [v] for k, v in row.items()}, schema=schema)
-        path = self.wh.path(NAMESPACE, TABLE)
-        path.mkdir(parents=True, exist_ok=True)
-        # stage under a dot-name (parquet readers ignore hidden files), then
-        # atomically rename: an interrupted write (ENOSPC, kill -9) must
-        # never leave a footerless partial in the live table — that would
-        # poison every later audit read, where the old Spark append staged
-        # through _temporary/ and never had this failure mode
+        # insert through the warehouse's file-insert hook: the plain
+        # warehouse stages under a dot-name and atomically renames into the
+        # table root (an interrupted write never leaves a footerless
+        # partial visible); a VersionedWarehouse publishes the file as a
+        # proper APPEND version, so audit rows stay visible to its
+        # version-pointer reads
         name = f"part-audit-{uuid.uuid4().hex}.parquet"
-        tmp = path / f".{name}.tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path / name)
+        self.wh.insert_file(
+            NAMESPACE, TABLE, name, lambda tmp: pq.write_table(tbl, tmp)
+        )
 
     def start(self, source_system: str, source_object: str) -> _dt.datetime:
         t0 = self.clock.now()

@@ -339,25 +339,29 @@ def dedup_stream_sink(
     """CONTINUOUS near-dup dedup — the incremental_components_merge query
     running as a foreachBatch sink. Two standing tables:
 
-    - ``sig_table`` (doc_id, sh, mh): the corpus signature store. Shingles
+    - ``sig_table`` (_id, sh, mh): the corpus signature store. Shingles
       and minhash are computed ONCE per document, on the batch that
-      delivers it — later batches read signatures, never re-shingle
-      history. This is the production signatures artifact the batch
-      queries note.
+      delivers it, and only the BATCH's signatures are appended per epoch
+      — the store is never rewritten, so the write cost per micro-batch
+      is O(batch), not O(corpus).
     - ``state_table`` (node, label, _epoch): the component forest.
 
-    Per micro-batch: sign the batch; mine candidates by joining the
-    BATCH's band rows against the signature store's (batch x collisions,
-    never corpus²); verify by Jaccard on stored shingles; fold verified
-    pairs into the forest with one CC pass over (state label edges ∪ new
-    pairs) — label edges are depth-1, so propagation converges in rounds
-    bounded by the NEW pairs' component diameter. Replay-safe like the
-    other sinks: the applied epoch rides in ``state_table`` and a
-    re-delivered epoch is skipped before any table is touched. Survivors
-    at any time = docs whose node is absent from state or is its own
-    label (see tests/test_streaming.py for batch-parity proof)."""
-    from ..functions import sketches as S
+    Mining is operators.neardup.pairs_from_signatures — the SAME
+    implementation the batch queries use (batch-bands x corpus-bands,
+    never corpus²; Jaccard-verified on stored shingles), so the streaming
+    and batch paths cannot diverge. The component merge is one CC pass
+    over (state label edges ∪ new pairs); label edges are depth-1, so
+    propagation converges in rounds bounded by the NEW pairs' diameter.
+
+    Crash/replay contract (foreachBatch is at-least-once): signatures
+    publish BEFORE state — a crash between the two replays the epoch,
+    where the anti-join skips already-stored signatures and the state
+    merge re-runs idempotently; a replayed epoch whose state already
+    published is skipped up front. All intermediate persists are released
+    before returning (block-manager hygiene on a per-micro-batch hot
+    path)."""
     from ..operators.dedup import connected_components
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
 
     def sink(batch: DataFrame, epoch: int) -> None:
         if wh.exists(namespace, state_table):
@@ -370,67 +374,46 @@ def dedup_stream_sink(
         else:
             old_state = None
 
-        staged = S.staged_word_shingles(
-            batch.select(
-                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-            ).dropDuplicates(["_id"]),
-            "_text",
-        ).drop("_text")
-        sig_new = staged.withColumn("mh", S.minhash_signature(F.col("sh")))
+        sig_new = sign_corpus(
+            batch.select(id_col, text_col).dropDuplicates([id_col]),
+            id_col,
+            text_col,
+        ).persist()
         if wh.exists(namespace, sig_table):
-            # history already signed: union stored signatures (no re-shingle).
-            # Anti-join first: a crash AFTER the signature publish but BEFORE
-            # the state publish replays this epoch with the batch already in
-            # the store — a plain union would then hold duplicate _id rows
             stored = wh.read(namespace, sig_table)
-            corpus_sig = stored.unionByName(
-                sig_new.join(stored.select("_id"), "_id", "left_anti")
-            )
+            # anti-join: a crash after the signature publish but before the
+            # state publish replays this epoch with the batch already
+            # stored — appending again would duplicate signature rows
+            sig_to_add = sig_new.join(stored.select("_id"), "_id", "left_anti")
+            corpus_sig = stored.unionByName(sig_to_add)
         else:
+            sig_to_add = sig_new
             corpus_sig = sig_new
-        corpus_sig = corpus_sig.localCheckpoint()  # one materialization,
-        # reused by band build + both verification join sides
+        corpus_sig = corpus_sig.persist()
 
-        bands_all = corpus_sig.select(
-            "_id", F.explode(S.band_signatures(F.col("mh"))).alias("band")
-        )
-        batch_ids = sig_new.select("_id")
-        bands_batch = bands_all.join(batch_ids, "_id")
-        cands = (
-            bands_batch.select(F.col("_id").alias("bid"), "band")
-            .join(bands_all.select(F.col("_id").alias("cid"), "band"), "band")
-            .filter(F.col("bid") != F.col("cid"))
-            .select(
-                F.least("bid", "cid").alias("id_a"),
-                F.greatest("bid", "cid").alias("id_b"),
-            )
-            .distinct()
-        )
-        jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
-        new_pairs = (
-            cands.join(
-                corpus_sig.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")),
-                "id_a",
-            )
-            .join(
-                corpus_sig.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")),
-                "id_b",
-            )
-            .filter(jac >= threshold)
-            .select("id_a", "id_b")
-        )
+        new_pairs = pairs_from_signatures(
+            corpus_sig, threshold, batch_ids=sig_new.select("_id")
+        ).select("id_a", "id_b")
         edges = (
             old_state.select(F.col("node").alias("id_a"), F.col("label").alias("id_b"))
             .unionByName(new_pairs)
             if old_state is not None
             else new_pairs
         )
-        new_state = connected_components(edges, "id_a", "id_b")
-        # publish: signatures first (idempotent re-append is prevented by the
-        # epoch guard), then the state table carrying the epoch high-water
-        wh.overwrite(corpus_sig, namespace, sig_table)
+        new_state = connected_components(edges, "id_a", "id_b").localCheckpoint()
+
+        # publish order matters: signatures first (replay-safe via the
+        # anti-join), THEN the state carrying the epoch high-water mark —
+        # the reverse order could skip a replay whose signatures were lost
+        if wh.exists(namespace, sig_table):
+            wh.append(sig_to_add, namespace, sig_table)
+        else:
+            wh.overwrite(sig_to_add, namespace, sig_table)
         wh.overwrite(
             new_state.withColumn("_epoch", F.lit(epoch)), namespace, state_table
         )
+        corpus_sig.unpersist()
+        sig_new.unpersist()
+        new_state.unpersist()
 
     return sink

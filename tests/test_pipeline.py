@@ -223,3 +223,10 @@ def test_pipeline_runs_on_versioned_warehouse_with_time_travel(spark, tmp_path):
     assert vwh.read("gold", "fact_transaction", version=v_first).count() == n_first
     ops = {h["operation"] for h in vwh.history("gold", "fact_transaction")}
     assert ops == {"OVERWRITE"}
+    # audit rows must be VISIBLE through the version-pointer reads (the
+    # driver-side arrow inserts publish as APPEND versions — the review
+    # finding where they landed outside the version layout and every
+    # watermark fetch silently returned None)
+    audit_rows = vwh.read("audit", "audit_logs")
+    assert audit_rows.count() > 0
+    assert "APPEND" in {h["operation"] for h in vwh.history("audit", "audit_logs")}

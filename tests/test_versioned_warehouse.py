@@ -268,3 +268,14 @@ def test_phantom_claims_excluded_from_history_and_restore(spark, vwh):
     assert [h["version"] for h in vwh.history("gold", "ph")] == [2, 0]
     with _pytest.raises(FileNotFoundError):
         vwh.restore("gold", "ph", 1)
+
+
+def test_compact_on_versioned_warehouse_reports_real_count(spark, vwh):
+    """compact() through the MVCC engine publishes a new version and
+    reports the actual file count of the published snapshot (the review
+    finding: counting the table ROOT of a versioned table returned 0)."""
+    vwh.commit(spark.range(1000).repartition(8), "gold", "cpt")
+    n = vwh.compact("gold", "cpt", target_files=2)
+    assert n == 2
+    assert vwh.read("gold", "cpt").count() == 1000
+    assert vwh.history("gold", "cpt")[0]["operation"] == "OVERWRITE"
