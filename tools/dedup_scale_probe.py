@@ -89,10 +89,14 @@ def main() -> int:
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sizes = [small, small * factor]
 
+    from pyspark.sql import functions as F
+
     from end_to_end_azure_data_engineering_spark.engine import get_spark
     from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        containment_pairs,
         dedup_corpus,
         near_dup_pairs,
+        near_dup_pairs_against,
     )
 
     spark = get_spark("dedup_scale_probe")
@@ -107,17 +111,31 @@ def main() -> int:
         dedup_corpus(docs, "doc_id", "text").count()
         t_pairs, n_pairs = timed(spark, lambda: near_dup_pairs(docs, "doc_id", "text").count())
         t_corpus, n_surv = timed(spark, lambda: dedup_corpus(docs, "doc_id", "text").count())
-        rows.append((n, t_pairs, n_pairs, t_corpus, n_surv))
+        t_cont, n_cont = timed(
+            spark, lambda: containment_pairs(docs, "doc_id", "text", 0.5).count()
+        )
+        batch = docs.filter(F.col("doc_id") % 10 == 0)  # a 10% ingest batch
+        t_incr, n_incr = timed(
+            spark,
+            lambda: near_dup_pairs_against(batch, docs, "doc_id", "text").count(),
+        )
+        rows.append((n, t_pairs, n_pairs, t_corpus, n_surv, t_cont, t_incr))
         print(
             f"docs={n:>8d}  pairs: {t_pairs:6.2f}s ({n_pairs} found)   "
-            f"dedup_corpus: {t_corpus:6.2f}s ({n_surv} survivors)",
+            f"dedup_corpus: {t_corpus:6.2f}s ({n_surv} survivors)   "
+            f"containment: {t_cont:6.2f}s ({n_cont})   "
+            f"incremental(10% batch): {t_incr:6.2f}s ({n_incr})",
             flush=True,
         )
 
-    (n0, tp0, np0, tc0, _), (n1, tp1, np1, tc1, _) = rows[0], rows[-1]
+    (n0, tp0, np0, tc0, _, tco0, ti0), (n1, tp1, np1, tc1, _, tco1, ti1) = (
+        rows[0],
+        rows[-1],
+    )
     print(
         f"\n{factor}x data -> pairs {tp1 / tp0:.1f}x time ({np1 / max(np0, 1):.1f}x output), "
-        f"dedup_corpus {tc1 / tc0:.1f}x time"
+        f"dedup_corpus {tc1 / tc0:.1f}x, containment {tco1 / tco0:.1f}x, "
+        f"incremental {ti1 / ti0:.1f}x"
     )
     return 0
 
