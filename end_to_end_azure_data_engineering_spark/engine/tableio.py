@@ -291,7 +291,19 @@ class VersionedWarehouse(Warehouse):
     API maps to commit-log append / snapshot ids; on object storage the
     pointer is a conditional-PUT marker object. Multi-writer coordination
     (optimistic retry on a CAS'd pointer) is out of scope here, exactly as
-    it is in the single-pipeline reference."""
+    it is in the single-pipeline reference.
+
+    ``autovacuum_keep=N`` prunes to the newest N versions after every
+    publish (Delta's log/file retention, applied inline) — the right mode
+    for append-heavy tables like the audit log, where every driver-side
+    row insert is its own APPEND version. Off (None) by default: keep
+    full history for time travel."""
+
+    def __init__(self, spark, root, autovacuum_keep: int | None = None):
+        super().__init__(spark, root)
+        if autovacuum_keep is not None and autovacuum_keep < 1:
+            raise ValueError("autovacuum_keep must be >= 1 (or None)")
+        self.autovacuum_keep = autovacuum_keep
 
     def _pointer(self, namespace: str, table: str) -> Path:
         return self.path(namespace, table) / "_CURRENT"
@@ -622,6 +634,8 @@ class VersionedWarehouse(Warehouse):
             os.replace(tmp, self._pointer(namespace, table))
         finally:
             lock.unlink(missing_ok=True)
+        if self.autovacuum_keep is not None:
+            self.vacuum(namespace, table, keep=self.autovacuum_keep)
 
     def read(
         self,

@@ -279,3 +279,20 @@ def test_compact_on_versioned_warehouse_reports_real_count(spark, vwh):
     assert n == 2
     assert vwh.read("gold", "cpt").count() == 1000
     assert vwh.history("gold", "cpt")[0]["operation"] == "OVERWRITE"
+
+
+def test_autovacuum_prunes_after_each_publish(spark, tmp_path):
+    """autovacuum_keep=N keeps history bounded inline (Delta retention
+    parity) — append-heavy tables like the audit log stay at N versions
+    instead of one per inserted row."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "av"), autovacuum_keep=2)
+    for i in range(5):
+        vw.append(spark.range(i, i + 1), "audit", "log")
+    assert len(vw.versions("audit", "log")) == 2
+    # all five rows survive: each append linked the prior snapshot forward
+    assert vw.read("audit", "log").count() == 5
+    assert vw.history("audit", "log")[0]["is_current"]
