@@ -305,6 +305,31 @@ class VersionedWarehouse(Warehouse):
             raise ValueError("autovacuum_keep must be >= 1 (or None)")
         self.autovacuum_keep = autovacuum_keep
 
+    def set_retention(self, namespace: str, table: str, keep: int | None) -> None:
+        """Per-TABLE retention (Delta scopes logRetentionDuration per
+        table): prune to the newest ``keep`` versions after each publish of
+        THIS table, overriding the warehouse-wide ``autovacuum_keep``.
+        ``None`` clears the override. Bounding an append-heavy audit log
+        must not cost every gold table its time-travel history."""
+        base = self.path(namespace, table)
+        base.mkdir(parents=True, exist_ok=True)
+        marker = base / ".retention"
+        if keep is None:
+            marker.unlink(missing_ok=True)
+        else:
+            if keep < 1:
+                raise ValueError("retention keep must be >= 1 (or None)")
+            marker.write_text(str(keep))
+
+    def _retention(self, namespace: str, table: str) -> int | None:
+        marker = self.path(namespace, table) / ".retention"
+        if marker.exists():
+            try:
+                return int(marker.read_text().strip())
+            except ValueError:
+                return self.autovacuum_keep
+        return self.autovacuum_keep
+
     def _pointer(self, namespace: str, table: str) -> Path:
         return self.path(namespace, table) / "_CURRENT"
 
@@ -354,7 +379,15 @@ class VersionedWarehouse(Warehouse):
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
         lock = base / ".append.lock"
-        deadline = time.monotonic() + 120.0
+        # Steal threshold sized for real append jobs (a big Spark write
+        # holds the lock for minutes — a 60 s steal would re-admit the
+        # lost-update this lock prevents), and the waiter's patience RESETS
+        # whenever the lock visibly changes hands (new inode), so healthy
+        # queueing never times out; the deadline only fires when one holder
+        # sits on the lock past the steal horizon without crashing.
+        STEAL_AFTER = 600.0
+        last_ino = None
+        deadline = time.monotonic() + STEAL_AFTER + 60.0
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -362,10 +395,21 @@ class VersionedWarehouse(Warehouse):
                 break
             except FileExistsError:
                 try:
-                    if time.time() - lock.stat().st_mtime > 60.0:
-                        lock.unlink(missing_ok=True)
-                        continue
+                    st = lock.stat()
                 except OSError:
+                    continue  # released between open and stat — retry
+                if st.st_ino != last_ino:
+                    last_ino = st.st_ino
+                    deadline = time.monotonic() + STEAL_AFTER + 60.0
+                if time.time() - st.st_mtime > STEAL_AFTER:
+                    # best-effort crashed-holder steal; the re-stat narrows
+                    # (but cannot fully close — documented residual) the
+                    # window where a fresh holder's lock is removed instead
+                    try:
+                        if lock.stat().st_ino == st.st_ino:
+                            lock.unlink(missing_ok=True)
+                    except OSError:
+                        pass
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -528,12 +572,14 @@ class VersionedWarehouse(Warehouse):
             raise FileNotFoundError(
                 f"{namespace}.{table} version {version} not found (vacuumed?)"
             )
-        if not any(f.suffix == ".parquet" for f in src.rglob("*") if f.is_file()):
-            # a crashed writer's claimed-but-never-written directory: it was
-            # never published and must not be promotable to current
+        if not self._is_committed(namespace, table, version):
+            # a crashed writer's claim — empty, OR half-filled by a failed
+            # link-forward/write (the stamp is written only after a
+            # successful write, so an unstamped non-current directory is
+            # never a real commit and must not be promotable to current)
             raise FileNotFoundError(
                 f"{namespace}.{table} version {version} is an unpublished "
-                "empty claim (crashed writer) — not restorable"
+                "crashed claim — not restorable"
             )
         nxt, vdir = self._claim_next(namespace, table)
         for f in sorted(src.rglob("*")):
@@ -555,6 +601,16 @@ class VersionedWarehouse(Warehouse):
         self._publish(namespace, table, nxt)
         return nxt
 
+    def _is_committed(self, namespace: str, table: str, version: int) -> bool:
+        """A version directory is a real commit iff it carries the .op
+        stamp (written only after its data write succeeded) or is the
+        published pointer target. A claim abandoned mid-write — including
+        one already half-filled by _link_forward — fails this test."""
+        vdir = self.path(namespace, table) / f"_v{version}"
+        return (vdir / ".op").exists() or self.current_version(
+            namespace, table
+        ) == version
+
     @staticmethod
     def _stamp(vdir: Path, op: str) -> None:
         """Record the operation label inside the version directory (written
@@ -571,11 +627,11 @@ class VersionedWarehouse(Warehouse):
         cur = self.current_version(namespace, table)
         out = []
         for v in reversed(self.versions(namespace, table)):
+            if not self._is_committed(namespace, table, v):
+                continue  # crashed writer's claim (empty or half-linked):
+                # never a commit — not a history entry (vacuum sweeps it)
             vdir = self.path(namespace, table) / f"_v{v}"
             files = [f for f in vdir.rglob("*.parquet") if f.is_file()]
-            if not files:
-                continue  # crashed writer's empty claim: never published,
-                # never data — not a history entry (vacuum sweeps it)
             op_file = vdir / ".op"
             out.append(
                 {
@@ -634,8 +690,9 @@ class VersionedWarehouse(Warehouse):
             os.replace(tmp, self._pointer(namespace, table))
         finally:
             lock.unlink(missing_ok=True)
-        if self.autovacuum_keep is not None:
-            self.vacuum(namespace, table, keep=self.autovacuum_keep)
+        keep = self._retention(namespace, table)
+        if keep is not None:
+            self.vacuum(namespace, table, keep=keep)
 
     def read(
         self,

@@ -40,12 +40,9 @@ def near_dup_pairs(
     is garbage-collected; callers holding many pair frames long-term should
     ``unpersist()`` each when done with it.
     """
-    scored, sh = _candidate_pairs_with_shingles(docs, id_col, text_col)
-    jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+    sig = sign_corpus(docs, id_col, text_col).persist()
     pairs = (
-        scored
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        pairs_from_signatures(sig, threshold)
         # materialize the (collision-bound, small) verified pairs, then
         # RELEASE the corpus-sized shingle cache deterministically: leaving
         # it persisted leaked one corpus of shingle arrays per call, and the
@@ -54,7 +51,7 @@ def near_dup_pairs(
         # the downstream connected-components measured before this fix).
         .localCheckpoint()
     )
-    sh.unpersist()
+    sig.unpersist()
     return pairs
 
 

@@ -63,6 +63,13 @@ class AuditLog:
         if not self.wh.exists(NAMESPACE, TABLE):
             empty = self.wh.spark.createDataFrame([], AUDIT_SCHEMA)
             self.wh.overwrite(empty, NAMESPACE, TABLE)
+        # On an MVCC warehouse every row insert is its own APPEND version;
+        # bound the audit table's history inline (per-table retention, so
+        # gold time travel is untouched) unless the operator already chose
+        if hasattr(self.wh, "set_retention") and not (
+            self.wh.path(NAMESPACE, TABLE) / ".retention"
+        ).exists():
+            self.wh.set_retention(NAMESPACE, TABLE, 8)
 
     def _insert(self, **kw) -> None:
         now = self.clock.now()
@@ -173,7 +180,26 @@ class AuditLog:
         duplicate audit rows, which the readers tolerate (watermark fetch
         takes the latest row; duplicated telemetry rows are benign) — rows
         are never lost. Returns the file count after the sweep."""
-        path = self.wh.path(NAMESPACE, TABLE)
+        if hasattr(self.wh, "_append_lock"):
+            # MVCC warehouse: versions are immutable, so in-place file
+            # surgery is wrong AND unnecessary — compaction is simply a new
+            # OVERWRITE version. The append lock serializes against racing
+            # row inserts (an insert publishing between our read and our
+            # publish would otherwise be superseded and lost).
+            with self.wh._append_lock(NAMESPACE, TABLE):
+                sources = sorted(
+                    str(f) for f in self.wh.data_dir(NAMESPACE, TABLE).glob("*.parquet")
+                )
+                if len(sources) <= target_files:
+                    return len(sources)
+                compacted = (
+                    self.wh.spark.read.parquet(*sources)
+                    .repartitionByRange(target_files, "inserted_at")
+                    .sortWithinPartitions("inserted_at")
+                )
+                self.wh.overwrite(compacted, NAMESPACE, TABLE)
+            return len(list(self.wh.data_dir(NAMESPACE, TABLE).glob("*.parquet")))
+        path = self.wh.data_dir(NAMESPACE, TABLE)
         sources = sorted(str(f) for f in path.glob("*.parquet"))
         if len(sources) <= target_files:
             return len(sources)

@@ -363,6 +363,14 @@ def dedup_stream_sink(
     from ..operators.dedup import connected_components
     from ..operators.neardup import pairs_from_signatures, sign_corpus
 
+    if hasattr(wh, "set_retention"):
+        # MVCC warehouse: every epoch publishes a state version and a
+        # signature-append version — bound both tables' history inline or
+        # a continuous stream accretes one corpus-sized copy per epoch
+        for t in (sig_table, state_table):
+            if not (wh.path(namespace, t) / ".retention").exists():
+                wh.set_retention(namespace, t, 2)
+
     def sink(batch: DataFrame, epoch: int) -> None:
         if wh.exists(namespace, state_table):
             st = wh.read(namespace, state_table)

@@ -296,3 +296,40 @@ def test_autovacuum_prunes_after_each_publish(spark, tmp_path):
     # all five rows survive: each append linked the prior snapshot forward
     assert vw.read("audit", "log").count() == 5
     assert vw.history("audit", "log")[0]["is_current"]
+
+
+def test_failed_insert_leaves_no_restorable_phantom(spark, vwh):
+    """A claim half-filled by link-forward whose data write then FAILS
+    (ENOSPC etc.) must not surface in history or be restorable — the stamp
+    is written only after a successful write, and validity requires it."""
+    import pytest as _pytest
+
+    vwh.commit(spark.range(6), "gold", "fi")           # v0
+    with _pytest.raises(RuntimeError):
+        vwh.insert_file(
+            "gold", "fi", "x.parquet",
+            lambda tmp: (_ for _ in ()).throw(RuntimeError("disk full")),
+        )
+    # the failed claim linked v0's files into _v1 but is not a commit
+    assert [h["version"] for h in vwh.history("gold", "fi")] == [0]
+    with _pytest.raises(FileNotFoundError):
+        vwh.restore("gold", "fi", 1)
+    assert vwh.read("gold", "fi").count() == 6
+
+
+def test_per_table_retention_spares_other_tables(spark, tmp_path):
+    """set_retention scopes pruning to ONE table: bounding the audit log
+    leaves gold time travel intact."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "ret"))
+    vw.set_retention("audit", "log", 2)
+    for i in range(4):
+        vw.append(spark.range(1), "audit", "log")
+        vw.commit(spark.range(i + 1), "gold", "fact")
+    assert len(vw.versions("audit", "log")) == 2
+    assert len(vw.versions("gold", "fact")) == 4          # full history kept
+    assert vw.read("gold", "fact", version=0).count() == 1  # time travel OK
+    assert vw.read("audit", "log").count() == 4             # no rows lost
