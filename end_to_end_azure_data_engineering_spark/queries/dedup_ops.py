@@ -522,19 +522,23 @@ def incremental_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_state build below replays history only to construct the demo's
     standing state; a production pipeline carries it forward.)"""
     from ..operators.dedup import connected_components
-    from ..operators.neardup import near_dup_pairs, near_dup_pairs_against
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
 
     d = spread(load(spark, sf_dir, "documents"))
-    old_docs = d.filter(F.col("doc_id") % 3 != 0)
-    new_docs = d.filter(F.col("doc_id") % 3 == 0)
-    old_state = connected_components(
-        near_dup_pairs(old_docs, "doc_id", "text", threshold=0.2), "id_a", "id_b"
+    # ONE signature pass over the corpus serves both minings (signing is
+    # the dominant cost — the old-state build below reuses the old docs'
+    # rows of the same persisted frame instead of re-shingling them)
+    sig = sign_corpus(d, "doc_id", "text").persist()
+    old_pairs = pairs_from_signatures(
+        sig.filter(F.col("_id") % 3 != 0), threshold=0.2
     )
     # the incremental mine: batch bands x corpus bands (new-new and
     # new-old collisions only)
-    new_pairs = near_dup_pairs_against(
-        new_docs, d, "doc_id", "text", threshold=0.2
-    ).select("id_a", "id_b")
+    new_pairs = pairs_from_signatures(
+        sig, threshold=0.2, batch_ids=sig.select("_id").filter(F.col("_id") % 3 == 0)
+    ).select("id_a", "id_b").localCheckpoint()
+    old_state = connected_components(old_pairs.localCheckpoint(), "id_a", "id_b")
+    sig.unpersist()
     merged_edges = old_state.select(
         F.col("node").alias("id_a"), F.col("label").alias("id_b")
     ).unionByName(new_pairs)
