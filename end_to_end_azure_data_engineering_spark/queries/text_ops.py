@@ -154,6 +154,36 @@ _K_GRAM = 8   # character k-grams
 _WINNOW = 4   # winnowing window (consecutive k-gram hashes)
 
 
+def _winnow_sketch(d: DataFrame) -> DataFrame:
+    """(doc_id, _fp) winnowing sketch — shared by text_winnow_fingerprint
+    and winnow_match_pairs so the sketch the pairs are mined from is
+    hash-verified by the fingerprint query's own oracle.
+
+    Sliding-window minima as zip_with(least) over WINNOW shifted slices of
+    the hash array — NOT transform(i -> array_min(slice(_hs, i, W))):
+    CollapseProject inlines the `_hs` alias into that lambda, so the O(n)
+    hash array gets recomputed per window position — O(n²) interpreted md5
+    per doc (measured 940 s for 5000 docs at sf0.1; this form runs in ~1 s).
+    Shifted slices evaluate the array WINNOW times total; trailing short
+    slices zip as NULL, which least() skips — same truncated-window minima.
+    """
+    t = X.normalize_text(F.col("text"))
+    staged = d.select("doc_id", t.alias("_t")).withColumn(
+        "_n", F.greatest(F.length("_t") - _K_GRAM + 1, F.lit(1))
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: S.hash32(F.col("_t").substr(i, F.lit(_K_GRAM))),
+    )
+    hs = staged.withColumn("_hs", hashes)
+    n_win = F.greatest(F.col("_n") - _WINNOW + 1, F.lit(1))
+    shifted = [F.slice(F.col("_hs"), F.lit(j + 1), n_win) for j in range(_WINNOW)]
+    windows = shifted[0]
+    for sl in shifted[1:]:
+        windows = F.zip_with(windows, sl, lambda a, b: F.least(a, b))
+    return hs.withColumn("_fp", F.array_distinct(windows)).select("doc_id", "_fp")
+
+
 @register(
     "text_winnow_fingerprint",
     oracle=f"""
@@ -192,29 +222,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading attributes instead of recomputing (same lesson as
     staged_word_shingles). The selection logic is what matters at scale —
     match detection is then a bucket join on fingerprint values."""
-    d = spread(load(spark, sf_dir, "documents"))
-    t = X.normalize_text(F.col("text"))
-    staged = d.select("doc_id", t.alias("_t")).withColumn(
-        "_n", F.greatest(F.length("_t") - _K_GRAM + 1, F.lit(1))
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.col("_n")),
-        lambda i: S.hash32(F.col("_t").substr(i, F.lit(_K_GRAM))),
-    )
-    hs = staged.withColumn("_hs", hashes)
-    # Sliding-window minima as zip_with(least) over WINNOW shifted slices of
-    # the hash array — NOT transform(i -> array_min(slice(_hs, i, W))):
-    # CollapseProject inlines the `_hs` alias into that lambda, so the O(n)
-    # hash array gets recomputed per window position — O(n²) interpreted md5
-    # per doc (measured 940 s for 5000 docs at sf0.1; this form runs in ~1 s).
-    # Shifted slices evaluate the array WINNOW times total; trailing short
-    # slices zip as NULL, which least() skips — same truncated-window minima.
-    n_win = F.greatest(F.col("_n") - _WINNOW + 1, F.lit(1))
-    shifted = [F.slice(F.col("_hs"), F.lit(j + 1), n_win) for j in range(_WINNOW)]
-    windows = shifted[0]
-    for s in shifted[1:]:
-        windows = F.zip_with(windows, s, lambda a, b: F.least(a, b))
-    fp = hs.withColumn("_fp", F.array_distinct(windows))
+    fp = _winnow_sketch(spread(load(spark, sf_dir, "documents")))
     return fp.select(
         "doc_id",
         F.size("_fp").alias("sketch_size"),
@@ -977,4 +985,62 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novelty"),
         )
+    )
+
+
+@register(
+    "winnow_match_pairs",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {X.NORMALIZE_TEXT_SQL('text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t, greatest(length(t) - {_K_GRAM} + 1, 1) AS n_grams
+      FROM norm
+    ),
+    hashes AS (
+      SELECT doc_id, n_grams,
+             list_transform(range(1, n_grams + 1),
+                            i -> ('0x' || substr(md5(substr(t, i::INTEGER, {_K_GRAM})), 1, 8))::BIGINT)
+                 AS hs
+      FROM grams
+    ),
+    sketch AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(n_grams - {_WINNOW} + 1, 1) + 1),
+                 i -> list_min(hs[i:i+{_WINNOW}-1]))) AS fp
+      FROM hashes
+    ),
+    marks AS (
+      SELECT doc_id, unnest(fp) AS h FROM sketch
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM marks a JOIN marks b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= 20
+    """,
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match detection: document pairs sharing >= 20 winnowing
+    fingerprints — the third dedup modality next to shingle-Jaccard and
+    SimHash, and the one with a SUBSTRING guarantee (any shared run longer
+    than w+k-1 chars must share a fingerprint, so verbatim excerpts cannot
+    hide). Candidate generation is a bucket join on fingerprint VALUES
+    (collision-bound — each doc contributes |sketch| ~ n/w marks, never
+    corpus²); the support threshold (20 marks ~ a few hundred shared
+    characters) is a grouped count — at 3 the synthetic corpus's tiny
+    500-word vocabulary made incidental 8-gram collisions explode to ~10M
+    pairs at sf0.1, while real near-dups sit at 24+ shared marks."""
+    fp = _winnow_sketch(spread(load(spark, sf_dir, "documents")))
+    marks = fp.select("doc_id", F.explode_outer("_fp").alias("h"))
+    a = marks.select(F.col("doc_id").alias("doc_a"), "h")
+    b = marks.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
     )
