@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import sketches as S
 from ..functions import text as X
@@ -1043,4 +1044,56 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 20)
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({X.TOKENS_SQL('lower(text)')}) AS token
+      FROM documents
+    ),
+    first_claim AS (
+      SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token
+    ),
+    bounds AS (SELECT max(doc_id) AS mx FROM documents),
+    buckets AS (
+      SELECT least(CAST(first_doc * 10 // (b.mx + 1) AS BIGINT) + 1, 10)
+                 AS decile,
+             CAST(count(*) AS BIGINT) AS n_new_tokens
+      FROM first_claim CROSS JOIN bounds b
+      GROUP BY decile
+    )
+    SELECT decile, n_new_tokens,
+           CAST(sum(n_new_tokens) OVER (ORDER BY decile) AS BIGINT)
+               AS vocab_size
+    FROM buckets
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct tokens first seen in each
+    doc-id decile of the corpus, with the running vocabulary size — the
+    diagnostic for 'is more crawl still adding words'. First-claim is one
+    token-keyed agg (vocabulary-bound output); the decile bucketing uses a
+    broadcast 1-row max scalar (exact integer floor-div on both engines),
+    and the cumulative sum windows over the 10-row bucket frame only."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode_outer(X.tokens(F.lower(F.col("text")))).alias("token"))
+    first_claim = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    buckets = (
+        first_claim.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(
+                F.expr("(first_doc * 10) div (mx + 1)") + 1, F.lit(10)
+            ).alias("decile")
+        )
+        .agg(F.count("*").alias("n_new_tokens"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return buckets.select(
+        "decile",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
     )

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "corpus_mixture_plan",           # broadcast 1-row weight normalizer
     "funnel_conversion",             # three broadcast 1-row stage counts
     "vocab_coverage",                # broadcast corpus-total scalar
+    "vocab_growth_curve",            # broadcast 1-row max-doc-id scalar
     "cross_source_overlap",          # broadcast per-source totals (~20 rows)
     "promo_revenue_pct",             # broadcast scalar ratio denominator
     "lsh_bucket_stats",              # broadcast 1-row corpus total
@@ -57,7 +58,12 @@ BNLJ_ALLOWED = {
 # the documented bounded global-window curves (PLANS.md inventory):
 # cumulative_distinct_users runs over one row per DAY; vocab_coverage and
 # tfidf_top_terms rank/accumulate over the (vocabulary-bound) term frame
-GLOBAL_WINDOW_ALLOWED = {"cumulative_distinct_users", "vocab_coverage", "tfidf_top_terms"}
+GLOBAL_WINDOW_ALLOWED = {
+    "cumulative_distinct_users",
+    "vocab_coverage",
+    "tfidf_top_terms",
+    "vocab_growth_curve",  # cumsum over the 10-row decile frame only
+}
 
 
 @pytest.fixture(scope="module")
