@@ -83,6 +83,8 @@ HEADLINE = [
     "split_leakage_audit",
     "hard_negative_mining",
     "incremental_components_merge",
+    "quality_weighted_sample",
+    "vocab_growth_curve",
 ]
 
 
