@@ -989,6 +989,13 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# winnowing match support: shared by the oracle f-string and the Spark
+# filter so the two sides cannot drift. At 3 the synthetic corpus's tiny
+# 500-word vocabulary made incidental 8-gram collisions explode to ~10M
+# pairs at sf0.1; real near-dups sit at 24+ shared marks.
+_MIN_SHARED = 20
+
+
 @register(
     "winnow_match_pairs",
     oracle=f"""
@@ -1020,22 +1027,25 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_shared
     FROM marks a JOIN marks b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
-    HAVING count(*) >= 20
+    HAVING count(*) >= {_MIN_SHARED}
     """,
 )
 def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS-style match detection: document pairs sharing >= 20 winnowing
-    fingerprints — the third dedup modality next to shingle-Jaccard and
+    """MOSS-style match detection: document pairs sharing >= _MIN_SHARED
+    winnowing fingerprints — the third dedup modality next to shingle-Jaccard and
     SimHash, and the one with a SUBSTRING guarantee (any shared run longer
     than w+k-1 chars must share a fingerprint, so verbatim excerpts cannot
     hide). Candidate generation is a bucket join on fingerprint VALUES
     (collision-bound — each doc contributes |sketch| ~ n/w marks, never
-    corpus²); the support threshold (20 marks ~ a few hundred shared
-    characters) is a grouped count — at 3 the synthetic corpus's tiny
-    500-word vocabulary made incidental 8-gram collisions explode to ~10M
-    pairs at sf0.1, while real near-dups sit at 24+ shared marks."""
+    corpus²); the support threshold (~a few hundred shared characters) is
+    a grouped count."""
     fp = _winnow_sketch(spread(load(spark, sf_dir, "documents")))
-    marks = fp.select("doc_id", F.explode_outer("_fp").alias("h"))
+    # EAGER: materialize the marks once — both self-join sides read the
+    # checkpoint instead of re-running the corpus md5 sketch (the plan
+    # otherwise evaluates the k-gram/zip_with chain twice; sketching is
+    # the dominant cost, per the 940s-vs-1s note in _winnow_sketch). Same
+    # precedent as near_dup_pairs' checkpointed signature frame.
+    marks = fp.select("doc_id", F.explode_outer("_fp").alias("h")).localCheckpoint()
     a = marks.select(F.col("doc_id").alias("doc_a"), "h")
     b = marks.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -1043,7 +1053,7 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 20)
+        .filter(F.col("n_shared") >= _MIN_SHARED)
     )
 
 
@@ -1079,7 +1089,10 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row max scalar (exact integer floor-div on both engines),
     and the cumulative sum windows over the 10-row bucket frame only."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode_outer(X.tokens(F.lower(F.col("text")))).alias("token"))
+    # plain explode: tokens() has no lambda (rule 5 does not apply) and the
+    # oracle's unnest drops NULL arrays — explode_outer would emit a
+    # spurious NULL token for a NULL-text doc
+    toks = d.select("doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token"))
     first_claim = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     mx = d.agg(F.max("doc_id").alias("mx"))
     buckets = (
