@@ -185,3 +185,67 @@ def test_scd2_snapshot_asof_reconstructs_every_prefix(spark, batches):
             for r in states[i].filter(F.col("is_current")).select("k", "v").collect()
         }
         assert snap == prefix_current, (i, batches)
+
+
+# ---------------------------------------------------------------------------
+# VersionedWarehouse op-sequence property: any interleaving of commit /
+# append / restore / vacuum maintains the MVCC invariants — the published
+# snapshot always reads the modeled row count, every retained version
+# time-travels to its exact historical count, and history() lists exactly
+# the retained commits newest-first with the current marker on the pointer
+# target. Ops are modeled in plain Python alongside the engine calls.
+# ---------------------------------------------------------------------------
+
+_wh_op = st.one_of(
+    st.tuples(st.just("commit"), st.integers(1, 20)),
+    st.tuples(st.just("append"), st.integers(1, 20)),
+    st.tuples(st.just("restore"), st.integers(0, 100)),  # index into retained
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=st.lists(_wh_op, min_size=2, max_size=6))
+def test_versioned_warehouse_op_sequences_hold_invariants(spark, tmp_path_factory, ops):
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    vw = VersionedWarehouse(spark, str(tmp_path_factory.mktemp("prop_wh")))
+    contents: dict[int, int] = {}  # retained committed version -> rows
+    current = None
+
+    for kind, arg in ops:
+        if kind == "commit":
+            v = vw.commit(spark.range(arg), "gold", "t")
+            contents[v] = arg
+            current = v
+        elif kind == "append":
+            base = contents[current] if current is not None else 0
+            vw.append(spark.range(arg), "gold", "t")
+            v = vw.current_version("gold", "t")
+            contents[v] = base + arg
+            current = v
+        elif kind == "restore":
+            if not contents:
+                continue
+            src = sorted(contents)[arg % len(contents)]
+            v = vw.restore("gold", "t", src)
+            contents[v] = contents[src]
+            current = v
+        else:  # vacuum
+            removed = vw.vacuum("gold", "t", keep=arg)
+            for v in removed:
+                assert v != current  # never the published snapshot
+                contents.pop(v, None)
+
+        # invariants after EVERY op
+        if current is not None:
+            assert vw.read("gold", "t").count() == contents[current]
+            hist = vw.history("gold", "t")
+            assert [h["version"] for h in hist] == sorted(contents, reverse=True)
+            assert [h["is_current"] for h in hist] == [
+                v == current for v in sorted(contents, reverse=True)
+            ]
+            for v, n in contents.items():
+                assert vw.read("gold", "t", version=v).count() == n
