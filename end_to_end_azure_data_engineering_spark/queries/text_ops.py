@@ -994,6 +994,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 500-word vocabulary made incidental 8-gram collisions explode to ~10M
 # pairs at sf0.1; real near-dups sit at 24+ shared marks.
 _MIN_SHARED = 20
+# stop-fingerprint cap: a winnow mark appearing in more than this many docs
+# is boilerplate/common-vocab noise (MOSS drops these for the same reason) —
+# and, at scale, the join-fanout bound: a mark's candidate contribution is
+# <= cap², never corpus².
+_MAX_MARK_DOCS = 64
 
 
 @register(
@@ -1022,10 +1027,15 @@ _MIN_SHARED = 20
     ),
     marks AS (
       SELECT doc_id, unnest(fp) AS h FROM sketch
-    )
+    ),
+    rare AS (
+      SELECT h FROM marks GROUP BY h
+      HAVING count(DISTINCT doc_id) <= {_MAX_MARK_DOCS}
+    ),
+    m AS (SELECT mk.doc_id, mk.h FROM marks mk JOIN rare USING (h))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM marks a JOIN marks b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
     HAVING count(*) >= {_MIN_SHARED}
     """,
@@ -1045,7 +1055,18 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise evaluates the k-gram/zip_with chain twice; sketching is
     # the dominant cost, per the 940s-vs-1s note in _winnow_sketch). Same
     # precedent as near_dup_pairs' checkpointed signature frame.
-    marks = fp.select("doc_id", F.explode_outer("_fp").alias("h")).localCheckpoint()
+    all_marks = fp.select("doc_id", F.explode_outer("_fp").alias("h")).localCheckpoint()
+    # stop-fingerprint screen: marks held by > _MAX_MARK_DOCS docs are
+    # dropped before the self-join — precision (boilerplate marks assert
+    # nothing about copying) AND the hard fan-out bound (194x blowup on
+    # the 10-way-replicated sf1 probe without it)
+    rare = (
+        all_marks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") <= _MAX_MARK_DOCS)
+        .select("h")
+    )
+    marks = all_marks.join(rare, "h")
     a = marks.select(F.col("doc_id").alias("doc_a"), "h")
     b = marks.select(F.col("doc_id").alias("doc_b"), "h")
     return (
