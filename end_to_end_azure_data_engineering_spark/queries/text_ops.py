@@ -1131,3 +1131,86 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_tokens",
         F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
     )
+
+
+@register(
+    "bigram_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {X.TOKENS_SQL('lower(text)')} AS tk FROM documents
+    ),
+    uni AS (
+      SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY w
+    ),
+    bg AS (
+      SELECT tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i + 1 AS INTEGER)] AS w2,
+             CAST(count(*) AS BIGINT) AS n_bg
+      FROM toks JOIN generate_series(1, 256) AS s(i) ON s.i <= len(tk) - 1
+      GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS t_tokens,
+             (SELECT CAST(sum(n_bg) AS BIGINT) FROM bg) AS t_bigrams
+    )
+    SELECT bg.w1, bg.w2, bg.n_bg,
+           round((bg.n_bg * 1.0 / t.t_bigrams)
+                 / ((u1.n * 1.0 / t.t_tokens) * (u2.n * 1.0 / t.t_tokens)),
+                 6) AS lift
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN totals t
+    WHERE bg.n_bg >= 5
+    ORDER BY lift DESC, bg.w1, bg.w2
+    LIMIT 50
+    """,
+)
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-token bigrams by LIFT (observed
+    bigram rate over the independence expectation of its unigrams) — the
+    signal behind multi-word-token candidates and template detection.
+    Bigram extraction is per-row (sequence/transform over the token
+    array, linear in tokens — never a token self-join); the two marginal
+    joins hit the vocabulary-sized unigram frame, and the corpus totals
+    ride one broadcast 1-row scalar. Every ratio divides exact counts in
+    a fixed association order, so the rounded lift hashes cross-engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(X.tokens(F.lower(F.col("text"))).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    bg = (
+        toks.select(
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, greatest(least(size(tk) - 1, 256), 1)),"
+                    " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.w2").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n_bg"))
+    )
+    totals = uni.agg(F.sum("n").alias("t_tokens")).crossJoin(
+        F.broadcast(bg.agg(F.sum("n_bg").alias("t_bigrams")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    lift = F.round(
+        (F.col("n_bg") / F.col("t_bigrams"))
+        / ((F.col("n1") / F.col("t_tokens")) * (F.col("n2") / F.col("t_tokens"))),
+        6,
+    )
+    return (
+        bg.filter(F.col("n_bg") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_bg", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )

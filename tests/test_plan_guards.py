@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "funnel_conversion",             # three broadcast 1-row stage counts
     "vocab_coverage",                # broadcast corpus-total scalar
     "vocab_growth_curve",            # broadcast 1-row max-doc-id scalar
+    "bigram_lift",                   # broadcast 1-row corpus-totals scalar
     "cross_source_overlap",          # broadcast per-source totals (~20 rows)
     "promo_revenue_pct",             # broadcast scalar ratio denominator
     "lsh_bucket_stats",              # broadcast 1-row corpus total
