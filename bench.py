@@ -187,7 +187,34 @@ def main() -> None:
 
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Durable full-results artifact (VERDICT r4 item 1): BENCH_r04.json
+    # shipped with parsed=null because the driver captures a bounded stdout
+    # tail and the one-line JSON (63 queries + pipeline breakdown) outgrew
+    # it. Persist the complete per-query map to a committed file and keep
+    # the final stdout line compact enough to survive the tail capture:
+    # total, sf, n, and only the top-5 slowest queries inline.
+    full_path = REPO / "BENCH_LOCAL.json"
+    try:
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError as exc:
+        errors["bench_local_write"] = str(exc)[:200]
+        out["errors"] = errors
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+        "pipeline_total": out.get("pipeline_total"),
+        "full_results": str(full_path),
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -299,6 +300,12 @@ class VersionedWarehouse(Warehouse):
     row insert is its own APPEND version. Off (None) by default: keep
     full history for time travel."""
 
+    # Crashed-holder steal horizon for the append lock, and the live
+    # holder's heartbeat interval (must be well inside the horizon).
+    # Class attributes so tests can shrink them without patching code.
+    LOCK_STEAL_AFTER = 600.0
+    LOCK_HEARTBEAT = 60.0
+
     def __init__(self, spark, root, autovacuum_keep: int | None = None):
         super().__init__(spark, root)
         if autovacuum_keep is not None and autovacuum_keep < 1:
@@ -309,25 +316,45 @@ class VersionedWarehouse(Warehouse):
         """Per-TABLE retention (Delta scopes logRetentionDuration per
         table): prune to the newest ``keep`` versions after each publish of
         THIS table, overriding the warehouse-wide ``autovacuum_keep``.
-        ``None`` clears the override. Bounding an append-heavy audit log
-        must not cost every gold table its time-travel history."""
+        ``None`` means an EXPLICIT "keep full history" choice and is
+        persisted as such (marker content ``none``) — deleting the marker
+        instead would let a later AuditLog init silently re-apply its
+        default and prune history the operator chose to keep (r4 advice).
+        Use :meth:`clear_retention` to drop the override and revert to the
+        warehouse-wide policy. Bounding an append-heavy audit log must not
+        cost every gold table its time-travel history."""
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
         marker = base / ".retention"
         if keep is None:
-            marker.unlink(missing_ok=True)
+            marker.write_text("none")
         else:
             if keep < 1:
                 raise ValueError("retention keep must be >= 1 (or None)")
             marker.write_text(str(keep))
 
+    def clear_retention(self, namespace: str, table: str) -> None:
+        """Remove the per-table override: the table reverts to the
+        warehouse-wide ``autovacuum_keep`` policy."""
+        (self.path(namespace, table) / ".retention").unlink(missing_ok=True)
+
     def _retention(self, namespace: str, table: str) -> int | None:
         marker = self.path(namespace, table) / ".retention"
         if marker.exists():
+            raw = marker.read_text().strip()
+            if raw == "none":
+                return None  # explicit operator choice: keep full history
             try:
-                return int(marker.read_text().strip())
+                return int(raw)
             except ValueError:
-                return self.autovacuum_keep
+                # A damaged marker must not silently substitute a DIFFERENT
+                # retention policy (the fallback could vacuum history the
+                # operator configured to keep, with no signal — r4 advice).
+                raise RuntimeError(
+                    f"{namespace}.{table}: .retention marker is corrupt "
+                    f"(content {raw!r}). Repair with set_retention() or "
+                    "clear_retention()."
+                ) from None
         return self.autovacuum_keep
 
     def _pointer(self, namespace: str, table: str) -> Path:
@@ -375,17 +402,25 @@ class VersionedWarehouse(Warehouse):
         silver loads + audit inserts hit exactly this. Same lock-file
         discipline as _publish (crashed holders stolen after 60 s); held
         across claim + link + write + publish, with _publish's own
-        short-lived lock (a different file) nesting inside."""
+        short-lived lock (a different file) nesting inside.
+
+        The HOLDER heartbeats the lock (a daemon thread os.utime's it every
+        60 s) so a legitimate big append whose Spark write exceeds the
+        600 s steal horizon keeps its mtime fresh and is never stolen
+        mid-write (r4 advice: without the heartbeat, the steal re-admitted
+        exactly the lost-update race the lock exists to prevent — only
+        a CRASHED holder, whose heartbeat has stopped, ages past the
+        horizon)."""
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
         lock = base / ".append.lock"
-        # Steal threshold sized for real append jobs (a big Spark write
-        # holds the lock for minutes — a 60 s steal would re-admit the
-        # lost-update this lock prevents), and the waiter's patience RESETS
+        # Steal threshold sized for a CRASHED holder: live holders
+        # heartbeat (below) so even a multi-hour write never ages past it.
+        # The waiter's patience RESETS
         # whenever the lock visibly changes hands (new inode), so healthy
         # queueing never times out; the deadline only fires when one holder
         # sits on the lock past the steal horizon without crashing.
-        STEAL_AFTER = 600.0
+        STEAL_AFTER = self.LOCK_STEAL_AFTER
         last_ino = None
         deadline = time.monotonic() + STEAL_AFTER + 60.0
         while True:
@@ -416,9 +451,25 @@ class VersionedWarehouse(Warehouse):
                         f"append lock for {namespace}.{table} held too long"
                     )
                 time.sleep(0.01)
+        # Holder heartbeat: refresh the lock's mtime well inside the steal
+        # horizon for as long as the protected write runs. Daemon thread so
+        # a crashed driver kills the heartbeat with it — the lock then ages
+        # normally and a waiter's steal is legitimate.
+        stop = threading.Event()
+        interval = self.LOCK_HEARTBEAT
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return  # lock gone (stolen/released) — stop beating
+        hb = threading.Thread(target=_beat, daemon=True)
+        hb.start()
         try:
             yield
         finally:
+            stop.set()
             lock.unlink(missing_ok=True)
 
     def _link_forward(self, namespace: str, table: str, vdir: Path) -> None:
@@ -719,12 +770,41 @@ class VersionedWarehouse(Warehouse):
             r = r.option("mergeSchema", "true")
         return r.parquet(str(vdir))
 
+    # A claim directory younger than this is treated as a possibly-in-flight
+    # write and never swept; matches the append-lock steal horizon, so by the
+    # time a phantom is sweepable its writer's lock would also be stealable.
+    PHANTOM_SWEEP_AFTER = 600.0
+
     def vacuum(self, namespace: str, table: str, keep: int = 2) -> list[int]:
-        """Drop all but the newest `keep` versions (never the published
-        one). Returns removed version numbers."""
+        """Drop all but the newest `keep` COMMITTED versions (never the
+        published one). Returns removed version numbers.
+
+        The keep-window is computed over committed versions only: a crashed
+        writer's phantom claim (typically the highest number) must not
+        occupy a newest-keep slot and silently cost one real committed
+        version its time-travel history (r4 advice). Phantoms are swept
+        too, but only once older than PHANTOM_SWEEP_AFTER — a young
+        unstamped directory may be a slow writer's still-in-flight commit,
+        and deleting it mid-write would corrupt that commit."""
         vs = self.versions(namespace, table)
         cur = self.current_version(namespace, table)
-        removable = [v for v in vs[:-keep] if v != cur] if keep > 0 else []
+        if keep <= 0:
+            return []
+        committed = [v for v in vs if self._is_committed(namespace, table, v)]
+        kept = set(committed[-keep:])
+        now = time.time()
+        removable = []
+        for v in vs:
+            if v == cur or v in kept:
+                continue
+            vdir = self.path(namespace, table) / f"_v{v}"
+            if v not in committed:
+                try:
+                    if now - vdir.stat().st_mtime <= self.PHANTOM_SWEEP_AFTER:
+                        continue  # possibly in-flight — leave it
+                except OSError:
+                    continue
+            removable.append(v)
         for v in removable:
             shutil.rmtree(self.path(namespace, table) / f"_v{v}")
         return removable

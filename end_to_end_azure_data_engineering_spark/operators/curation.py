@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sketches as S
 from ..functions import text as X
-from .neardup import dedup_corpus
+from .neardup import dedup_corpus, release_checkpoints
 
 
 @dataclass
@@ -100,9 +100,13 @@ def curate_corpus(
         deduped = staged(deduped.filter(h < sample_pct), f"sample_{sample_pct}pct")
 
     if report is not None:
-        # cut lineage off the stage caches, then release them all
+        # cut lineage off the stage caches, then release them all —
+        # including the near-dup pair/label CHECKPOINTS inside dedup_corpus
+        # (plain unpersist only drops CacheManager entries; checkpoint
+        # blocks need the LogicalRDD release, r4 verdict item 7)
         out = deduped.localCheckpoint()
         for df in persisted:
             df.unpersist()
+        release_checkpoints(deduped)
         return out
     return deduped

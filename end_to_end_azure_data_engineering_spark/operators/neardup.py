@@ -55,6 +55,30 @@ def near_dup_pairs(
     return pairs
 
 
+def release_checkpoints(df: DataFrame) -> None:
+    """Explicitly release the block-manager storage behind the eagerly
+    checkpointed frames in ``df``'s plan (near_dup_pairs /
+    containment_pairs pair blocks, connected_components' final labels).
+
+    Checkpointed blocks otherwise live until the driver garbage-collects
+    the Python object AND the ContextCleaner runs — in a long-lived
+    session making repeated calls (the streaming dedup sink checkpoints
+    per micro-batch; curate_corpus per run) the lag re-creates the
+    block-manager pressure the eager-release design exists to avoid
+    (r4 verdict item 7). Walks the analyzed plan's leaves and unpersists
+    every LogicalRDD (a localCheckpoint's backing node); lazy scans are
+    untouched. Best-effort: after release the frame must not be used
+    again."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — GC/ContextCleaner is the fallback
+        pass
+
+
 def sign_corpus(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Signature frame (_id, sh, mh) for a corpus — the standing artifact
     incremental mining reads instead of re-shingling history."""
@@ -184,6 +208,24 @@ def containment_pairs(
     pairs — a dedicated containment index (prefix filtering) is the
     specialist alternative at 100 TB. Same eager/unpersist contract as
     near_dup_pairs."""
+    lazy, sh = containment_pairs_lazy(docs, id_col, text_col, threshold)
+    pairs = lazy.localCheckpoint()
+    sh.unpersist()
+    return pairs
+
+
+def containment_pairs_lazy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY plan behind containment_pairs, before materialization.
+    Returns (pairs_plan, persisted_shingle_frame) — the caller
+    materializes and unpersists. Exposed separately so the plan audit and
+    plan-guard tests can inspect the real banding/verification shuffles
+    that containment_pairs executes eagerly inside localCheckpoint (r4
+    verdict: the audited post-checkpoint plan showed shuffles=0)."""
     scored, sh = _candidate_pairs_with_shingles(docs, id_col, text_col)
     c_ab = S.containment(F.col("sh_a"), F.col("sh_b"))
     c_ba = S.containment(F.col("sh_b"), F.col("sh_a"))
@@ -192,10 +234,8 @@ def containment_pairs(
         .withColumn("c_ba", c_ba)
         .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
         .select("id_a", "id_b", "c_ab", "c_ba")
-        .localCheckpoint()
     )
-    sh.unpersist()
-    return pairs
+    return pairs, sh
 
 
 def assign_components(pairs: DataFrame) -> DataFrame:

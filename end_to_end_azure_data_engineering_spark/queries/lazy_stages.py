@@ -1,0 +1,79 @@
+"""Lazy twins of eagerly-materialized query stages — plan-audit fence.
+
+Several hot-path queries materialize their mining stage eagerly at
+query-build time (``localCheckpoint`` releases corpus-sized caches
+deterministically — see operators/neardup.near_dup_pairs). The plan the
+audit tools see for those queries is just the checkpoint scan, so their
+real shuffles (LSH band exchange, verification joins, the co-purchase
+self-join) were invisible to the regression fence (r4 verdict item 2:
+PLANS.md reported ``shuffles=0`` for minhash_containment_pairs and
+incremental_components_merge).
+
+This registry rebuilds each such stage as a LAZY plan (never executed —
+only explained). ``tools/plan_audit.py`` prints one extra ``name:stage``
+row per entry, and ``tests/test_plan_guards.py`` runs every rule over
+these plans too, plus a banding-exchange presence check.
+
+Keys are ``<query_name>:<stage>`` so audit output sorts next to the query
+it belongs to. Each value takes (spark, sf_dir) like a query callable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, spread
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load(spark, sf_dir, "documents"))
+
+
+def _minhash_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dup_pairs' pre-checkpoint plan: sign -> band -> bucket-join ->
+    Jaccard verify (the stage behind dedup_minhash_lsh and every
+    dedup_corpus consumer)."""
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
+
+    return pairs_from_signatures(
+        sign_corpus(_docs(spark, sf_dir), "doc_id", "text"), threshold=0.2
+    )
+
+
+def _containment_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.neardup import containment_pairs_lazy
+
+    pairs, _sh = containment_pairs_lazy(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.2
+    )
+    return pairs
+
+
+def _incremental_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_components_merge's batch-vs-corpus mine: batch band rows
+    joined against corpus band rows (O(batch x collisions))."""
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
+
+    sig = sign_corpus(_docs(spark, sf_dir), "doc_id", "text")
+    return pairs_from_signatures(
+        sig, threshold=0.2, batch_ids=sig.select("_id").filter(F.col("_id") % 3 == 0)
+    )
+
+
+def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational_ext import copurchase_edge_frame_lazy
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_edge_frame_lazy(li)
+
+
+def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_minhash_lsh:mine": _minhash_mine,
+        "minhash_containment_pairs:mine": _containment_mine,
+        "incremental_components_merge:mine": _incremental_mine,
+        "pagerank_copurchase:mine": _copurchase_mine,
+    }

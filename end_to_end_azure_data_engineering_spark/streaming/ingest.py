@@ -34,6 +34,42 @@ from ..operators.dedup import latest_by_recency
 from ..operators.scd2 import scd2_init, scd2_merge
 
 
+def _query_lineage_id(spark: SparkSession) -> str:
+    """Stable id of the streaming query driving this micro-batch. Spark
+    persists StreamingQuery.id in the checkpoint and sets it as a
+    task-local property (``sql.streaming.queryId``) around each batch, so
+    it survives restarts from the SAME checkpoint but changes for a fresh
+    checkpoint location — exactly the lineage signal the replay guards
+    need. Absent (direct batch-parity invocation in tests) a fixed marker
+    keeps the bare-epoch semantics."""
+    try:
+        qid = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    except Exception:  # noqa: BLE001
+        qid = None
+    return qid or "batch"
+
+
+def _is_replay(existing: DataFrame, qid: str, epoch: int) -> bool:
+    """True iff (qid, epoch) was already folded into the standing table.
+
+    Keyed by query LINEAGE, not epoch alone: foreachBatch epochs restart
+    at 0 when a stream starts over with a fresh checkpoint location, and a
+    bare ``epoch <= max(_epoch)`` guard would then silently drop every
+    batch of the new lineage against the standing table (r4 advice). A
+    stored ``_qid`` different from the current one means a new lineage —
+    never a replay. Tables written before the ``_qid`` column existed fall
+    back to the bare-epoch rule."""
+    if "_epoch" not in existing.columns:
+        return False
+    qcol = (
+        F.max("_qid") if "_qid" in existing.columns else F.lit(None).cast("string")
+    )
+    row = existing.agg(F.max("_epoch").alias("e"), qcol.alias("q")).first()
+    if row["q"] is not None and row["q"] != qid:
+        return False  # fresh checkpoint lineage — epochs reset, process it
+    return row["e"] is not None and epoch <= row["e"]
+
+
 def stream_files(
     spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
 ) -> DataFrame:
@@ -207,6 +243,7 @@ def rollup_stream_sink(
     from ..operators.rollup import merge_rollups, rollup_batch
 
     def sink(batch: DataFrame, epoch: int) -> None:
+        qid = _query_lineage_id(batch.sparkSession)
         delta = rollup_batch(
             batch,
             keys=keys,
@@ -216,15 +253,18 @@ def rollup_stream_sink(
         )
         if wh.exists(namespace, table):
             existing = wh.read(namespace, table)
-            if "_epoch" in existing.columns:
-                last = existing.agg(F.max("_epoch")).first()[0]
-                if last is not None and epoch <= last:
-                    return  # at-least-once replay: already folded in
-                existing = existing.drop("_epoch")
-            merged = merge_rollups(existing, delta, keys=keys)
+            if _is_replay(existing, qid, epoch):
+                return  # at-least-once replay: already folded in
+            merged = merge_rollups(
+                existing.drop("_epoch", "_qid"), delta, keys=keys
+            )
         else:
             merged = delta
-        wh.overwrite(merged.withColumn("_epoch", F.lit(epoch)), namespace, table)
+        wh.overwrite(
+            merged.withColumn("_epoch", F.lit(epoch)).withColumn("_qid", F.lit(qid)),
+            namespace,
+            table,
+        )
 
     return sink
 
@@ -249,6 +289,7 @@ def cms_stream_sink(
     from ..functions import sketches as S
 
     def sink(batch: DataFrame, epoch: int) -> None:
+        qid = _query_lineage_id(batch.sparkSession)
         delta = (
             batch.select(
                 F.explode(S.cms_entries(F.col(key_col).cast("string"))).alias("e")
@@ -259,19 +300,21 @@ def cms_stream_sink(
         )
         if wh.exists(namespace, table):
             existing = wh.read(namespace, table)
-            if "_epoch" in existing.columns:
-                last = existing.agg(F.max("_epoch")).first()[0]
-                if last is not None and epoch <= last:
-                    return  # at-least-once replay: already folded in
-                existing = existing.drop("_epoch")
+            if _is_replay(existing, qid, epoch):
+                return  # at-least-once replay: already folded in
             merged = (
-                existing.unionByName(delta)
+                existing.drop("_epoch", "_qid")
+                .unionByName(delta)
                 .groupBy("j", "b")
                 .agg(F.sum("c").alias("c"))
             )
         else:
             merged = delta
-        wh.overwrite(merged.withColumn("_epoch", F.lit(epoch)), namespace, table)
+        wh.overwrite(
+            merged.withColumn("_epoch", F.lit(epoch)).withColumn("_qid", F.lit(qid)),
+            namespace,
+            table,
+        )
 
     return sink
 
@@ -361,7 +404,11 @@ def dedup_stream_sink(
     before returning (block-manager hygiene on a per-micro-batch hot
     path)."""
     from ..operators.dedup import connected_components
-    from ..operators.neardup import pairs_from_signatures, sign_corpus
+    from ..operators.neardup import (
+        pairs_from_signatures,
+        release_checkpoints,
+        sign_corpus,
+    )
 
     if hasattr(wh, "set_retention"):
         # MVCC warehouse: every epoch publishes a state version and a
@@ -372,13 +419,12 @@ def dedup_stream_sink(
                 wh.set_retention(namespace, t, 2)
 
     def sink(batch: DataFrame, epoch: int) -> None:
+        qid = _query_lineage_id(batch.sparkSession)
         if wh.exists(namespace, state_table):
             st = wh.read(namespace, state_table)
-            if "_epoch" in st.columns:
-                last = st.agg(F.max("_epoch")).first()[0]
-                if last is not None and epoch <= last:
-                    return  # at-least-once replay: already folded in
-            old_state = st.drop("_epoch")
+            if _is_replay(st, qid, epoch):
+                return  # at-least-once replay: already folded in
+            old_state = st.drop("_epoch", "_qid")
         else:
             old_state = None
 
@@ -418,10 +464,17 @@ def dedup_stream_sink(
         else:
             wh.overwrite(sig_to_add, namespace, sig_table)
         wh.overwrite(
-            new_state.withColumn("_epoch", F.lit(epoch)), namespace, state_table
+            new_state.withColumn("_epoch", F.lit(epoch)).withColumn(
+                "_qid", F.lit(qid)
+            ),
+            namespace,
+            state_table,
         )
         corpus_sig.unpersist()
         sig_new.unpersist()
-        new_state.unpersist()
+        # the state frame is a localCheckpoint: plain unpersist is a no-op
+        # for its blocks — release the backing LogicalRDD explicitly or a
+        # continuous stream accretes one state copy per micro-batch
+        release_checkpoints(new_state)
 
     return sink

@@ -319,3 +319,44 @@ def test_dedup_stream_sink_matches_batch_dedup(spark, tmp_path):
     # the signature store covers the corpus exactly once per doc
     sigs = wh.read("silver", "dedup_signatures")
     assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
+
+
+def test_sink_fresh_checkpoint_lineage_not_dropped(spark, tmp_path):
+    """r4 advice: foreachBatch epochs restart at 0 when a stream starts
+    over with a FRESH checkpoint location. The sinks key their replay
+    guard by (queryId, epoch) — a new lineage's epoch-0 batch must be
+    folded in, while a same-lineage replay is still skipped."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        cms_stream_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = cms_stream_sink(wh, "sketch", "k")
+    batch = spark.createDataFrame([("a",), ("a",), ("b",)], "k STRING")
+    sc = spark.sparkContext
+
+    def est(key):
+        sk = wh.read("gold", "sketch")
+        probe = (
+            spark.createDataFrame([(key,)], "k STRING")
+            .select(F.explode(S.cms_entries(F.col("k").cast("string"))).alias("e"))
+            .select(F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+        )
+        return probe.join(sk, ["j", "b"]).agg(F.min("c")).first()[0]
+
+    try:
+        sc.setLocalProperty("sql.streaming.queryId", "query-A")
+        sink(batch, 0)
+        sink(batch, 1)
+        sink(batch, 1)            # same-lineage replay: skipped
+        assert est("a") == 4
+        # stream restarted with a fresh checkpoint: new queryId, epoch 0
+        sc.setLocalProperty("sql.streaming.queryId", "query-B")
+        sink(batch, 0)            # must NOT be dropped
+        assert est("a") == 6
+        sink(batch, 0)            # replay within the new lineage: skipped
+        assert est("a") == 6
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)

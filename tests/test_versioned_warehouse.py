@@ -3,6 +3,9 @@ atomic pointer commits, snapshot isolation for in-flight readers, time
 travel, vacuum retention. The parquet-only answer to the reference's Delta
 ACID layer (4_silver/silver_transactions.py:50-51)."""
 
+import os
+import time
+
 import pytest
 
 from end_to_end_azure_data_engineering_spark.engine.tableio import VersionedWarehouse
@@ -175,8 +178,12 @@ def test_crashed_claim_is_skipped_and_vacuumed(spark, tmp_path):
     vw = VersionedWarehouse(spark, str(tmp_path / "crash_wh"))
     v0 = vw.commit(spark.range(5), "gold", "t")
     assert v0 == 0
-    # simulate a writer that claimed _v1 then died
-    (vw.path("gold", "t") / "_v1").mkdir()
+    # simulate a writer that claimed _v1 then died LONG AGO (a young
+    # unstamped claim could be a slow writer mid-flight and is spared)
+    phantom = vw.path("gold", "t") / "_v1"
+    phantom.mkdir()
+    old = time.time() - vw.PHANTOM_SWEEP_AFTER - 5
+    os.utime(phantom, (old, old))
     v2 = vw.commit(spark.range(6), "gold", "t")
     assert v2 == 2  # the dead claim's number is burned, not reused
     assert vw.current_version("gold", "t") == 2
@@ -333,3 +340,80 @@ def test_per_table_retention_spares_other_tables(spark, tmp_path):
     assert len(vw.versions("gold", "fact")) == 4          # full history kept
     assert vw.read("gold", "fact", version=0).count() == 1  # time travel OK
     assert vw.read("audit", "log").count() == 4             # no rows lost
+
+
+def test_phantom_claim_does_not_consume_keep_slot(spark, vwh):
+    """r4 advice: vacuum's keep-window is computed over COMMITTED versions
+    only — a crashed claim (highest number) must not silently cost one
+    real committed version its time-travel slot."""
+    for i in range(3):
+        vwh.commit(_df(spark, i), "gold", "t")          # v0 v1 v2
+    (vwh.path("gold", "t") / "_v3").mkdir()             # young phantom claim
+    removed = vwh.vacuum("gold", "t", keep=2)
+    # keep=2 over committed {0,1,2} keeps v1+v2; v0 removed. The phantom
+    # neither occupies a keep slot nor is swept while young (could be a
+    # slow writer mid-flight).
+    assert removed == [0]
+    assert vwh.versions("gold", "t") == [1, 2, 3]
+    assert vwh.read("gold", "t", version=1).count() == 1
+
+
+def test_young_phantom_spared_old_phantom_swept(spark, vwh):
+    vwh.commit(_df(spark, 1), "gold", "t")
+    young = vwh.path("gold", "t") / "_v1"
+    young.mkdir()
+    vwh.commit(_df(spark, 2), "gold", "t")              # v2
+    old = vwh.path("gold", "t") / "_v3"
+    old.mkdir()
+    ts = time.time() - vwh.PHANTOM_SWEEP_AFTER - 5
+    os.utime(old, (ts, ts))
+    vwh.commit(_df(spark, 3), "gold", "t")              # v4
+    removed = vwh.vacuum("gold", "t", keep=2)
+    assert 3 in removed and 1 not in removed
+    assert vwh.versions("gold", "t") == [1, 2, 4]
+
+
+def test_retention_none_is_persisted_operator_choice(spark, tmp_path):
+    """r4 advice: set_retention(..., None) = explicit keep-full-history.
+    It must survive a later default-applying init (AuditLog applies 8 only
+    when NO marker exists) and override the warehouse-wide autovacuum."""
+    vw = VersionedWarehouse(spark, str(tmp_path / "rn"), autovacuum_keep=2)
+    vw.set_retention("audit", "log", None)
+    assert (vw.path("audit", "log") / ".retention").exists()
+    for _ in range(4):
+        vw.append(spark.range(1), "audit", "log")
+    # full history despite autovacuum_keep=2: the explicit 'none' wins
+    assert len(vw.versions("audit", "log")) == 4
+    assert vw._retention("audit", "log") is None
+    # clear_retention reverts to the warehouse default
+    vw.clear_retention("audit", "log")
+    assert vw._retention("audit", "log") == 2
+
+
+def test_corrupt_retention_marker_raises(spark, vwh):
+    """r4 advice: a damaged .retention marker must not silently substitute
+    a different policy (which could vacuum history the operator kept)."""
+    vwh.commit(_df(spark, 1), "gold", "t")
+    (vwh.path("gold", "t") / ".retention").write_text("garbage")
+    with pytest.raises(RuntimeError, match="retention marker is corrupt"):
+        vwh.append(_df(spark, 2), "gold", "t")
+
+
+def test_append_lock_heartbeat_keeps_lock_fresh(spark, tmp_path, monkeypatch):
+    """r4 advice (medium): the append-lock holder heartbeats the lock so a
+    legitimate long write is never stolen mid-write; only a CRASHED
+    holder's lock ages past the steal horizon."""
+    vw = VersionedWarehouse(spark, str(tmp_path / "hb"))
+    monkeypatch.setattr(VersionedWarehouse, "LOCK_HEARTBEAT", 0.05)
+    lock = vw.path("gold", "t")
+    with vw._append_lock("gold", "t"):
+        lf = lock / ".append.lock"
+        # age the lock past a (shrunk) steal horizon, then wait for the
+        # heartbeat to refresh it
+        ts = time.time() - 100
+        os.utime(lf, (ts, ts))
+        deadline = time.time() + 2
+        while time.time() < deadline and time.time() - lf.stat().st_mtime > 5:
+            time.sleep(0.02)
+        assert time.time() - lf.stat().st_mtime <= 5, "heartbeat never fired"
+    assert not (lock / ".append.lock").exists()

@@ -59,12 +59,27 @@ def main() -> int:
     import __spark_entry__ as ent
     from end_to_end_azure_data_engineering_spark.engine import get_spark
 
+    from end_to_end_azure_data_engineering_spark.queries.lazy_stages import (
+        lazy_stages,
+    )
+
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
+    stages = lazy_stages()
     names = only or list(qs)
+    # interleave each query's eager-stage lazy twins right after it, so the
+    # real mining shuffles sit next to the (checkpoint-scan) query row
+    audit: list[tuple[str, object]] = []
     for name in names:
-        df = qs[name](spark, sf_dir)
+        audit.append((name, qs[name]))
+        audit.extend(
+            (sname, fn)
+            for sname, fn in stages.items()
+            if sname.split(":", 1)[0] == name
+        )
+    for name, qfn in audit:
+        df = qfn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
