@@ -85,6 +85,15 @@ HEADLINE = [
     "incremental_components_merge",
     "quality_weighted_sample",
     "vocab_growth_curve",
+    # round-5 additions
+    "lang_id_confusion",
+    "zipf_rank_freq",
+    "divergence_top_terms",
+    "quality_quantile_normalize",
+    "copurchase_triangles",
+    "session_dwell_stats",
+    "revenue_mom_growth",
+    "minhash_jaccard_estimate_eval",
 ]
 
 

@@ -605,3 +605,67 @@ def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: estimator-quality audit — minhash-estimated vs exact Jaccard.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_estimate_eval",
+    oracle=f"""
+    WITH
+    {_PAIRS_CTES},
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_filter(range(1, {S.K} + 1),
+                                  i -> ma.mh[i] = mb.mh[i])) AS BIGINT)
+               AS n_match,
+             round({S.JACCARD_SQL('sa.sh', 'sb.sh')}, 6) AS exact_jaccard
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.doc_a
+      JOIN mh mb ON mb.doc_id = p.doc_b
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, n_match,
+           round(CAST(n_match AS DOUBLE) / {S.K}, 6) AS est_jaccard,
+           exact_jaccard
+    FROM scored
+    """,
+)
+def minhash_jaccard_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit for the dedup stack: on every VERIFIED near-dup pair,
+    the minhash-position estimate of Jaccard (matching positions / K) next
+    to the exact shingle Jaccard — the calibration check that tells you
+    whether K=16 permutations are enough before trusting estimate-only
+    thresholds at a scale where exact verification is unaffordable.
+    n_match/K is a power-of-two division (exact in binary), so both
+    engines hash identically. One persisted signature pass serves mining
+    and both mh lookups; the pair-bound result is materialized eagerly and
+    the corpus-sized cache released (the near_dup_pairs contract)."""
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sig = sign_corpus(d, "doc_id", "text").persist()
+    pairs = pairs_from_signatures(sig, threshold=0.2)
+    ma = sig.select(F.col("_id").alias("id_a"), F.col("mh").alias("mh_a"))
+    mb = sig.select(F.col("_id").alias("id_b"), F.col("mh").alias("mh_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    out = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            n_match.alias("n_match"),
+            F.round(n_match.cast("double") / S.K, 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("exact_jaccard"),
+        )
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return out

@@ -2048,3 +2048,169 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_millionths"), "part")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: triangle enumeration on the co-purchase graph, user-level
+# session rollups, month-over-month revenue growth.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the >=2-support co-purchase graph — the clustering
+    signal link-analysis uses beyond pairwise lift (a triangle is three
+    parts each co-purchased with the other two). Classic sorted-orientation
+    enumeration: every edge is stored once as (low, high), so each triangle
+    is found exactly once via wedge (a<b<c) closure — the join fan-out is
+    sum-of-degree², never edges³, and the closing join is an equi-join on
+    the full (pa, pb) pair, all hash-partitionable. At 100 TB the support
+    filter is the knob that bounds the wedge set."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        # three self-join branches below: materialize the (bounded,
+        # >=2-support) edge list once instead of re-mining the per-order
+        # self-join three times
+        .localCheckpoint()
+    )
+    e1 = pairs.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+    e2 = pairs.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
+    e3 = pairs.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_c"))
+    return e1.join(e2, "part_b").join(e3, ["part_a", "part_c"]).select(
+        "part_a", "part_b", "part_c"
+    )
+
+
+@register(
+    "session_dwell_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM t
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(sum(dwell_us) AS DOUBLE) / count(*) AS avg_dwell_us
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level session rollup on top of the 30-min-gap sessionization:
+    session count, bounce count (1-event sessions), and dwell time —
+    the engagement summary a product-analytics consumer derives from
+    sessionize_events' row-level output. Dwell sums are exact integer
+    microseconds; avg is ONE division of two exact values (hash-stable).
+    Same scale shape as sessionize_events: everything partitions by
+    user_id, no global state."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    prev = F.lag(us).over(w)
+    t = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((us - prev) > _GAP_US), 1).otherwise(0),
+    )
+    s = t.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("dwell_us"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.sum("dwell_us").alias("total_dwell_us"),
+        (F.sum("dwell_us").cast("double") / F.count("*")).alias("avg_dwell_us"),
+    )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS growth_pct
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI trend line every revenue
+    dashboard opens with. Monthly sums accumulate in DECIMAL (exact) and
+    cast to DOUBLE once, so the value is summation-order-independent; the
+    growth ratio is arithmetic on those two exact-valued doubles. The lag
+    window runs over the MONTH frame (one row per month — bounded by
+    calendar time, the same documented class as cumulative_distinct_users),
+    never order rows."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 6).alias(
+            "growth_pct"
+        ),
+    )

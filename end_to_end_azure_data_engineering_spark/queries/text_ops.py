@@ -1214,3 +1214,82 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: lang-ID evaluation + Zipf rank-frequency diagnostics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang,
+           {X.LANG_ID_SQL('text')} AS detected_lang,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus label vs the stopword-hit lang-ID —
+    the classifier-eval a curation run does before trusting a detector to
+    route documents. One vocabulary-bound shuffle on the (label, detected)
+    pair; the heavy per-row scan is the detector itself (narrow map).
+    Exact integer counts, so the matrix hashes identically cross-engine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            X.lang_id("text").alias("detected_lang"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "zipf_rank_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({X.TOKENS_SQL('text')}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+      FROM freq
+    )
+    SELECT rank, token, freq, rank * freq AS rank_freq_product
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve of the top-100 tokens — the standard
+    distribution-shift smoke test between corpus snapshots: under Zipf's
+    law rank×freq is ~constant, so the exact-integer product column IS the
+    fit diagnostic (a drifting product profile means the vocabulary
+    distribution changed). Deliberately no ln() columns: JVM Math.log and
+    DuckDB's libm differ in the last ulp on some integers (ln(936) observed
+    differing), so the curve ships exact integers and the consumer takes
+    logs. The rank window runs on the VOCABULARY-bound frequency frame,
+    never corpus rows (same bounded-curve class as vocab_coverage)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    freq = (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    rank = F.row_number().over(W.orderBy(F.desc("freq"), "token")).cast("long")
+    return (
+        freq.withColumn("rank", rank)
+        .filter(F.col("rank") <= 100)
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_freq_product"),
+        )
+    )

@@ -606,3 +606,107 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: split distribution-shift diagnostics + cross-source score
+# normalization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "divergence_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS split, unnest({X.TOKENS_SQL('text')}) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT split, token, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    a AS (SELECT token, c AS c_train FROM cnt WHERE split = 0),
+    b AS (SELECT token, c AS c_valid FROM cnt WHERE split = 1),
+    na AS (SELECT n AS n_train FROM tot WHERE split = 0),
+    nb AS (SELECT n AS n_valid FROM tot WHERE split = 1),
+    j AS (
+      SELECT token, c_train, c_valid,
+             round((CAST(c_train AS DOUBLE) / n_train) *
+                   ln((CAST(c_train AS DOUBLE) / n_train) /
+                      (CAST(c_valid AS DOUBLE) / n_valid)), 6) AS kl_term
+      FROM a JOIN b USING (token), na, nb
+    )
+    SELECT token, c_train, c_valid, kl_term
+    FROM j ORDER BY kl_term DESC, token LIMIT 50
+    """,
+)
+def divergence_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 per-term KL(train‖valid) contributions between the two
+    hash-split halves of the corpus — the distribution-shift audit run
+    before trusting a validation split (a term whose train share dwarfs
+    its valid share is a leakage/skew flag). Restricted to the common
+    vocabulary (terms present in both splits), so every kl_term is finite.
+
+    Scale shape: one token-keyed combine per split (vocabulary-bound
+    output), a vocab×vocab equi-join, and two broadcast 1-row totals;
+    kl_term is division/ln/multiply per OUTPUT row — no cross-row double
+    summation — and is ROUNDED to 6 decimals on both sides before the
+    order/limit, because JVM Math.log and DuckDB's libm can differ in the
+    last ulp (observed on ln(936) in zipf_rank_freq's first cut) and an
+    unrounded sort key would make the top-50 cut itself nondeterministic."""
+    d = spread(load(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(
+            (F.col("doc_id") % 2).alias("split"),
+            F.explode(X.tokens("text")).alias("token"),
+        )
+        .groupBy("split", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("split").agg(F.sum("c").alias("n"))
+    a = cnt.filter(F.col("split") == 0).select("token", F.col("c").alias("c_train"))
+    b = cnt.filter(F.col("split") == 1).select("token", F.col("c").alias("c_valid"))
+    na = tot.filter(F.col("split") == 0).select(F.col("n").alias("n_train"))
+    nb = tot.filter(F.col("split") == 1).select(F.col("n").alias("n_valid"))
+    p = F.col("c_train").cast("double") / F.col("n_train")
+    q = F.col("c_valid").cast("double") / F.col("n_valid")
+    return (
+        a.join(b, "token")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "token",
+            "c_train",
+            "c_valid",
+            F.round(p * F.log(p / q), 6).alias("kl_term"),
+        )
+        .orderBy(F.desc("kl_term"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS pct_rank
+    FROM documents
+    """,
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the document quality proxy
+    (n_chars): each doc's score becomes its percent-rank WITHIN its
+    source, making thresholds comparable across sources whose raw score
+    distributions differ (the standard fix before a global quality cut —
+    a web source's median must not outrank a books source's p90 just
+    because the units differ). percent_rank = (rank-1)/(n-1) is a single
+    division of exact integers — hash-stable cross-engine. Window
+    partitions by source: parallel across sources at any corpus size
+    (within-source ordering is the necessary cost of an exact quantile;
+    the approx path at 100 TB is approxQuantile per source)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pct_rank")
+    )

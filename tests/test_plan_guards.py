@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "fuzzy_name_match",              # broadcast bounded dim, ±1 length band
     "rfm_segmentation",              # broadcast 9-scalar quartile boundaries
     "embedding_coverage_audit",      # broadcast 1-row orphan-count crossjoin
+    "divergence_top_terms",          # two broadcast 1-row split totals
 }
 
 # the documented bounded global-window curves (PLANS.md inventory):
@@ -64,6 +65,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "vocab_coverage",
     "tfidf_top_terms",
     "vocab_growth_curve",  # cumsum over the 10-row decile frame only
+    "zipf_rank_freq",      # rank over the vocabulary-bound frequency frame
+    "revenue_mom_growth",  # lag over one row per calendar month
 }
 
 
