@@ -94,6 +94,12 @@ HEADLINE = [
     "session_dwell_stats",
     "revenue_mom_growth",
     "minhash_jaccard_estimate_eval",
+    "source_token_profile",
+    "shingle_count_histogram",
+    "lsh_candidate_precision",
+    "ship_latency_histogram",
+    "weekday_seasonality",
+    "cohort_value_ltv",
 ]
 
 

@@ -88,6 +88,20 @@ def STOPWORD_RATIO_SQL(col: str) -> str:
     )
 
 
+def stopword_hits(col: str | Column) -> Column:
+    """Exact stopword-hit COUNT (the ratio's integer numerator) — summable
+    across docs without float order-dependence, for corpus/source-level
+    profiles."""
+    return F.size(F.filter(tokens(col), lambda t: F.lower(t).isin(*STOPWORDS)))
+
+
+def STOPWORD_HITS_SQL(col: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"len(list_filter({TOKENS_SQL(col)}, t -> list_contains([{in_list}], lower(t))))"
+    )
+
+
 # language ID ----------------------------------------------------------------
 
 def _in_set(words: tuple[str, ...]):

@@ -669,3 +669,89 @@ def minhash_jaccard_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sig.unpersist()
     return out
+
+
+@register(
+    "shingle_count_histogram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    )
+    SELECT CAST(len(sh) AS BIGINT) AS n_shingles, count(*) AS n_docs
+    FROM sh GROUP BY 1
+    """,
+)
+def shingle_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-doc shingle-set sizes — the dedup pre-flight
+    that finds documents too short to shingle (n_shingles ≈ 1 ⇒ minhash
+    degenerates and LSH recall collapses for them; such docs need the
+    exact-fingerprint path instead). Per-row map + a tiny histogram
+    shuffle; exact integers."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return (
+        d.select(F.size(S.word_shingles("text")).cast("long").alias("n_shingles"))
+        .groupBy("n_shingles")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "lsh_candidate_precision",
+    oracle=f"""
+    WITH
+    {_PAIRS_CTES},
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(least((inter * 10) // greatest(uni, 1), 9) AS BIGINT)
+             AS jaccard_decile,
+           count(*) AS n_pairs
+    FROM scored GROUP BY 1
+    """,
+)
+def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact Jaccard over ALL LSH band-collision candidates
+    (pre-verification) bucketed by decile — the banding-precision audit:
+    mass in low deciles means the band/row parameters admit noise and
+    verification cost is being wasted; mass near the threshold decile
+    means recall is at risk. The decile is (inter*10) div union — pure
+    integer arithmetic, hash-stable. Candidate volume is collision-bound
+    (the same frame the dedup pipeline verifies), never corpus²."""
+    from ..operators.neardup import sign_corpus
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sig = sign_corpus(d, "doc_id", "text").persist()
+    bands = sig.select(
+        "_id", F.explode_outer(S.band_signatures(F.col("mh"))).alias("band")
+    )
+    cands = (
+        bands.select(F.col("_id").alias("id_a"), "band")
+        .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = (
+        cands.join(
+            sig.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            F.least(
+                F.expr("(size(array_intersect(sh_a, sh_b)) * 10) div "
+                       "greatest(size(sh_a) + size(sh_b) "
+                       "- size(array_intersect(sh_a, sh_b)), 1)"),
+                F.lit(9),
+            ).cast("long").alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return out

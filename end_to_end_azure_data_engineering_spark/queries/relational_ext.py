@@ -2214,3 +2214,112 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     )
+
+
+@register(
+    "ship_latency_histogram",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS latency_days,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per priority class — the
+    fulfillment-SLA histogram (a priority class whose latency tail grows
+    is the ops alert). Exact integer day differences; one fact-fact
+    shuffle on orderkey, then a tiny (priority × day) histogram combine."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("latency_days"),
+        )
+        .groupBy("o_orderpriority", "latency_days")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, event_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type)
+                                    AS BIGINT) AS share
+    FROM c
+    """,
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × event-type seasonality profile with within-type
+    share — the traffic-shape fingerprint batch schedulers and anomaly
+    baselines read. Counts are exact; each share is ONE division of two
+    exact integers (the window sum runs over ≤7 rows per event_type).
+    Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, aligned with
+    +1 in the oracle."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    c = (
+        ev.select(F.dayofweek("ts").cast("long").alias("dow"), "event_type")
+        .groupBy("dow", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    return c.select(
+        "dow",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+@register(
+    "cohort_value_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, strftime(min(ts), '%Y-%m') AS cohort_month
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_month,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+             / count(DISTINCT e.user_id) AS value_per_user
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_month
+    """,
+)
+def cohort_value_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime value by signup cohort (cohort = month of a user's first
+    event): users, events, total and per-user value — the
+    retention_cohorts companion that weights cohorts by revenue instead of
+    presence. Value accumulates in DECIMAL(28,6) (exact, order-free) and
+    casts to DOUBLE once; per-user value is one division of exact values.
+    Two shuffles: first-event min per user, then the cohort rollup."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM").alias("cohort_month")
+    )
+    j = ev.join(firsts, "user_id")
+    return j.groupBy("cohort_month").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count_distinct("user_id")
+        ).alias("value_per_user"),
+    )

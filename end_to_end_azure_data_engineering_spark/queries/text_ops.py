@@ -1293,3 +1293,44 @@ def zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") * F.col("freq")).alias("rank_freq_product"),
         )
     )
+
+
+@register(
+    "source_token_profile",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum({X.TOKEN_COUNT_SQL('text')}) AS BIGINT) AS total_tokens,
+           CAST(sum({X.STOPWORD_HITS_SQL('text')}) AS BIGINT) AS stopword_hits,
+           CAST(sum({X.STOPWORD_HITS_SQL('text')}) AS DOUBLE)
+             / greatest(CAST(sum({X.TOKEN_COUNT_SQL('text')}) AS BIGINT), 1)
+             AS stopword_share,
+           CAST(sum({X.TOKEN_COUNT_SQL('text')}) AS DOUBLE) / count(*)
+             AS avg_tokens_per_doc
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE token/stopword profile — the corpus-composition audit a
+    mixture plan reads before setting source weights (a source whose
+    stopword share collapses is markup/code, not prose). All sums are
+    exact integer hit counts (functions/text.stopword_hits), so the
+    source-level shares are single divisions of exact values — no float
+    summation order anywhere. One combiner-friendly shuffle on source."""
+    d = spread(load(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "source",
+        X.token_count("text").alias("_tok"),
+        X.stopword_hits("text").alias("_hit"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum("_hit").alias("stopword_hits"),
+        (
+            F.sum("_hit").cast("double")
+            / F.greatest(F.sum("_tok"), F.lit(1))
+        ).alias("stopword_share"),
+        (F.sum("_tok").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+    )
