@@ -100,6 +100,11 @@ HEADLINE = [
     "ship_latency_histogram",
     "weekday_seasonality",
     "cohort_value_ltv",
+    "part_supplier_hhi",
+    "conversion_delay_histogram",
+    "error_rate_by_hour",
+    "copurchase_degree_histogram",
+    "char_class_profile",
 ]
 
 

@@ -2323,3 +2323,166 @@ def cohort_value_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_distinct("user_id")
         ).alias("value_per_user"),
     )
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, l_suppkey, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_partkey,
+           count(*) AS n_suppliers,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           CAST(sum(n) AS BIGINT) AS total_items,
+           CAST(sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)) AS hhi
+    FROM c GROUP BY 1
+    """,
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supply-concentration index per part: sum of
+    squared per-supplier item shares (1.0 = single-sourced, →1/n = evenly
+    spread) — the sourcing-risk metric behind part_supplier_diversity's
+    raw counts. Integer-exact numerator and denominator, ONE division per
+    part. Two shuffles: (part, supplier) combine, then the part rollup."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    c = li.groupBy("l_partkey", "l_suppkey").agg(F.count("*").alias("n"))
+    return c.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.sum("n").alias("total_items"),
+        (
+            F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n"))
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "conversion_delay_histogram",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS c_ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ),
+    firstp AS (
+      SELECT c.user_id, c.event_id, min(p.p_ts) AS p_ts
+      FROM clicks c JOIN purch p
+        ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+      GROUP BY c.user_id, c.event_id, c.c_ts
+    ),
+    d AS (
+      SELECT f.user_id, (epoch_us(f.p_ts) - epoch_us(c.c_ts)) // 60000000
+               AS delay_minutes
+      FROM firstp f JOIN clicks c USING (user_id, event_id)
+    )
+    SELECT CAST(delay_minutes AS BIGINT) AS delay_minutes,
+           count(*) AS n_conversions
+    FROM d GROUP BY 1
+    """,
+)
+def conversion_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→first-subsequent-purchase delay histogram (whole minutes) —
+    the attribution-window calibration: where this mass ends is where the
+    interval join's horizon belongs. Exact integer microsecond diffs
+    floor-divided to minutes. The per-user band join's fan-out is bounded
+    by per-user purchase counts (same shape as asof_join_last_click; at
+    100 TB the sort-merge formulation wins and AQE picks it)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        clicks.join(
+            purch,
+            (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("c_ts")),
+        )
+        .groupBy("user_id", "event_id", "c_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    # floor-div via truncating cast: epoch diffs are non-negative exact
+    # integers well under 2^53, so /60e6 then cast equals integer division
+    # (epoch_us, not unix_micros — the latter rejects TIMESTAMP_NTZ data)
+    delay = ((epoch_us("p_ts") - epoch_us("c_ts")) / F.lit(60_000_000)).cast("long")
+    return (
+        firstp.select(delay.alias("delay_minutes"))
+        .groupBy("delay_minutes")
+        .agg(F.count("*").alias("n_conversions"))
+    )
+
+
+@register(
+    "error_rate_by_hour",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+def error_rate_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate profile — the ops baseline an anomaly monitor
+    compares each new hour against. Exact counts, one division per hour
+    row; a single 24-key combine (map-side partials carry everything)."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.select(F.hour("ts").cast("long").alias("hour"), "event_type")
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            err.alias("n_errors"),
+            (err.cast("double") / F.count("*")).alias("error_rate"),
+        )
+    )
+
+
+@register(
+    "copurchase_degree_histogram",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_parts FROM deg GROUP BY degree
+    """,
+)
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the >=2-support co-purchase graph — the
+    scale-free-ness check that tells you whether PageRank/triangle passes
+    face hub skew (a heavy tail here predicts hot keys in every
+    graph-keyed shuffle downstream). Exact integers end to end."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select("pb"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))

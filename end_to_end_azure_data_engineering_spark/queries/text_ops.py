@@ -1334,3 +1334,47 @@ def source_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stopword_share"),
         (F.sum("_tok").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
     )
+
+
+@register(
+    "char_class_profile",
+    oracle="""
+    SELECT source,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+             AS n_letters,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+             AS n_digits,
+           CAST(sum(len(regexp_extract_all(text, '\\s'))) AS BIGINT)
+             AS n_spaces,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS DOUBLE)
+             / greatest(CAST(sum(length(text)) AS BIGINT), 1) AS letter_share,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS DOUBLE)
+             / greatest(CAST(sum(length(text)) AS BIGINT), 1) AS digit_share
+    FROM documents GROUP BY source
+    """,
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (letters/digits/whitespace
+    counts and shares) — the cheap markup/code/table detector at corpus
+    scale: prose sources sit near stable letter shares, scraped tables and
+    code push digits and symbols up. Exact regexp counts summed as
+    integers; shares are single divisions. Narrow per-row map + a
+    source-keyed combine."""
+    d = spread(load(spark, sf_dir, "documents"))
+    per = d.select(
+        "source",
+        F.length("text").alias("_c"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).alias("_l"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("_d"),
+        F.regexp_count(F.col("text"), F.lit(r"\s")).alias("_s"),
+    )
+    tot = F.sum("_c")
+    return per.groupBy("source").agg(
+        tot.alias("n_chars"),
+        F.sum("_l").alias("n_letters"),
+        F.sum("_d").alias("n_digits"),
+        F.sum("_s").alias("n_spaces"),
+        (F.sum("_l").cast("double") / F.greatest(tot, F.lit(1))).alias("letter_share"),
+        (F.sum("_d").cast("double") / F.greatest(tot, F.lit(1))).alias("digit_share"),
+    )
