@@ -426,6 +426,17 @@ class VersionedWarehouse(Warehouse):
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # Ownership token: the inode of OUR lock file. A holder
+                # whose whole process was suspended past the steal horizon
+                # (heartbeat thread frozen with it) resumes believing it
+                # still owns the lock — but a waiter has stolen it and
+                # created a NEW lock file at the same path. Every later
+                # touch (heartbeat utime, release unlink) verifies the path
+                # still resolves to this inode before acting, so the zombie
+                # neither refreshes nor deletes the new holder's lock
+                # (r5 advice). fstat on the just-created fd cannot race:
+                # the descriptor pins our file.
+                my_ino = os.fstat(fd).st_ino
                 os.close(fd)
                 break
             except FileExistsError:
@@ -461,6 +472,8 @@ class VersionedWarehouse(Warehouse):
         def _beat() -> None:
             while not stop.wait(interval):
                 try:
+                    if lock.stat().st_ino != my_ino:
+                        return  # stolen — the file is the new holder's
                     os.utime(lock)
                 except OSError:
                     return  # lock gone (stolen/released) — stop beating
@@ -470,7 +483,45 @@ class VersionedWarehouse(Warehouse):
             yield
         finally:
             stop.set()
-            lock.unlink(missing_ok=True)
+            try:
+                # unlink only OUR lock: after a suspend+steal the path
+                # holds the new holder's file, and removing it would
+                # re-open the lost-update window (r5 advice). The
+                # stat→unlink gap is the same documented residual as the
+                # steal path's re-stat.
+                if lock.stat().st_ino == my_ino:
+                    lock.unlink(missing_ok=True)
+            except OSError:
+                pass
+
+    @contextmanager
+    def _claim_keepalive(self, vdir: Path):
+        """Keep a claimed-but-unstamped version directory visibly alive for
+        the duration of its write. vacuum's phantom sweep treats an
+        unstamped ``_vN`` older than PHANTOM_SWEEP_AFTER as a crashed
+        writer's debris — but a legitimate long write (a big Spark job can
+        stall minutes between file materializations) would age past that
+        horizon too, and commit()/overwrite() writers don't hold the append
+        lock, so a concurrent vacuum (autovacuum runs on every publish)
+        could rmtree the claim mid-write and corrupt the commit (r5 advice:
+        the append-lock heartbeat fixed the LOCK's aging but not the claim
+        directory's). A daemon thread os.utime's the claim every
+        LOCK_HEARTBEAT seconds; a crashed driver kills the thread with it,
+        the directory ages normally, and the sweep is legitimate."""
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(self.LOCK_HEARTBEAT):
+                try:
+                    os.utime(vdir)
+                except OSError:
+                    return  # claim gone (swept after a crash mid-teardown)
+        hb = threading.Thread(target=_beat, daemon=True)
+        hb.start()
+        try:
+            yield
+        finally:
+            stop.set()
 
     def _link_forward(self, namespace: str, table: str, vdir: Path) -> None:
         """Hard-link the published snapshot's files into a claimed new
@@ -507,12 +558,13 @@ class VersionedWarehouse(Warehouse):
         have written files read() can never see."""
         with self._append_lock(namespace, table):
             nxt, vdir = self._claim_next(namespace, table)
-            self._link_forward(namespace, table, vdir)
-            w = df.write.mode("append")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(str(vdir))
-            self._stamp(vdir, "APPEND")
+            with self._claim_keepalive(vdir):
+                self._link_forward(namespace, table, vdir)
+                w = df.write.mode("append")
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(str(vdir))
+                self._stamp(vdir, "APPEND")
             self._publish(namespace, table, nxt)
 
     def insert_file(self, namespace: str, table: str, name: str, write_fn) -> None:
@@ -522,11 +574,12 @@ class VersionedWarehouse(Warehouse):
         lands in a readable published version."""
         with self._append_lock(namespace, table):
             nxt, vdir = self._claim_next(namespace, table)
-            self._link_forward(namespace, table, vdir)
-            tmp = vdir / f".{name}.tmp"
-            write_fn(tmp)
-            os.replace(tmp, vdir / name)
-            self._stamp(vdir, "APPEND")
+            with self._claim_keepalive(vdir):
+                self._link_forward(namespace, table, vdir)
+                tmp = vdir / f".{name}.tmp"
+                write_fn(tmp)
+                os.replace(tmp, vdir / name)
+                self._stamp(vdir, "APPEND")
             self._publish(namespace, table, nxt)
 
     def current_version(self, namespace: str, table: str) -> int | None:
@@ -578,11 +631,12 @@ class VersionedWarehouse(Warehouse):
         empty directory (an overwrite would delete-and-recreate it, opening
         a window where a competitor could re-claim the same number)."""
         nxt, vdir = self._claim_next(namespace, table)
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(str(vdir))
-        self._stamp(vdir, op)
+        with self._claim_keepalive(vdir):
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(str(vdir))
+            self._stamp(vdir, op)
         self._publish(namespace, table, nxt)
         return nxt
 
@@ -633,6 +687,14 @@ class VersionedWarehouse(Warehouse):
                 "crashed claim — not restorable"
             )
         nxt, vdir = self._claim_next(namespace, table)
+        with self._claim_keepalive(vdir):
+            self._restore_files(src, vdir)
+        self._stamp(vdir, f"RESTORE v{version}")
+        self._publish(namespace, table, nxt)
+        return nxt
+
+    @staticmethod
+    def _restore_files(src: Path, vdir: Path) -> None:
         for f in sorted(src.rglob("*")):
             if f.name == ".op":
                 continue  # never hard-link the stamp: writing the new
@@ -648,9 +710,6 @@ class VersionedWarehouse(Warehouse):
                     os.link(f, dst)
                 except OSError:
                     shutil.copy2(f, dst)
-        self._stamp(vdir, f"RESTORE v{version}")
-        self._publish(namespace, table, nxt)
-        return nxt
 
     def _is_committed(self, namespace: str, table: str, version: int) -> bool:
         """A version directory is a real commit iff it carries the .op
@@ -771,8 +830,12 @@ class VersionedWarehouse(Warehouse):
         return r.parquet(str(vdir))
 
     # A claim directory younger than this is treated as a possibly-in-flight
-    # write and never swept; matches the append-lock steal horizon, so by the
-    # time a phantom is sweepable its writer's lock would also be stealable.
+    # write and never swept. LIVE writers keep their claim's mtime fresh for
+    # the whole write via _claim_keepalive (every LOCK_HEARTBEAT seconds), so
+    # a claim that HAS aged past this horizon belongs to a dead process — the
+    # append-lock steal horizon alone was not enough, because the lock
+    # heartbeat legitimizes >600 s appends while commit()/overwrite() writers
+    # hold no append lock at all (r5 advice).
     PHANTOM_SWEEP_AFTER = 600.0
 
     def vacuum(self, namespace: str, table: str, keep: int = 2) -> list[int]:

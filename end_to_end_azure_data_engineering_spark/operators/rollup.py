@@ -86,9 +86,10 @@ def merge_rollups(
 def read_rollup(df: DataFrame, avg_of: Sequence[str] = ()) -> DataFrame:
     """Read-time view of a rollup: derive averages from exact sum/count and
     HLL estimates from sketch state; cast decimal sums to DOUBLE for
-    consumers. The streaming sink's ``_epoch`` bookkeeping column (replay
-    guard) is dropped — it is not a statistic."""
-    out = df.drop("_epoch")
+    consumers. The streaming sink's bookkeeping columns (``_wm`` replay
+    watermarks; ``_epoch``/``_qid`` on pre-watermark-map tables) are
+    dropped — they are not statistics."""
+    out = df.drop("_wm", "_epoch", "_qid")
     for c in avg_of:
         # exact-decimal sum → one cast to double, then IEEE double division:
         # bit-identical in any engine (decimal÷int type-promotion rules are

@@ -22,6 +22,7 @@ drive them synchronously with processAllAvailable() on memory sinks.
 from __future__ import annotations
 
 import datetime as _dt
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,25 +50,54 @@ def _query_lineage_id(spark: SparkSession) -> str:
     return qid or "batch"
 
 
-def _is_replay(existing: DataFrame, qid: str, epoch: int) -> bool:
-    """True iff (qid, epoch) was already folded into the standing table.
+# Bookkeeping columns the sinks ride on their standing tables; consumers
+# and merge paths strip all of them (older tables carry _epoch/_qid, current
+# ones carry _wm).
+BOOKKEEPING_COLS = ("_wm", "_epoch", "_qid")
 
-    Keyed by query LINEAGE, not epoch alone: foreachBatch epochs restart
-    at 0 when a stream starts over with a fresh checkpoint location, and a
-    bare ``epoch <= max(_epoch)`` guard would then silently drop every
-    batch of the new lineage against the standing table (r4 advice). A
-    stored ``_qid`` different from the current one means a new lineage —
-    never a replay. Tables written before the ``_qid`` column existed fall
-    back to the bare-epoch rule."""
-    if "_epoch" not in existing.columns:
-        return False
-    qcol = (
-        F.max("_qid") if "_qid" in existing.columns else F.lit(None).cast("string")
-    )
-    row = existing.agg(F.max("_epoch").alias("e"), qcol.alias("q")).first()
-    if row["q"] is not None and row["q"] != qid:
-        return False  # fresh checkpoint lineage — epochs reset, process it
-    return row["e"] is not None and epoch <= row["e"]
+
+def _load_watermarks(existing: DataFrame) -> dict[str, int]:
+    """Per-lineage epoch high-water marks stored IN the standing table.
+
+    Keyed by query LINEAGE, not epoch alone: foreachBatch epochs restart at
+    0 when a stream starts over with a fresh checkpoint location, and a
+    bare ``epoch <= max(_epoch)`` guard would silently drop every batch of
+    the new lineage (r4 advice). And keyed per-lineage as a SET, not a
+    single last-writer stamp: if two lineages interleave writes to the same
+    table (stream A, then B, then A replays an old epoch), a single stored
+    qid would classify A's replay as a fresh lineage and double-count it
+    (r5 advice). The full map rides in the table as a ``_wm`` JSON-literal
+    column so data and high-water marks publish in ONE atomic overwrite
+    swap — one string per row, map size = number of lineages ever seen.
+    Tables written before ``_wm`` existed fall back to their single
+    ``(_qid, _epoch)`` stamp."""
+    cols = existing.columns
+    if "_wm" in cols:
+        row = existing.select("_wm").first()
+        if row is None or row["_wm"] is None:
+            return {}
+        return {q: int(e) for q, e in json.loads(row["_wm"]).items()}
+    if "_epoch" in cols:
+        qcol = (
+            F.max("_qid")
+            if "_qid" in cols
+            else F.lit(None).cast("string")
+        )
+        row = existing.agg(F.max("_epoch").alias("e"), qcol.alias("q")).first()
+        if row is None or row["e"] is None:
+            return {}
+        return {(row["q"] or "batch"): int(row["e"])}
+    return {}
+
+
+def _stamp_watermarks(df: DataFrame, wms: dict[str, int]) -> DataFrame:
+    """Attach the lineage→epoch map as the ``_wm`` bookkeeping column."""
+    return df.withColumn("_wm", F.lit(json.dumps(wms, sort_keys=True)))
+
+
+def _is_replay(existing: DataFrame, qid: str, epoch: int) -> bool:
+    """True iff (qid, epoch) was already folded into the standing table."""
+    return _load_watermarks(existing).get(qid, -1) >= epoch
 
 
 def stream_files(
@@ -230,15 +260,14 @@ def rollup_stream_sink(
     read through rollup.read_rollup for averages / distinct estimates.
 
     Replay-safe under foreachBatch's at-least-once contract: the applied
-    epoch id is stored IN the rollup table (an ``_epoch`` literal column),
-    so data and high-water mark publish in one atomic overwrite swap — a
-    re-delivered micro-batch (failure retry, or restart from checkpoint
-    mid-epoch) sees ``epoch <= _epoch`` and is skipped instead of being
-    double-counted. The guard is tied to the query's checkpoint (epoch ids
-    restart at 0 without one): starting a NEW query against an existing
-    rollup table requires dropping the table or resuming from the old
-    checkpoint, which is the same discipline Delta's txn-version sinks
-    require.
+    per-lineage epoch high-water marks are stored IN the rollup table (the
+    ``_wm`` map column — see _load_watermarks), so data and high-water
+    marks publish in one atomic overwrite swap. A re-delivered micro-batch
+    (failure retry, restart from checkpoint mid-epoch, or a replay by an
+    OLDER lineage after other streams have written) sees its own lineage's
+    mark and is skipped instead of being double-counted; a genuinely new
+    lineage (fresh checkpoint, epochs reset to 0) has no mark and folds in
+    normally.
     """
     from ..operators.rollup import merge_rollups, rollup_batch
 
@@ -253,18 +282,17 @@ def rollup_stream_sink(
         )
         if wh.exists(namespace, table):
             existing = wh.read(namespace, table)
-            if _is_replay(existing, qid, epoch):
+            wms = _load_watermarks(existing)
+            if wms.get(qid, -1) >= epoch:
                 return  # at-least-once replay: already folded in
             merged = merge_rollups(
-                existing.drop("_epoch", "_qid"), delta, keys=keys
+                existing.drop(*BOOKKEEPING_COLS), delta, keys=keys
             )
         else:
+            wms = {}
             merged = delta
-        wh.overwrite(
-            merged.withColumn("_epoch", F.lit(epoch)).withColumn("_qid", F.lit(qid)),
-            namespace,
-            table,
-        )
+        wms[qid] = epoch
+        wh.overwrite(_stamp_watermarks(merged, wms), namespace, table)
 
     return sink
 
@@ -282,10 +310,11 @@ def cms_stream_sink(
     sketch's defining property, so the continuously-maintained sketch is
     bit-identical to a one-shot batch build over the same events. Heavy-
     hitter queries probe it without touching history (cms_heavy_hitters'
-    probe side). Replay-safe exactly like rollup_stream_sink: the applied
-    epoch id rides IN the table (``_epoch`` column), so an at-least-once
-    re-delivery is skipped, and data + high-water mark publish in one
-    atomic overwrite swap."""
+    probe side). Replay-safe exactly like rollup_stream_sink: per-lineage
+    epoch watermarks ride IN the table (``_wm`` map column), so an
+    at-least-once re-delivery — by the live lineage or an older one — is
+    skipped, and data + high-water marks publish in one atomic overwrite
+    swap."""
     from ..functions import sketches as S
 
     def sink(batch: DataFrame, epoch: int) -> None:
@@ -300,21 +329,20 @@ def cms_stream_sink(
         )
         if wh.exists(namespace, table):
             existing = wh.read(namespace, table)
-            if _is_replay(existing, qid, epoch):
+            wms = _load_watermarks(existing)
+            if wms.get(qid, -1) >= epoch:
                 return  # at-least-once replay: already folded in
             merged = (
-                existing.drop("_epoch", "_qid")
+                existing.drop(*BOOKKEEPING_COLS)
                 .unionByName(delta)
                 .groupBy("j", "b")
                 .agg(F.sum("c").alias("c"))
             )
         else:
+            wms = {}
             merged = delta
-        wh.overwrite(
-            merged.withColumn("_epoch", F.lit(epoch)).withColumn("_qid", F.lit(qid)),
-            namespace,
-            table,
-        )
+        wms[qid] = epoch
+        wh.overwrite(_stamp_watermarks(merged, wms), namespace, table)
 
     return sink
 
@@ -387,7 +415,7 @@ def dedup_stream_sink(
       delivers it, and only the BATCH's signatures are appended per epoch
       — the store is never rewritten, so the write cost per micro-batch
       is O(batch), not O(corpus).
-    - ``state_table`` (node, label, _epoch): the component forest.
+    - ``state_table`` (node, label, _wm): the component forest.
 
     Mining is operators.neardup.pairs_from_signatures — the SAME
     implementation the batch queries use (batch-bands x corpus-bands,
@@ -422,10 +450,12 @@ def dedup_stream_sink(
         qid = _query_lineage_id(batch.sparkSession)
         if wh.exists(namespace, state_table):
             st = wh.read(namespace, state_table)
-            if _is_replay(st, qid, epoch):
+            wms = _load_watermarks(st)
+            if wms.get(qid, -1) >= epoch:
                 return  # at-least-once replay: already folded in
-            old_state = st.drop("_epoch", "_qid")
+            old_state = st.drop(*BOOKKEEPING_COLS)
         else:
+            wms = {}
             old_state = None
 
         sig_new = sign_corpus(
@@ -463,12 +493,9 @@ def dedup_stream_sink(
             wh.append(sig_to_add, namespace, sig_table)
         else:
             wh.overwrite(sig_to_add, namespace, sig_table)
+        wms[qid] = epoch
         wh.overwrite(
-            new_state.withColumn("_epoch", F.lit(epoch)).withColumn(
-                "_qid", F.lit(qid)
-            ),
-            namespace,
-            state_table,
+            _stamp_watermarks(new_state, wms), namespace, state_table
         )
         corpus_sig.unpersist()
         sig_new.unpersist()

@@ -360,3 +360,59 @@ def test_sink_fresh_checkpoint_lineage_not_dropped(spark, tmp_path):
         assert est("a") == 6
     finally:
         sc.setLocalProperty("sql.streaming.queryId", None)
+
+
+def test_sink_interleaved_lineage_replay_skipped(spark, tmp_path):
+    """r5 advice: with a single last-writer qid stamp, the sequence
+    A:epoch0, B:epoch0, A-replays-epoch0 would classify A's replay as a
+    fresh lineage (stored qid is B's) and double-count it. The ``_wm``
+    per-lineage watermark map keeps every lineage's high-water mark, so
+    the replay is skipped while each lineage's genuinely new epochs fold."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        cms_stream_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_interleave"))
+    sink = cms_stream_sink(wh, "sketch", "k")
+    batch = spark.createDataFrame([("a",), ("a",), ("b",)], "k STRING")
+    sc = spark.sparkContext
+
+    def est(key):
+        sk = wh.read("gold", "sketch")
+        probe = (
+            spark.createDataFrame([(key,)], "k STRING")
+            .select(F.explode(S.cms_entries(F.col("k").cast("string"))).alias("e"))
+            .select(F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+        )
+        return probe.join(sk, ["j", "b"]).agg(F.min("c")).first()[0]
+
+    try:
+        sc.setLocalProperty("sql.streaming.queryId", "query-A")
+        sink(batch, 0)
+        sc.setLocalProperty("sql.streaming.queryId", "query-B")
+        sink(batch, 0)  # interleaved writer: a different lineage folds in
+        assert est("a") == 4
+        sc.setLocalProperty("sql.streaming.queryId", "query-A")
+        sink(batch, 0)  # A's at-least-once replay — must be skipped
+        assert est("a") == 4
+        sink(batch, 1)  # A's genuinely new epoch — folds
+        assert est("a") == 6
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+
+
+def test_load_watermarks_pre_wm_table_fallback(spark):
+    """Tables written before the ``_wm`` map existed carry a single
+    (_qid, _epoch) stamp; the loader folds it into the map form."""
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        _load_watermarks,
+    )
+
+    old = spark.createDataFrame([(1, 5, "q1")], "x INT, _epoch INT, _qid STRING")
+    assert _load_watermarks(old) == {"q1": 5}
+    bare = spark.createDataFrame([(1, 3)], "x INT, _epoch INT")
+    assert _load_watermarks(bare) == {"batch": 3}
+    none = spark.createDataFrame([(1,)], "x INT")
+    assert _load_watermarks(none) == {}

@@ -417,3 +417,32 @@ def test_append_lock_heartbeat_keeps_lock_fresh(spark, tmp_path, monkeypatch):
             time.sleep(0.02)
         assert time.time() - lf.stat().st_mtime <= 5, "heartbeat never fired"
     assert not (lock / ".append.lock").exists()
+
+
+def test_claim_keepalive_protects_inflight_write_from_sweep(spark, tmp_path):
+    """r5 advice (medium): vacuum's phantom sweep must never rmtree a LIVE
+    writer's claimed-but-unstamped version directory, even when the write
+    runs past PHANTOM_SWEEP_AFTER. The writer's _claim_keepalive thread
+    refreshes the claim's mtime, so only a dead writer's claim ages into
+    the sweepable window."""
+    vw = VersionedWarehouse(spark, str(tmp_path / "ka_wh"))
+    vw.commit(spark.range(3), "gold", "t")
+    vw.commit(spark.range(4), "gold", "t")
+    vw.LOCK_HEARTBEAT = 0.05  # instance override: beat fast for the test
+    nxt, vdir = vw._claim_next("gold", "t")
+    aged = time.time() - vw.PHANTOM_SWEEP_AFTER - 5
+    with vw._claim_keepalive(vdir):
+        # simulate the claim having aged mid-write (a long Spark stage
+        # between file materializations), then let the heartbeat refresh it
+        os.utime(vdir, (aged, aged))
+        deadline = time.time() + 2
+        while time.time() < deadline and time.time() - vdir.stat().st_mtime > 5:
+            time.sleep(0.02)
+        removed = vw.vacuum("gold", "t", keep=1)
+        assert nxt not in removed
+        assert vdir.exists()
+    # control: keepalive stopped (writer dead) — the aged claim is swept
+    os.utime(vdir, (aged, aged))
+    removed = vw.vacuum("gold", "t", keep=1)
+    assert nxt in removed
+    assert not vdir.exists()
