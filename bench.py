@@ -105,6 +105,19 @@ HEADLINE = [
     "error_rate_by_hour",
     "copurchase_degree_histogram",
     "char_class_profile",
+    # round-6 additions
+    "interevent_gap_stats",
+    "user_activity_gini",
+    "orders_backlog_timeline",
+    "customer_spend_deciles",
+    "embedding_dim_variance",
+    "embedding_cosine_histogram",
+    "token_diversity_histogram",
+    "corpus_datacard",
+    "supplier_percentile_ranks",
+    "fifo_quantity_allocation",
+    "priority_share_drift",
+    "copurchase_jaccard",
 ]
 
 

@@ -2486,3 +2486,447 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics — the arrival-process profile behind capacity
+# planning and bot detection: for each event, the time since the same user's
+# previous event (any type), attributed to the current event's type. One
+# shuffle on user_id for the lag window; the aggregate is a tiny
+# per-event-type reduction. Averages are derived from exact integer
+# (sum, count) pairs, so the doubles hash identically cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interevent_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_gap_s
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("*") / 1000000.0, 6
+        ).alias("avg_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Gini) — how skewed the event volume is across
+# users, the one-number skew diagnostic that predicts hot-key trouble in
+# every user-keyed shuffle downstream. Exact rank formulation:
+# G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted per-user counts.
+# The global rank window runs over the per-user REDUCTION (one row per
+# user), never raw events — the same bounded-frame exception as the
+# documented vocabulary curves (PLANS.md global-window inventory). All
+# inputs to the final double expression are exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_gini",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           round(2.0 * CAST(sum(i * n) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                 - (CAST(count(*) AS DOUBLE) + 1.0)
+                     / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    r = c.select(
+        "n",
+        "user_id",
+        F.row_number().over(W.orderBy("n", "user_id")).alias("i"),
+    )
+    n_users = F.count("*").cast("double")
+    total = F.sum("n").cast("double")
+    return r.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("total_events"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("n")).cast("double")
+            / (n_users * total)
+            - (n_users + F.lit(1.0)) / n_users,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog timeline — open orders per day via event differencing:
+# +1 at o_orderdate, −1 at the order's last ship date, then one running sum
+# over the DAILY reduction (≈2,500 rows at any SF — the bounded-frame
+# global-window exception, never the raw fact). The classic
+# interval-counting shape that a join-per-day would turn into a quadratic
+# blow-up.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog_timeline",
+    oracle="""
+    WITH closes AS (
+        SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS close_d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ev AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+        UNION ALL
+        SELECT close_d AS d, -1 AS delta FROM closes
+    ),
+    daily AS (
+        SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM ev GROUP BY d
+    )
+    SELECT d AS day,
+           CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_open
+    FROM daily
+    """,
+)
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").cast("date").alias("d")
+    )
+    ev = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(closes.select("d", F.lit(-1).alias("delta")))
+    daily = ev.groupBy("d").agg(F.sum("delta").alias("net"))
+    return daily.select(
+        F.col("d").alias("day"),
+        F.sum("net")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .alias("n_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer spend deciles — ntile decile profile of lifetime spend per market
+# segment (the CLV banding every growth team asks for). The ntile window is
+# partitioned by segment over the per-customer REDUCTION; money accumulates
+# in DECIMAL (order-independent) and surfaces as rounded DOUBLE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS ck,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT segment, sp,
+               ntile(10) OVER (PARTITION BY segment ORDER BY sp, ck)
+                   AS decile
+        FROM spend
+    )
+    SELECT segment, decile,
+           count(*) AS n_customers,
+           round(CAST(sum(sp) AS DOUBLE), 2) AS total_spend,
+           round(CAST(min(sp) AS DOUBLE), 2) AS min_spend,
+           round(CAST(max(sp) AS DOUBLE), 2) AS max_spend
+    FROM t GROUP BY segment, decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("ck"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"))
+    )
+    t = spend.select(
+        "segment",
+        "sp",
+        F.ntile(10).over(W.partitionBy("segment").orderBy("sp", "ck")).alias(
+            "decile"
+        ),
+    )
+    return t.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("sp").cast("double"), 2).alias("total_spend"),
+        F.round(F.min("sp").cast("double"), 2).alias("min_spend"),
+        F.round(F.max("sp").cast("double"), 2).alias("max_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position windows — percent_rank / cume_dist / quartile of
+# supplier account balance within nation: the full rank-function surface
+# (§2 window coverage) in one partitioned window. The composite
+# (s_acctbal, s_suppkey) order makes every rank value deterministic; both
+# position metrics are exact rationals of row indices, so the doubles hash
+# identically cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_percentile_ranks",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey, round(s.s_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WINDOW w AS (PARTITION BY n.n_name ORDER BY s.s_acctbal, s.s_suppkey)
+    """,
+)
+def supplier_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    w = W.partitionBy("nation").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal")
+        .select(
+            "nation",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+#: fixed per-part allocation budget (units) for the FIFO allocation demo —
+#: small enough that a realistic fraction of demand is backordered at any SF.
+FIFO_CAP = 400.0
+
+
+# ---------------------------------------------------------------------------
+# FIFO capacity allocation — allocate each part's line-item demand against a
+# fixed unit budget in ship-date order: the inventory/ATP (available to
+# promise) shape. One window cumsum per part (partitioned — parallel across
+# parts at any scale); the running sum is order-deterministic inside its
+# partition, so the DOUBLE arithmetic is identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fifo_quantity_allocation",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_partkey,
+               l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN cum <= {FIFO_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(sum(CASE WHEN cum > {FIFO_CAP}
+                          AND cum - l_quantity < {FIFO_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN cum - l_quantity >= {FIFO_CAP} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_backordered,
+           round(least(max(cum), {FIFO_CAP}), 2) AS allocated_units,
+           round(max(cum), 2) AS demanded_units
+    FROM c GROUP BY l_partkey
+    """,
+)
+def fifo_quantity_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = li.select(
+        "l_partkey", "l_quantity", F.sum("l_quantity").over(w).alias("cum")
+    )
+    cap = F.lit(FIFO_CAP)
+    return c.groupBy("l_partkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("cum") <= cap, 1).otherwise(0)).alias("n_full"),
+        F.sum(
+            F.when(
+                (F.col("cum") > cap) & (F.col("cum") - F.col("l_quantity") < cap),
+                1,
+            ).otherwise(0)
+        ).alias("n_partial"),
+        F.sum(
+            F.when(F.col("cum") - F.col("l_quantity") >= cap, 1).otherwise(0)
+        ).alias("n_backordered"),
+        F.round(F.least(F.max("cum"), cap), 2).alias("allocated_units"),
+        F.round(F.max("cum"), 2).alias("demanded_units"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority mix drift — chi-square decomposition of the order-priority mix
+# per year against the all-time mix: the categorical drift monitor a data
+# platform runs on every ingest dimension. Expected counts derive from two
+# exact integer marginals (broadcast scalar pattern — no global window);
+# each cell's contribution is one rational expression of integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_share_drift",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS prio,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    yr_tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS yr_n FROM obs GROUP BY yr),
+    pr_tot AS (SELECT prio, CAST(sum(n) AS BIGINT) AS pr_n FROM obs GROUP BY prio),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS all_n FROM obs)
+    SELECT o.yr, o.prio, o.n,
+           round(CAST(y.yr_n AS DOUBLE) * p.pr_n / t.all_n, 4) AS expected,
+           round((o.n - CAST(y.yr_n AS DOUBLE) * p.pr_n / t.all_n)
+                 * (o.n - CAST(y.yr_n AS DOUBLE) * p.pr_n / t.all_n)
+                 / (CAST(y.yr_n AS DOUBLE) * p.pr_n / t.all_n), 6)
+               AS chi2_part
+    FROM obs o
+    JOIN yr_tot y USING (yr)
+    JOIN pr_tot p USING (prio)
+    CROSS JOIN tot t
+    """,
+)
+def priority_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count("*").alias("n"))
+    yr_tot = obs.groupBy("yr").agg(F.sum("n").alias("yr_n"))
+    pr_tot = obs.groupBy("prio").agg(F.sum("n").alias("pr_n"))
+    tot = obs.agg(F.sum("n").alias("all_n"))
+    exp = F.col("yr_n").cast("double") * F.col("pr_n") / F.col("all_n")
+    return (
+        obs.join(F.broadcast(yr_tot), "yr")
+        .join(F.broadcast(pr_tot), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "yr",
+            "prio",
+            "n",
+            F.round(exp, 4).alias("expected"),
+            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+                "chi2_part"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item Jaccard similarity — collaborative-filtering normalization of
+# the co-purchase graph: sim(a,b) = |orders(a) ∩ orders(b)| /
+# |orders(a) ∪ orders(b)|, computed from the order-bounded pair self-join
+# plus two broadcast degree marginals. All inputs exact integers; the
+# similarity is a single rational per pair.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_jaccard",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(DISTINCT a.l_orderkey) AS together
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    deg AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS d
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.together,
+           da.d AS deg_a, db.d AS deg_b,
+           round(CAST(p.together AS DOUBLE)
+                 / (da.d + db.d - p.together), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.l_partkey = p.part_a
+    JOIN deg db ON db.l_partkey = p.part_b
+    """,
+)
+def copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count_distinct("l_orderkey").alias("together"))
+        .where(F.col("together") >= 2)
+    )
+    deg = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("d")
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_a"), F.col("d").alias("deg_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_b"), F.col("d").alias("deg_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("together").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("together")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -701,3 +701,97 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("probe_id", "probe_label", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics — the dead-dimension / variance-collapse
+# audit run before committing an embedding space to an index: a dimension
+# with near-zero variance carries no information (and an anisotropic space
+# degrades cosine ANN recall). posexplode fans each vector into (dim, value)
+# rows — embarrassingly parallel, one tiny 64-row reduction out. Values are
+# quantized to integers BEFORE aggregation so the sums are order-independent
+# and the derived mean/variance doubles hash identically cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_variance",
+    oracle=f"""
+    WITH x AS (
+        SELECT i.i AS dim,
+               CAST(round(embedding[i.i]::DOUBLE * 1000000.0) AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {V.EMB_DIM})) AS i) i
+    )
+    SELECT dim,
+           count(*) AS n_vecs,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 8)
+               AS mean_val,
+           round((CAST(sum(q * q) AS DOUBLE) / count(*)
+                  - (CAST(sum(q) AS DOUBLE) / count(*))
+                    * (CAST(sum(q) AS DOUBLE) / count(*)))
+                 / 1000000000000.0, 8) AS var_val
+    FROM x GROUP BY dim
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    x = e.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    n = F.count("*")
+    sq = F.sum("q").cast("double")
+    sq2 = F.sum(F.col("q") * F.col("q")).cast("double")
+    return x.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.round(sq / n / 1000000.0, 8).alias("mean_val"),
+        F.round(
+            (sq2 / n - (sq / n) * (sq / n)) / 1000000000000.0, 8
+        ).alias("var_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise cosine histogram — the separability profile of an embedding
+# space: the similarity distribution of same-label pairs vs different-label
+# pairs (overlapping humps = labels not linearly separable; a histogram
+# over DETERMINISTIC consecutive-id pairs is an unbiased sample of the
+# pair population at 1/n the cost of all-pairs). One co-partitioned
+# equijoin on vec_id+1, cosine in whole-stage codegen, 40-bucket reduction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_histogram",
+    oracle=f"""
+    SELECT CAST(floor({V.COSINE_SQL('a.embedding', 'b.embedding')} * 20.0)
+                AS BIGINT) AS bucket,
+           CAST(a.label = b.label AS INT) AS same_label,
+           count(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = V.cosine("va", "vb", V.EMB_DIM)
+    return (
+        a.join(b, "vec_id")
+        .select(
+            F.floor(cos * 20.0).alias("bucket"),
+            (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+        )
+        .groupBy("bucket", "same_label")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -1378,3 +1378,67 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("_l").cast("double") / F.greatest(tot, F.lit(1))).alias("letter_share"),
         (F.sum("_d").cast("double") / F.greatest(tot, F.lit(1))).alias("digit_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token diversity (Simpson index) histogram — the lexical-diversity quality
+# screen: Simpson's D = 1 − Σc(c−1)/(n(n−1)) over a doc's token counts is
+# the probability two random token draws differ; boilerplate and
+# keyword-stuffed spam score low. Chosen over Shannon entropy for the
+# oracle because every per-doc value is ONE division of exact integers —
+# no transcendental whose last-ulp could differ across engines. Explode →
+# (doc, token) count → per-doc reduction; all shuffles are corpus-bounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_diversity_histogram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({X.TOKENS_SQL('text')}) AS t FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT CAST(floor(100.0 * (1.0 - CAST(coll AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1.0))))
+                AS BIGINT) AS simpson_pct,
+           count(*) AS n_docs,
+           CAST(sum(n_types) AS BIGINT) AS total_types,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM per_doc
+    WHERE n_tokens > 1
+    GROUP BY 1
+    """,
+)
+def token_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    ).where(F.col("n_tokens") > 1)
+    simpson = F.floor(
+        100.0
+        * (
+            F.lit(1.0)
+            - F.col("coll").cast("double")
+            / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - F.lit(1.0)))
+        )
+    ).alias("simpson_pct")
+    return per_doc.select(simpson, "n_types", "n_tokens").groupBy(
+        "simpson_pct"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_types").alias("total_types"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -710,3 +710,39 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pct_rank")
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum({X.TOKEN_COUNT_SQL('text')}) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dup_docs,
+           round(100.0 * (count(*) - count(DISTINCT md5(text)))
+                 / count(*), 4) AS dup_pct
+    FROM documents
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the headline numbers a corpus release ships
+    with (docs, sources, languages, token/char volume, exact-duplicate
+    rate). Everything reduces map-side to a single row; the only exact
+    distinct over an unbounded domain is md5(text), which is the same
+    hash-groupBy as dedup_exact and shuffles one 32-byte key per doc.
+    The dup ratio is derived from two exact integers."""
+    d = spread(load(spark, sf_dir, "documents"))
+    n = F.count("*")
+    ndup = n - F.count_distinct(F.md5("text"))
+    return d.agg(
+        n.alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(X.token_count("text")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        ndup.alias("n_exact_dup_docs"),
+        F.round(100.0 * ndup / n, 4).alias("dup_pct"),
+    )

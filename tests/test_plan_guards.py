@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "lsh_bucket_stats",              # broadcast 1-row corpus total
     "minhash_band_candidates",       # broadcast 1-row candidate total
     "important_part_value",          # broadcast scalar threshold subquery
+    "priority_share_drift",          # broadcast 1-row grand-total scalar
     "scalar_subquery_below_avg",     # broadcast scalar average
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
@@ -67,6 +68,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "vocab_growth_curve",  # cumsum over the 10-row decile frame only
     "zipf_rank_freq",      # rank over the vocabulary-bound frequency frame
     "revenue_mom_growth",  # lag over one row per calendar month
+    "user_activity_gini",      # rank over one row per user (reduction)
+    "orders_backlog_timeline",  # running sum over one row per day
 }
 
 
