@@ -347,6 +347,81 @@ def cms_stream_sink(
     return sink
 
 
+def topk_stream_sink(
+    wh: Warehouse,
+    table: str,
+    key_col: str,
+    k: int = 50,
+    namespace: str = "gold",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a Misra-Gries top-k summary of
+    `key_col` frequencies — the deterministic heavy-hitters companion to
+    the CMS sink (CMS answers point queries per known key; MG carries the
+    candidate key SET, which is what a "top 50 domains/users right now"
+    dashboard actually needs).
+
+    Mergeable-summaries form (Agarwal et al., PODS'12): each micro-batch
+    reduces to its exact per-key histogram map-side (one batch-bounded
+    shuffle), is summed into the standing ≤k-row summary, and if more than
+    k keys remain the (k+1)-th largest count is subtracted from every key
+    and non-positive rows drop. Invariants maintained in the table:
+
+    - at most k rows ever stored (state is O(k), corpus-independent);
+    - ``_off`` (a scalar bookkeeping column, like ``_wm``) accumulates the
+      subtracted thresholds, so for every retained key
+      ``mg_count <= true_count <= mg_count + _off`` and every key with
+      ``true_count > _off`` is guaranteed present — the MG deficiency
+      bound, asserted by the batch-parity test.
+
+    Replay-safe like the other sinks: per-lineage ``_wm`` watermarks ride
+    in the table and publish atomically with the data."""
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        qid = _query_lineage_id(spark)
+        delta = (
+            batch.select(F.col(key_col).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("c"))
+        )
+        off = 0
+        if wh.exists(namespace, table):
+            existing = wh.read(namespace, table)
+            wms = _load_watermarks(existing)
+            if wms.get(qid, -1) >= epoch:
+                return  # at-least-once replay: already folded in
+            row = existing.select("_off").first()
+            off = int(row["_off"]) if row is not None else 0
+            combined = (
+                existing.drop(*BOOKKEEPING_COLS, "_off")
+                .unionByName(delta)
+                .groupBy("key")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            wms = {}
+            combined = delta
+        # (k+1)-th largest count = the subtraction threshold. The collect
+        # is bounded at k+1 rows by construction — never corpus-sized.
+        top = combined.orderBy(F.col("c").desc(), "key").limit(k + 1).collect()
+        thresh = int(top[k]["c"]) if len(top) > k else 0
+        if thresh:
+            summary = combined.select(
+                "key", (F.col("c") - thresh).alias("c")
+            ).where(F.col("c") > 0)
+            off += thresh
+        else:
+            summary = combined
+        wms[qid] = epoch
+        wh.overwrite(
+            _stamp_watermarks(summary.withColumn("_off", F.lit(off)), wms),
+            namespace,
+            table,
+        )
+
+    return sink
+
+
 def interval_join_events(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -416,3 +416,55 @@ def test_load_watermarks_pre_wm_table_fallback(spark):
     assert _load_watermarks(bare) == {"batch": 3}
     none = spark.createDataFrame([(1,)], "x INT")
     assert _load_watermarks(none) == {}
+
+
+def test_topk_stream_sink_misra_gries_bounds(spark, tmp_path):
+    """The MG sink must (a) never store more than k rows, (b) satisfy the
+    deficiency bound mg <= true <= mg + _off for every retained key,
+    (c) retain every key whose true count exceeds _off, and (d) skip
+    at-least-once replays."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        topk_stream_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_topk"))
+    k = 5
+    sink = topk_stream_sink(wh, "hot_users", "user_id", k=k)
+    # Zipf-ish synthetic stream: user u appears ~ (40 - u) times per batch
+    # 75% of events hit 5 hot users (~600 each); the rest spread thin
+    # (~29 each) — the shape MG is built to separate.
+    ev = spark.range(4000).select(
+        F.when(F.col("id") % 4 != 0, F.col("id") % 5)
+        .otherwise((F.col("id") * 2654435761 % 35 + 100))
+        .cast("long")
+        .alias("user_id"),
+        (F.col("id") % 7).alias("batch"),
+    )
+    batches = [ev.filter(F.col("batch") == i).select("user_id") for i in range(7)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    tbl = wh.read("gold", "hot_users")
+    rows = tbl.collect()
+    assert 0 < len(rows) <= k
+    off = rows[0]["_off"]
+    exact = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        true_c = exact[r["key"]]
+        assert 0 <= true_c - r["c"] <= off, (r["key"], r["c"], true_c, off)
+    retained = {r["key"] for r in rows}
+    for key, true_c in exact.items():
+        if true_c > off:
+            assert key in retained, (key, true_c, off)
+
+    # replay: re-delivering the last batch must not change the summary
+    before = sorted((r["key"], r["c"]) for r in rows)
+    sink(batches[-1], len(batches) - 1)
+    after = sorted(
+        (r["key"], r["c"]) for r in wh.read("gold", "hot_users").collect()
+    )
+    assert before == after
