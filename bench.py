@@ -118,6 +118,8 @@ HEADLINE = [
     "fifo_quantity_allocation",
     "priority_share_drift",
     "copurchase_jaccard",
+    "daily_churn_rate",
+    "order_fill_rate_weekly",
 ]
 
 

@@ -2930,3 +2930,97 @@ def copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily churn — of the users active on day d, how many return on d+1: the
+# operational retention pulse (distinct-user day frame self-joined one day
+# forward; both sides are per-day reductions, the join keys on user+day).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_churn_rate",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT a.day,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_retained,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churned,
+           round(CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS churn_rate
+    FROM du a
+    LEFT JOIN du b
+      ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    """,
+)
+def daily_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    b = du.select(
+        F.col("user_id"), F.date_sub("day", 1).alias("day"), F.lit(1).alias("ret")
+    )
+    j = du.join(b, ["user_id", "day"], "left")
+    churned = F.sum(F.when(F.col("ret").isNull(), 1).otherwise(0))
+    return j.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("ret").isNull(), 0).otherwise(1)).alias("n_retained"),
+        churned.alias("n_churned"),
+        F.round(churned.cast("double") / F.count("*"), 6).alias("churn_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly order fill rate — per order-week, the share of orders whose EVERY
+# line item shipped within 30 days (boolean-aggregate coverage: bool_and
+# folded per order, then a ratio of exact counts per week).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_fill_rate_weekly",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk,
+               bool_and(l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY)
+                   AS filled
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT wk,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           round(CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS fill_rate
+    FROM per_order GROUP BY wk
+    """,
+)
+def order_fill_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.bool_and(
+                F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30)
+            ).alias("filled")
+        )
+    )
+    n_filled = F.sum(F.when(F.col("filled"), 1).otherwise(0))
+    return per_order.groupBy("wk").agg(
+        F.count("*").alias("n_orders"),
+        n_filled.alias("n_filled"),
+        F.round(n_filled.cast("double") / F.count("*"), 6).alias("fill_rate"),
+    )
