@@ -2895,19 +2895,24 @@ def priority_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Distinct (order, part) FIRST: a part appearing on several line items
+    # of one order would otherwise fan the self-join out quadratically per
+    # order and force count_distinct downstream; after the pre-distinct the
+    # join input is minimal and both counts are plain count(*) — measured
+    # 24.9 s → 9.6 s at replicated sf1.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
         a.join(b, "l_orderkey")
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(F.count_distinct("l_orderkey").alias("together"))
+        .agg(F.count("*").alias("together"))
         .where(F.col("together") >= 2)
     )
-    deg = li.groupBy("l_partkey").agg(
-        F.count_distinct("l_orderkey").alias("d")
-    )
+    deg = li.groupBy("l_partkey").agg(F.count("*").alias("d"))
     return (
         pairs.join(
             F.broadcast(deg.select(F.col("l_partkey").alias("part_a"), F.col("d").alias("deg_a"))),

@@ -42,6 +42,7 @@ def main() -> int:
     from end_to_end_azure_data_engineering_spark.streaming.ingest import (
         cms_stream_sink,
         dedup_stream_sink,
+        topk_stream_sink,
     )
 
     spark = get_spark("streaming_scale_probe")
@@ -61,9 +62,13 @@ def main() -> int:
     wh = Warehouse(spark, str(OUT_ROOT / "wh"))
     dsink = dedup_stream_sink(wh, threshold=0.5)
     csink = cms_stream_sink(wh, "token_sketch", "doc_id")
+    tsink = topk_stream_sink(wh, "hot_docs", "doc_id", k=50)
 
     print(f"{n_batches} batches x {batch_docs} docs (total {total})")
-    print(f"{'batch':>5} {'corpus':>9} {'dedup_s':>8} {'cms_s':>7} {'sig_rows':>9}")
+    print(
+        f"{'batch':>5} {'corpus':>9} {'dedup_s':>8} {'cms_s':>7} "
+        f"{'topk_s':>7} {'sig_rows':>9}"
+    )
     rows = []
     for b in range(n_batches):
         batch = docs.filter(F.col("batch") == b).select("doc_id", "text")
@@ -77,11 +82,15 @@ def main() -> int:
         t0 = time.perf_counter()
         csink(batch, b)
         t_cms = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tsink(batch, b)
+        t_topk = time.perf_counter() - t0
         sig_rows = wh.read("silver", "dedup_signatures").count()
         corpus_size = (b + 1) * batch_docs
-        rows.append((b, corpus_size, t_dedup, t_cms, sig_rows))
+        rows.append((b, corpus_size, t_dedup, t_cms, t_topk, sig_rows))
         print(
-            f"{b:>5} {corpus_size:>9} {t_dedup:>8.2f} {t_cms:>7.2f} {sig_rows:>9}",
+            f"{b:>5} {corpus_size:>9} {t_dedup:>8.2f} {t_cms:>7.2f} "
+            f"{t_topk:>7.2f} {sig_rows:>9}",
             flush=True,
         )
 
@@ -96,7 +105,9 @@ def main() -> int:
             f"\ncorpus {early[1]} -> {late[1]} ({corpus_growth:.0f}x): "
             f"dedup per-batch {early[2]:.2f}s -> {late[2]:.2f}s ({growth:.2f}x), "
             f"cms {early[3]:.2f}s -> {late[3]:.2f}s "
-            f"({late[3] / max(early[3], 1e-9):.2f}x)"
+            f"({late[3] / max(early[3], 1e-9):.2f}x), "
+            f"topk {early[4]:.2f}s -> {late[4]:.2f}s "
+            f"({late[4] / max(early[4], 1e-9):.2f}x)"
         )
     return 0
 
