@@ -120,6 +120,9 @@ HEADLINE = [
     "copurchase_jaccard",
     "daily_churn_rate",
     "order_fill_rate_weekly",
+    "source_vocab_overlap",
+    "embedding_class_scatter",
+    "weekly_active_users_rolling",
 ]
 
 

@@ -3029,3 +3029,44 @@ def order_fill_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_filled.alias("n_filled"),
         F.round(n_filled.cast("double") / F.count("*"), 6).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — exact sliding distinct count via the
+# offset-explode trick: each (user, day) observation votes into the 7
+# calendar days whose trailing window contains it (a 7× fan-out of the
+# per-day REDUCTION, not the raw events), then one distinct count per day.
+# The exact form of the metric every approx-sliding-HLL is judged against.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_active_users_rolling",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    votes AS (
+        SELECT du.user_id, du.day + CAST(o.off AS INT) AS d
+        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+    )
+    SELECT v.d AS day, count(DISTINCT v.user_id) AS wau
+    FROM votes v JOIN (SELECT DISTINCT day FROM du) days ON days.day = v.d
+    GROUP BY v.d
+    """,
+)
+def weekly_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    votes = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, off)").alias("d"))
+    days = du.select("day").distinct()
+    return (
+        votes.join(F.broadcast(days), votes.d == days.day)
+        .groupBy(F.col("d").alias("day2"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.col("day2").alias("day"), "wau")
+    )

@@ -795,3 +795,84 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "same_label")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Class scatter — per-label centroid compactness: mean per-dimension value
+# (the centroid) and the mean squared distance of members to it, from ONE
+# pass of integer-quantized per-dimension moments (Σx, Σx² per (label,
+# dim) — within-class variance is exactly Σ per-dim variance, no second
+# pass over the vectors). The k-NN-separability smell test for a labeled
+# embedding space.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_class_scatter",
+    oracle=f"""
+    WITH x AS (
+        SELECT label, i.i AS dim,
+               CAST(round(embedding[i.i]::DOUBLE * 1000000.0) AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {V.EMB_DIM})) AS i) i
+    ),
+    m AS (
+        SELECT label, dim, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS s1,
+               CAST(sum(q * q) AS BIGINT) AS s2
+        FROM x GROUP BY label, dim
+    ),
+    pd AS (
+        -- per-dim doubles are re-quantized to integer q² units BEFORE the
+        -- cross-dim sum: summing 64 doubles is order-dependent, summing
+        -- 64 BIGINTs is not
+        SELECT label, n,
+               CAST(round(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n)) AS BIGINT) AS var_q,
+               CAST(round((CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n)) AS BIGINT) AS msq_q
+        FROM m
+    )
+    SELECT label,
+           CAST(min(n) AS BIGINT) AS n_vecs,
+           round(CAST(sum(var_q) AS DOUBLE) / 1000000000000.0, 6)
+               AS within_scatter,
+           round(CAST(sum(msq_q) AS DOUBLE) / 1000000000000.0, 6)
+               AS centroid_norm_sq
+    FROM pd GROUP BY label
+    """,
+)
+def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    m = x.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    pd = m.select(
+        "label",
+        "n",
+        F.round(var, 0).cast("long").alias("var_q"),
+        F.round(mean * mean, 0).cast("long").alias("msq_q"),
+    )
+    return pd.groupBy("label").agg(
+        F.min("n").alias("n_vecs"),
+        F.round(F.sum("var_q").cast("double") / 1000000000000.0, 6).alias(
+            "within_scatter"
+        ),
+        F.round(F.sum("msq_q").cast("double") / 1000000000000.0, 6).alias(
+            "centroid_norm_sq"
+        ),
+    )

@@ -1442,3 +1442,76 @@ def token_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_types").alias("total_types"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap — pairwise Jaccard of the distinct-token sets of
+# every source pair: the corpus-composition diagnostic that finds
+# near-identical crawls BEFORE document-level dedup spends a cluster on
+# them. The self-join keys on token over the (source, token) DISTINCT frame
+# (vocabulary-bound, ≪ corpus); degrees broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({X.TOKENS_SQL('text')}) AS t
+        FROM documents
+    ),
+    deg AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS both_v
+        FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.both_v,
+           da.v AS vocab_a, db.v AS vocab_b,
+           round(CAST(i.both_v AS DOUBLE)
+                 / (da.v + db.v - i.both_v), 6) AS vocab_jaccard
+    FROM inter i
+    JOIN deg da ON da.source = i.src_a
+    JOIN deg db ON db.source = i.src_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    st = d.select(
+        "source", F.explode(X.tokens("text")).alias("t")
+    ).distinct()
+    deg = st.groupBy("source").agg(F.count("*").alias("v"))
+    a = st.select(F.col("source").alias("src_a"), "t")
+    b = st.select(F.col("source").alias("src_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("both_v"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                deg.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "both_v",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("both_v").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("both_v")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
