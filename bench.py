@@ -123,6 +123,8 @@ HEADLINE = [
     "source_vocab_overlap",
     "embedding_class_scatter",
     "weekly_active_users_rolling",
+    "revenue_pareto_curve",
+    "length_stopword_correlation",
 ]
 
 

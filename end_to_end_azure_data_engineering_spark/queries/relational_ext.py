@@ -3070,3 +3070,121 @@ def weekly_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .select(F.col("day2").alias("day"), "wau")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue Pareto curve — the 80/20 concentration profile: parts ranked into
+# revenue deciles, each decile's share of total revenue. Money accumulates
+# in DECIMAL; the decile window runs over the 2k-row PART reduction (the
+# documented bounded-frame exception) and the grand total is one broadcast
+# scalar row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_pareto_curve",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (
+        SELECT l_partkey, rev,
+               ntile(10) OVER (ORDER BY rev DESC, l_partkey) AS decile
+        FROM pr
+    ),
+    tot AS (SELECT sum(rev) AS total FROM pr)
+    SELECT decile,
+           count(*) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS decile_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(t2.total AS DOUBLE), 6)
+               AS revenue_share
+    FROM t CROSS JOIN tot t2
+    GROUP BY decile, t2.total
+    """,
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    t = pr.select(
+        "l_partkey",
+        "rev",
+        F.ntile(10).over(W.orderBy(F.col("rev").desc(), "l_partkey")).alias(
+            "decile"
+        ),
+    )
+    tot = pr.agg(F.sum("rev").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("decile_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.col("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .drop("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length↔stopword correlation — exact Pearson r from five integer sums
+# (n, Σx, Σy, Σxy, Σx², Σy² over per-doc token and stopword-hit counts):
+# the corpus-audit correlation that validates length-normalized quality
+# scores. Single map-side-combined reduction to one row; no float enters
+# an aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_stopword_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT len(string_split_regex(trim(text), '\\s+')) AS x,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> lower(t) IN ('the','a','an','and','or','of','to',
+                                     'in','is','it'))) AS y
+        FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           round((count(*) * CAST(sum(x * y) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (sqrt(count(*) * CAST(sum(x * x) AS DOUBLE)
+                         - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                    * sqrt(count(*) * CAST(sum(y * y) AS DOUBLE)
+                           - CAST(sum(y) AS DOUBLE)
+                             * CAST(sum(y) AS DOUBLE))), 6) AS pearson_r
+    FROM d
+    """,
+)
+def length_stopword_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+    from . import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.select(
+        X.token_count("text").alias("x"), X.stopword_hits("text").alias("y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    return d.agg(
+        n.alias("n_docs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )

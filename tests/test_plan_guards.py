@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "minhash_band_candidates",       # broadcast 1-row candidate total
     "important_part_value",          # broadcast scalar threshold subquery
     "priority_share_drift",          # broadcast 1-row grand-total scalar
+    "revenue_pareto_curve",          # broadcast 1-row revenue total
     "scalar_subquery_below_avg",     # broadcast scalar average
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
@@ -70,6 +71,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "revenue_mom_growth",  # lag over one row per calendar month
     "user_activity_gini",      # rank over one row per user (reduction)
     "orders_backlog_timeline",  # running sum over one row per day
+    "revenue_pareto_curve",     # ntile over the 2k-row part reduction
 }
 
 
