@@ -125,6 +125,8 @@ HEADLINE = [
     "weekly_active_users_rolling",
     "revenue_pareto_curve",
     "length_stopword_correlation",
+    "ab_assignment_lift",
+    "daily_revenue_trend",
 ]
 
 

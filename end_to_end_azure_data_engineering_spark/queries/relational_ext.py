@@ -3188,3 +3188,117 @@ def length_stopword_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucket A/B lift — deterministic experiment assignment (user_id
+# parity by murmur-free modulus: reproducible in any engine) and the
+# Welch t-statistic between arms from integer-quantized value moments
+# (cents): the experimentation readout every event platform ships. One
+# event-scan reduction to two arm rows, then scalar math on exact sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_assignment_lift",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM v GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(CAST(a.s1 AS DOUBLE) / a.n / 100.0, 6) AS mean_a,
+           round(CAST(b.s1 AS DOUBLE) / b.n / 100.0, 6) AS mean_b,
+           round((CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n)
+                 / 100.0, 6) AS lift,
+           round((CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n)
+                 / sqrt((CAST(a.s2 AS DOUBLE) / a.n
+                         - (CAST(a.s1 AS DOUBLE) / a.n)
+                           * (CAST(a.s1 AS DOUBLE) / a.n)) / a.n
+                        + (CAST(b.s2 AS DOUBLE) / b.n
+                           - (CAST(b.s1 AS DOUBLE) / b.n)
+                             * (CAST(b.s1 AS DOUBLE) / b.n)) / b.n), 6)
+               AS welch_t
+    FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    m = v.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    a = m.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = m.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    ma = F.col("s1a").cast("double") / F.col("n_a")
+    mb = F.col("s1b").cast("double") / F.col("n_b")
+    va = (F.col("s2a").cast("double") / F.col("n_a") - ma * ma) / F.col("n_a")
+    vb = (F.col("s2b").cast("double") / F.col("n_b") - mb * mb) / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round((mb - ma) / 100.0, 6).alias("lift"),
+        F.round((mb - ma) / F.sqrt(va + vb), 6).alias("welch_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend decomposition — daily revenue split into a 7-day centered moving
+# trend and residual (the classical STL first step). DECIMAL-exact daily
+# sums first (order-independent), then one centered window over the
+# ~2.5k-row day frame (bounded-frame global-window exception); the trend is
+# an exact-decimal window sum divided by the true window row count, so
+# edges use the partial window honestly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT day,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(rev) OVER w AS DOUBLE)
+                 / count(*) OVER w, 4) AS trend,
+           round(CAST(rev AS DOUBLE)
+                 - CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 4)
+               AS residual
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    trend = F.sum("rev").over(w).cast("double") / F.count("*").over(w)
+    return daily.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(trend, 4).alias("trend"),
+        F.round(F.col("rev").cast("double") - trend, 4).alias("residual"),
+    )

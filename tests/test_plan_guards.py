@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "important_part_value",          # broadcast scalar threshold subquery
     "priority_share_drift",          # broadcast 1-row grand-total scalar
     "revenue_pareto_curve",          # broadcast 1-row revenue total
+    "ab_assignment_lift",            # two 1-row arm frames crossjoined
     "scalar_subquery_below_avg",     # broadcast scalar average
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
@@ -72,6 +73,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "user_activity_gini",      # rank over one row per user (reduction)
     "orders_backlog_timeline",  # running sum over one row per day
     "revenue_pareto_curve",     # ntile over the 2k-row part reduction
+    "daily_revenue_trend",      # centered MA over one row per day
 }
 
 
