@@ -127,6 +127,7 @@ HEADLINE = [
     "length_stopword_correlation",
     "ab_assignment_lift",
     "daily_revenue_trend",
+    "dedup_token_audit",
 ]
 
 

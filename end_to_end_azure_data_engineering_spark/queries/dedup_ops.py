@@ -755,3 +755,53 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.unpersist()
     return out
+
+
+@register(
+    "dedup_token_audit",
+    oracle=f"""
+    WITH keep AS (
+        SELECT doc_id, source, {X.TOKEN_COUNT_SQL('text')} AS tok,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS docs_before,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_after,
+           CAST(sum(tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN rn = 1 THEN tok ELSE 0 END) AS BIGINT)
+               AS tokens_after,
+           round(100.0 * (1.0 - CAST(sum(CASE WHEN rn = 1 THEN tok ELSE 0 END)
+                                      AS DOUBLE) / sum(tok)), 4)
+               AS token_loss_pct
+    FROM keep GROUP BY source
+    """,
+)
+def dedup_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting: per source, documents and TOKENS removed by
+    exact dedup (keep-first-by-doc_id per md5 group) — the number a
+    pretraining data report actually cites (dup docs are cheap; dup TOKEN
+    mass is what skews a mixture). Same hash-keyed window as dedup_exact;
+    the audit adds one source-keyed reduction."""
+    d = spread(load(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window as W
+
+    keep = d.select(
+        "source",
+        X.token_count("text").alias("tok"),
+        F.row_number()
+        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    kept_tok = F.sum(F.when(F.col("rn") == 1, F.col("tok")).otherwise(0))
+    return keep.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("docs_after"),
+        F.sum("tok").alias("tokens_before"),
+        kept_tok.alias("tokens_after"),
+        F.round(
+            100.0 * (F.lit(1.0) - kept_tok.cast("double") / F.sum("tok")), 4
+        ).alias("token_loss_pct"),
+    )
