@@ -63,6 +63,41 @@ def _incremental_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One connected-components propagation round, rebuilt lazily: the
+    neighbor-min join, the pointer-doubling label-of-label hop, and the
+    node-keyed min reduction — the per-iteration plan that the eager loop
+    (operators/dedup.connected_components) localCheckpoints out of the
+    audited query plan. The edge frame is a cheap lazy surrogate (in the
+    real operator edges and labels are checkpointed once), so the audited
+    plan shows the ROUND's own joins/exchanges, not a re-derivation of the
+    mining pipeline per label reference."""
+    pairs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("_n"), (F.col("doc_id") % 1000).alias("_m")
+    )
+    bidir = pairs.unionByName(
+        pairs.select(F.col("_m").alias("_n"), F.col("_n").alias("_m"))
+    )
+    labels = (
+        bidir.select(F.col("_n").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    nbr = bidir.join(labels.withColumnRenamed("node", "_m"), "_m").select(
+        F.col("_n").alias("node"), "label"
+    )
+    hop = labels.join(
+        labels.select(F.col("node").alias("label"), F.col("label").alias("_lol")),
+        "label",
+    ).select("node", F.col("_lol").alias("label"))
+    return (
+        labels.unionByName(nbr)
+        .unionByName(hop)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational_ext import copurchase_edge_frame_lazy
 
@@ -76,4 +111,5 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_containment_pairs:mine": _containment_mine,
         "incremental_components_merge:mine": _incremental_mine,
         "pagerank_copurchase:mine": _copurchase_mine,
+        "dedup_connected_components:round": _cc_round,
     }
