@@ -55,6 +55,11 @@ def _query_lineage_id(spark: SparkSession) -> str:
 # ones carry _wm).
 BOOKKEEPING_COLS = ("_wm", "_epoch", "_qid")
 
+#: parquet-file fragmentation threshold for the dedup sink's signature
+#: store: one file set lands per epoch (link-forward append), and past this
+#: many files the store is rewritten compacted (one versioned commit).
+SIG_COMPACT_FILES = 64
+
 
 def _load_watermarks(existing: DataFrame) -> dict[str, int]:
     """Per-lineage epoch high-water marks stored IN the standing table.
@@ -522,7 +527,8 @@ def dedup_stream_sink(
                 wh.set_retention(namespace, t, 2)
 
     def sink(batch: DataFrame, epoch: int) -> None:
-        qid = _query_lineage_id(batch.sparkSession)
+        spark = batch.sparkSession
+        qid = _query_lineage_id(spark)
         if wh.exists(namespace, state_table):
             st = wh.read(namespace, state_table)
             wms = _load_watermarks(st)
@@ -568,6 +574,23 @@ def dedup_stream_sink(
             wh.append(sig_to_add, namespace, sig_table)
         else:
             wh.overwrite(sig_to_add, namespace, sig_table)
+        # Small-file control: every append adds one file set, so after N
+        # epochs the store is N-way fragmented and each batch's anti-join
+        # and band mine pay N file opens. When fragmentation crosses the
+        # threshold, rewrite the store compacted (one versioned commit,
+        # _id-clustered so row-group stats prune the anti-join) —
+        # amortized O(corpus / SIG_COMPACT_FILES) per epoch.
+        try:
+            n_files = len(list(wh.data_dir(namespace, sig_table).glob("*.parquet")))
+        except (FileNotFoundError, OSError):
+            n_files = 0
+        if n_files > SIG_COMPACT_FILES:
+            wh.compact(
+                namespace,
+                sig_table,
+                spark.sparkContext.defaultParallelism,
+                cluster_by=["_id"],
+            )
         wms[qid] = epoch
         wh.overwrite(
             _stamp_watermarks(new_state, wms), namespace, state_table

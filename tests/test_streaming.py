@@ -468,3 +468,36 @@ def test_topk_stream_sink_misra_gries_bounds(spark, tmp_path):
         (r["key"], r["c"]) for r in wh.read("gold", "hot_users").collect()
     )
     assert before == after
+
+
+def test_dedup_sink_autocompacts_signature_store(spark, tmp_path, monkeypatch):
+    """Every epoch's append adds one parquet file set to the signature
+    store; past SIG_COMPACT_FILES the sink must rewrite the store
+    compacted — bounded file count, identical dedup results."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.queries import load as qload
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        dedup_corpus,
+    )
+    from end_to_end_azure_data_engineering_spark.streaming import ingest
+
+    monkeypatch.setattr(ingest, "SIG_COMPACT_FILES", 4)
+    docs = qload(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_compact"))
+    sink = ingest.dedup_stream_sink(wh, threshold=0.2)
+    n_batches = 6
+    for i in range(n_batches):
+        sink(docs.filter(F.col("doc_id") % n_batches == i), i)
+
+    n_files = len(list(wh.data_dir("silver", "dedup_signatures").glob("*.parquet")))
+    assert n_files <= max(4, spark.sparkContext.defaultParallelism), n_files
+    # compaction must not change the store's content or the dedup outcome
+    sigs = wh.read("silver", "dedup_signatures")
+    assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
+    state = wh.read("silver", "dedup_components")
+    losers = {r.node for r in state.filter(F.col("node") != F.col("label")).collect()}
+    streamed = {r.doc_id for r in docs.collect() if r.doc_id not in losers}
+    batch = {r.doc_id for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()}
+    assert streamed == batch
