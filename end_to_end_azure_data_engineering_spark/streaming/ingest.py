@@ -56,9 +56,16 @@ def _query_lineage_id(spark: SparkSession) -> str:
 BOOKKEEPING_COLS = ("_wm", "_epoch", "_qid")
 
 #: parquet-file fragmentation threshold for the dedup sink's signature
-#: store: one file set lands per epoch (link-forward append), and past this
-#: many files the store is rewritten compacted (one versioned commit).
+#: store: each epoch's append lands SIG_APPEND_FILES files (coalesced —
+#: a batch-sized row set written as 32 shuffle-partition shards would hit
+#: the threshold every other epoch and rewrite the corpus each time), and
+#: past SIG_COMPACT_FILES total the store is rewritten compacted (one
+#: versioned commit) — so compaction fires every
+#: ~(SIG_COMPACT_FILES/2)/SIG_APPEND_FILES epochs, amortized O(corpus/8)
+#: per epoch. At 100 TB the store is date-partitioned and compaction is
+#: partition-local; this is the single-table form.
 SIG_COMPACT_FILES = 64
+SIG_APPEND_FILES = 4
 
 
 def _load_watermarks(existing: DataFrame) -> dict[str, int]:
@@ -571,7 +578,7 @@ def dedup_stream_sink(
         # anti-join), THEN the state carrying the epoch high-water mark —
         # the reverse order could skip a replay whose signatures were lost
         if wh.exists(namespace, sig_table):
-            wh.append(sig_to_add, namespace, sig_table)
+            wh.append(sig_to_add.coalesce(SIG_APPEND_FILES), namespace, sig_table)
         else:
             wh.overwrite(sig_to_add, namespace, sig_table)
         # Small-file control: every append adds one file set, so after N
