@@ -128,6 +128,9 @@ HEADLINE = [
     "ab_assignment_lift",
     "daily_revenue_trend",
     "dedup_token_audit",
+    "feature_hash_quality_score",
+    "bot_likelihood_flags",
+    "duplicate_order_screen",
 ]
 
 

@@ -3302,3 +3302,110 @@ def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trend, 4).alias("trend"),
         F.round(F.col("rev").cast("double") - trend, 4).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-likelihood flags — the machine-traffic screen every event pipeline
+# runs before analytics: per user, volume plus the share of sub-second
+# inter-event gaps (integer microsecond lag diffs; one user-keyed window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bot_likelihood_flags",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_events,
+           CAST(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subsecond_gaps,
+           round(CAST(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS subsecond_share,
+           (count(*) + 1 >= 50
+            AND CAST(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) > 0.5) AS bot_suspect
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def bot_likelihood_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    n_sub = F.sum(F.when(F.col("gap_us") < 1000000, 1).otherwise(0))
+    share = n_sub.cast("double") / F.count("*")
+    return g.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        n_sub.alias("n_subsecond_gaps"),
+        F.round(share, 6).alias("subsecond_share"),
+        ((F.count("*") + 1 >= 50) & (share > 0.5)).alias("bot_suspect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment screen — pairs of orders by the SAME customer for a
+# NEAR-IDENTICAL amount (within 1%) within 14 days: the double-charge /
+# retry-storm audit. Custkey equi-join keeps the pair space bounded by
+# orders-per-customer; amount and date bands are residual predicates,
+# ordered o1 < o2 so each pair emits once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_order_screen",
+    oracle="""
+    SELECT a.o_custkey,
+           round(a.o_totalprice, 2) AS amount_a,
+           round(b.o_totalprice, 2) AS amount_b,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT)
+               AS days_apart
+    FROM orders a
+    JOIN orders b
+      ON b.o_custkey = a.o_custkey
+     AND b.o_orderkey > a.o_orderkey
+     AND abs(b.o_totalprice - a.o_totalprice) <= 0.01 * a.o_totalprice
+     AND CAST(b.o_orderdate AS DATE) >= CAST(a.o_orderdate AS DATE) - 14
+     AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 14
+    """,
+)
+def duplicate_order_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey"), F.col("o_totalprice").alias("pa"),
+        F.col("o_orderkey").alias("order_a"), F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey"), F.col("o_totalprice").alias("pb"),
+        F.col("o_orderkey").alias("order_b"), F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("order_b") > F.col("order_a"))
+            & (F.abs(F.col("pb") - F.col("pa")) <= 0.01 * F.col("pa"))
+            & (F.col("db") >= F.date_sub("da", 14))
+            & (F.col("db") <= F.date_add("da", 14))
+        )
+        .select(
+            "o_custkey",
+            F.round("pa", 2).alias("amount_a"),
+            F.round("pb", 2).alias("amount_b"),
+            "order_a",
+            "order_b",
+            F.datediff("db", "da").cast("long").alias("days_apart"),
+        )
+    )

@@ -1515,3 +1515,70 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+#: feature-hash dimensionality and the deterministic pseudo-weight formula —
+#: a stand-in for trained classifier weights, computable identically in both
+#: engines (bucket -> weight in [-0.5, 0.5) with 3 decimal places).
+FEAT_HASH_DIM = 256
+
+
+# ---------------------------------------------------------------------------
+# Feature-hash linear scorer — the fastText-shaped quality classifier layout
+# used by pretraining data filters: tokens hash into FEAT_HASH_DIM buckets
+# (feature hashing, no vocabulary), the doc's bucket counts dot a weight
+# vector, scores histogram. Weights here are a deterministic bucket formula
+# (a trained model would broadcast a literal array — same plan); the whole
+# scorer is exact-integer until one final rational per doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_hash_quality_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({X.TOKENS_SQL('text')}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id, {S.HASH32_SQL('t')} % {FEAT_HASH_DIM} AS bucket,
+               count(*) AS c
+        FROM tok GROUP BY doc_id, bucket
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(sum(c * ((bucket * 2654435761) % 1000 - 500)) AS BIGINT)
+                   AS raw,
+               CAST(sum(c) AS BIGINT) AS n_tok
+        FROM b GROUP BY doc_id
+    )
+    SELECT CAST(floor(10.0 * CAST(raw AS DOUBLE) / n_tok / 500.0) AS BIGINT)
+               AS score_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM scored GROUP BY 1
+    """,
+)
+def feature_hash_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("t"))
+    b = tok.select(
+        "doc_id", (S.hash32(F.col("t")) % FEAT_HASH_DIM).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    w = (F.col("bucket") * F.lit(2654435761)) % 1000 - 500
+    scored = b.groupBy("doc_id").agg(
+        F.sum(F.col("c") * w).alias("raw"),
+        F.sum("c").alias("n_tok"),
+    )
+    return (
+        scored.select(
+            F.floor(
+                10.0 * F.col("raw").cast("double") / F.col("n_tok") / 500.0
+            ).alias("score_bucket"),
+            "n_tok",
+        )
+        .groupBy("score_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
