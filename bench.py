@@ -131,6 +131,7 @@ HEADLINE = [
     "feature_hash_quality_score",
     "bot_likelihood_flags",
     "duplicate_order_screen",
+    "heavy_hitters_exact_topk",
 ]
 
 

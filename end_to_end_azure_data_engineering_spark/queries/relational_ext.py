@@ -3409,3 +3409,32 @@ def duplicate_order_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("db", "da").cast("long").alias("days_apart"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters — the ground truth the Misra-Gries streaming sink
+# (streaming/ingest.topk_stream_sink) and the CMS probe are judged against:
+# top-50 users by event count, deterministic (count DESC, user_id) order.
+# One keyed reduction + a 50-row global sort-limit (TakeOrdered — no full
+# sort materializes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters_exact_topk",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 50
+    """,
+)
+def heavy_hitters_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(50)
+    )

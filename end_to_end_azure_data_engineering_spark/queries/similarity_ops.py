@@ -725,12 +725,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim,
            count(*) AS n_vecs,
-           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 8)
-               AS mean_val,
-           round((CAST(sum(q * q) AS DOUBLE) / count(*)
-                  - (CAST(sum(q) AS DOUBLE) / count(*))
-                    * (CAST(sum(q) AS DOUBLE) / count(*)))
-                 / 1000000000000.0, 8) AS var_val
+           CAST(round(CAST(sum(q) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+               AS mean_e8,
+           CAST(round((CAST(sum(q * q) AS DOUBLE) / count(*)
+                       - (CAST(sum(q) AS DOUBLE) / count(*))
+                         * (CAST(sum(q) AS DOUBLE) / count(*)))
+                      / 10000.0) AS BIGINT) AS var_e8
     FROM x GROUP BY dim
     """,
 )
@@ -742,15 +742,21 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
+    # Outputs are FIXED-POINT BIGINTs (value × 1e8): scaled round(x, k)
+    # is engine-divergent near half boundaries (DuckDB multiplies the
+    # binary double by 10^k then rounds; Spark rounds the exact decimal
+    # expansion — a sf0.1 sweep caught a 1-digit flip), while
+    # round-to-integer of an identically-computed double has no scaling
+    # multiply and cannot diverge.
     n = F.count("*")
     sq = F.sum("q").cast("double")
     sq2 = F.sum(F.col("q") * F.col("q")).cast("double")
     return x.groupBy("dim").agg(
         n.alias("n_vecs"),
-        F.round(sq / n / 1000000.0, 8).alias("mean_val"),
-        F.round(
-            (sq2 / n - (sq / n) * (sq / n)) / 1000000000000.0, 8
-        ).alias("var_val"),
+        F.round(sq * 100.0 / n, 0).cast("long").alias("mean_e8"),
+        F.round((sq2 / n - (sq / n) * (sq / n)) / 10000.0, 0)
+        .cast("long")
+        .alias("var_e8"),
     )
 
 
@@ -836,10 +842,10 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(min(n) AS BIGINT) AS n_vecs,
-           round(CAST(sum(var_q) AS DOUBLE) / 1000000000000.0, 6)
-               AS within_scatter,
-           round(CAST(sum(msq_q) AS DOUBLE) / 1000000000000.0, 6)
-               AS centroid_norm_sq
+           CAST(round(CAST(sum(var_q) AS DOUBLE) / 1000000.0) AS BIGINT)
+               AS within_scatter_e6,
+           CAST(round(CAST(sum(msq_q) AS DOUBLE) / 1000000.0) AS BIGINT)
+               AS centroid_norm_sq_e6
     FROM pd GROUP BY label
     """,
 )
@@ -867,12 +873,15 @@ def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 0).cast("long").alias("var_q"),
         F.round(mean * mean, 0).cast("long").alias("msq_q"),
     )
+    # fixed-point e6 outputs — scaled round(x, k) is engine-divergent
+    # near half boundaries; round-to-integer is not (see
+    # embedding_dim_variance)
     return pd.groupBy("label").agg(
         F.min("n").alias("n_vecs"),
-        F.round(F.sum("var_q").cast("double") / 1000000000000.0, 6).alias(
-            "within_scatter"
-        ),
-        F.round(F.sum("msq_q").cast("double") / 1000000000000.0, 6).alias(
-            "centroid_norm_sq"
-        ),
+        F.round(F.sum("var_q").cast("double") / 1000000.0, 0)
+        .cast("long")
+        .alias("within_scatter_e6"),
+        F.round(F.sum("msq_q").cast("double") / 1000000.0, 0)
+        .cast("long")
+        .alias("centroid_norm_sq_e6"),
     )
