@@ -132,6 +132,7 @@ HEADLINE = [
     "bot_likelihood_flags",
     "duplicate_order_screen",
     "heavy_hitters_exact_topk",
+    "priority_sequence_patterns",
 ]
 
 

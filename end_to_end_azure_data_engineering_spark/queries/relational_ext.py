@@ -3438,3 +3438,60 @@ def heavy_hitters_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sequence patterns — each customer's order-priority history as an
+# ordered symbol string (sequence-mining precursor: the input shape for
+# prefix-span / n-gram models over behavior). Ordered aggregation surface:
+# collect → sort by (date, orderkey) → project symbols — bounded per
+# customer, one keyed shuffle; then a pattern-frequency reduction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_sequence_patterns",
+    oracle="""
+    WITH seqs AS (
+        SELECT o_custkey,
+               string_agg(substr(o_orderpriority, 1, 1), ''
+                          ORDER BY o_orderdate, o_orderkey) AS seq
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT substr(seq, 1, 3) AS prefix, count(*) AS n_customers,
+           CAST(sum(length(seq)) AS BIGINT) AS total_orders
+    FROM seqs
+    WHERE length(seq) >= 3
+    GROUP BY 1
+    """,
+)
+def priority_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    seqs = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("o_orderdate").alias("d"),
+                                F.col("o_orderkey").alias("k"),
+                                F.substring("o_orderpriority", 1, 1).alias("p"),
+                            )
+                        )
+                    ),
+                    lambda s: s.p,
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.where(F.length("seq") >= 3)
+        .groupBy(F.substring("seq", 1, 3).alias("prefix"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.length("seq")).alias("total_orders"),
+        )
+    )
