@@ -829,6 +829,69 @@ class VersionedWarehouse(Warehouse):
             r = r.option("mergeSchema", "true")
         return r.parquet(str(vdir))
 
+    def compact_partition(
+        self,
+        namespace: str,
+        table: str,
+        partition: str,
+        target_files: int = 1,
+    ) -> int:
+        """Delta ``OPTIMIZE table WHERE partition`` parity: rewrite ONE
+        partition directory (e.g. ``"bucket=7"`` or nested
+        ``"d=2024-01-01/h=4"``) compacted, as a new versioned commit whose
+        every OTHER file is hard-linked forward — cost is O(partition
+        bytes) + O(#files) links, never O(table). This is the 100 TB form
+        of small-file control: whole-table ``compact`` rewrites the corpus
+        per call, which a continuously-appending partitioned store (the
+        dedup sink's date/bucket layout at scale) cannot afford; here each
+        fragmented partition is optimized locally while readers keep
+        snapshot isolation and history keeps an ``OPTIMIZE`` entry.
+        Returns the committed version number."""
+        cur = self.current_version(namespace, table)
+        if cur is None:
+            raise FileNotFoundError(
+                f"{namespace}.{table} has no committed version"
+            )
+        src = self.path(namespace, table) / f"_v{cur}"
+        pdir = src / partition
+        if not pdir.is_dir():
+            raise FileNotFoundError(
+                f"{namespace}.{table} v{cur} has no partition {partition!r}"
+            )
+        # basePath keeps the partition columns during the read; they are
+        # dropped before writing back INTO the partition directory (the
+        # directory name is the value)
+        df = (
+            self.spark.read.option("basePath", str(src))
+            .parquet(str(pdir))
+            .repartition(target_files)
+        )
+        for part in partition.split("/"):
+            df = df.drop(part.split("=", 1)[0])
+        nxt, vdir = self._claim_next(namespace, table)
+        with self._claim_keepalive(vdir):
+            prefix = partition + "/"
+            for f in sorted(src.rglob("*")):
+                if f.name == ".op":
+                    continue
+                rel = f.relative_to(src)
+                rp = str(rel)
+                if rp == partition or rp.startswith(prefix):
+                    continue  # the partition being rewritten
+                dst = vdir / rel
+                if f.is_dir():
+                    dst.mkdir(parents=True, exist_ok=True)
+                else:
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    try:
+                        os.link(f, dst)
+                    except OSError:
+                        shutil.copy2(f, dst)
+            df.write.mode("append").parquet(str(vdir / partition))
+            self._stamp(vdir, f"OPTIMIZE {partition}")
+        self._publish(namespace, table, nxt)
+        return nxt
+
     # A claim directory younger than this is treated as a possibly-in-flight
     # write and never swept. LIVE writers keep their claim's mtime fresh for
     # the whole write via _claim_keepalive (every LOCK_HEARTBEAT seconds), so

@@ -446,3 +446,57 @@ def test_claim_keepalive_protects_inflight_write_from_sweep(spark, tmp_path):
     removed = vw.vacuum("gold", "t", keep=1)
     assert nxt in removed
     assert not vdir.exists()
+
+
+def test_compact_partition_rewrites_only_target(spark, tmp_path):
+    """OPTIMIZE-WHERE parity: compacting one partition must (a) shrink that
+    partition's file count, (b) hard-link every other partition's files
+    (same inodes — zero bytes copied), (c) preserve content exactly,
+    (d) commit a new version with an OPTIMIZE history entry, and (e) leave
+    the prior snapshot readable via time travel."""
+    vw = VersionedWarehouse(spark, str(tmp_path / "opt_wh"))
+    df = spark.range(2000).selectExpr("id", "id % 4 AS bucket")
+    vw.commit(df, "silver", "t", partition_by=["bucket"])
+    # fragment bucket=1 with three appends
+    for i in range(3):
+        vw.append(
+            spark.range(2000 + i * 10, 2010 + i * 10).selectExpr(
+                "id", "CAST(1 AS BIGINT) AS bucket"
+            ),
+            "silver",
+            "t",
+            partition_by=["bucket"],
+        )
+    v_before = vw.current_version("silver", "t")
+    src = vw.path("silver", "t") / f"_v{v_before}"
+    frag = len(list((src / "bucket=1").glob("*.parquet")))
+    assert frag >= 4
+    other_inodes = {
+        p.name: p.stat().st_ino for p in (src / "bucket=2").glob("*.parquet")
+    }
+    before = {(r.id, r.bucket) for r in vw.read("silver", "t").collect()}
+
+    v_new = vw.compact_partition("silver", "t", "bucket=1", target_files=1)
+    assert v_new == v_before + 1
+    ndir = vw.path("silver", "t") / f"_v{v_new}"
+    assert len(list((ndir / "bucket=1").glob("*.parquet"))) == 1
+    linked = {
+        p.name: p.stat().st_ino for p in (ndir / "bucket=2").glob("*.parquet")
+    }
+    assert linked == other_inodes  # hard links, not copies
+    after = {(r.id, r.bucket) for r in vw.read("silver", "t").collect()}
+    assert after == before
+    hist = vw.history("silver", "t")
+    assert hist[0]["operation"] == "OPTIMIZE bucket=1"
+    old = {(r.id, r.bucket) for r in vw.read("silver", "t", version=v_before).collect()}
+    assert old == before
+
+
+def test_compact_partition_missing_partition_raises(spark, tmp_path):
+    vw = VersionedWarehouse(spark, str(tmp_path / "opt_wh2"))
+    vw.commit(
+        spark.range(10).selectExpr("id", "id % 2 AS bucket"),
+        "silver", "t", partition_by=["bucket"],
+    )
+    with pytest.raises(FileNotFoundError, match="no partition"):
+        vw.compact_partition("silver", "t", "bucket=9")
