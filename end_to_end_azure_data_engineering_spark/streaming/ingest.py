@@ -66,6 +66,10 @@ BOOKKEEPING_COLS = ("_wm", "_epoch", "_qid")
 #: partition-local; this is the single-table form.
 SIG_COMPACT_FILES = 64
 SIG_APPEND_FILES = 4
+#: per-partition fragmentation threshold when the signature store is
+#: bucket-partitioned (sig_buckets): each fragmented bucket is rewritten
+#: locally via compact_partition — O(bucket), never O(store).
+SIG_COMPACT_FILES_PER_BUCKET = 16
 
 
 def _load_watermarks(existing: DataFrame) -> dict[str, int]:
@@ -493,6 +497,7 @@ def dedup_stream_sink(
     namespace: str = "silver",
     sig_table: str = "dedup_signatures",
     state_table: str = "dedup_components",
+    sig_buckets: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """CONTINUOUS near-dup dedup — the incremental_components_merge query
     running as a foreachBatch sink. Two standing tables:
@@ -501,7 +506,13 @@ def dedup_stream_sink(
       and minhash are computed ONCE per document, on the batch that
       delivers it, and only the BATCH's signatures are appended per epoch
       — the store is never rewritten, so the write cost per micro-batch
-      is O(batch), not O(corpus).
+      is O(batch), not O(corpus). With ``sig_buckets=N`` the store is
+      hive-partitioned on ``bucket = xxhash64(_id) % N`` and small-file
+      control switches to PARTITION-LOCAL compaction
+      (VersionedWarehouse.compact_partition — the OPTIMIZE-WHERE form):
+      only fragmented buckets rewrite, O(bucket) each, which is the
+      layout a 100 TB continuously-appending store needs (the unbucketed
+      whole-table compact rewrites the corpus per cycle).
     - ``state_table`` (node, label, _wm): the component forest.
 
     Mining is operators.neardup.pairs_from_signatures — the SAME
@@ -553,6 +564,8 @@ def dedup_stream_sink(
         ).persist()
         if wh.exists(namespace, sig_table):
             stored = wh.read(namespace, sig_table)
+            if sig_buckets:
+                stored = stored.drop("bucket")
             # anti-join: a crash after the signature publish but before the
             # state publish replays this epoch with the batch already
             # stored — appending again would duplicate signature rows
@@ -577,27 +590,52 @@ def dedup_stream_sink(
         # publish order matters: signatures first (replay-safe via the
         # anti-join), THEN the state carrying the epoch high-water mark —
         # the reverse order could skip a replay whose signatures were lost
-        if wh.exists(namespace, sig_table):
+        if sig_buckets:
+            sig_out = sig_to_add.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col("_id")), F.lit(sig_buckets)).cast("int"),
+            ).coalesce(SIG_APPEND_FILES)
+            if wh.exists(namespace, sig_table):
+                wh.append(sig_out, namespace, sig_table, partition_by=["bucket"])
+            else:
+                wh.overwrite(sig_out, namespace, sig_table, partition_by=["bucket"])
+        elif wh.exists(namespace, sig_table):
             wh.append(sig_to_add.coalesce(SIG_APPEND_FILES), namespace, sig_table)
         else:
             wh.overwrite(sig_to_add, namespace, sig_table)
         # Small-file control: every append adds one file set, so after N
         # epochs the store is N-way fragmented and each batch's anti-join
-        # and band mine pay N file opens. When fragmentation crosses the
-        # threshold, rewrite the store compacted (one versioned commit,
-        # _id-clustered so row-group stats prune the anti-join) —
-        # amortized O(corpus / SIG_COMPACT_FILES) per epoch.
+        # and band mine pay N file opens. Partitioned store + MVCC
+        # warehouse: rewrite only the fragmented BUCKETS (OPTIMIZE-WHERE;
+        # O(bucket) each, non-target files hard-linked). Otherwise:
+        # whole-table compact past the global threshold — amortized
+        # O(corpus / SIG_COMPACT_FILES) per epoch.
         try:
-            n_files = len(list(wh.data_dir(namespace, sig_table).glob("*.parquet")))
+            ddir = wh.data_dir(namespace, sig_table)
         except (FileNotFoundError, OSError):
-            n_files = 0
-        if n_files > SIG_COMPACT_FILES:
-            wh.compact(
-                namespace,
-                sig_table,
-                spark.sparkContext.defaultParallelism,
-                cluster_by=["_id"],
-            )
+            ddir = None
+        if ddir is not None and sig_buckets and hasattr(wh, "compact_partition"):
+            # re-resolve the data dir per bucket: each compact_partition
+            # publishes a new version and autovacuum may delete the dir
+            # this loop started from (stale paths then read as empty and
+            # the remaining buckets silently skip)
+            for bname in sorted(p.name for p in ddir.glob("bucket=*")):
+                try:
+                    bdir = wh.data_dir(namespace, sig_table) / bname
+                    frag = len(list(bdir.glob("*.parquet")))
+                except (FileNotFoundError, OSError):
+                    continue
+                if frag > SIG_COMPACT_FILES_PER_BUCKET:
+                    wh.compact_partition(namespace, sig_table, bname)
+        elif ddir is not None:
+            n_files = len(list(ddir.glob("*.parquet")))
+            if n_files > SIG_COMPACT_FILES:
+                wh.compact(
+                    namespace,
+                    sig_table,
+                    spark.sparkContext.defaultParallelism,
+                    cluster_by=["_id"],
+                )
         wms[qid] = epoch
         wh.overwrite(
             _stamp_watermarks(new_state, wms), namespace, state_table

@@ -501,3 +501,49 @@ def test_dedup_sink_autocompacts_signature_store(spark, tmp_path, monkeypatch):
     streamed = {r.doc_id for r in docs.collect() if r.doc_id not in losers}
     batch = {r.doc_id for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()}
     assert streamed == batch
+
+
+def test_dedup_sink_partitioned_store_partition_local_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """With sig_buckets set on an MVCC warehouse, the signature store is
+    hive-partitioned and small-file control is partition-local: fragmented
+    buckets compact via OPTIMIZE-WHERE, per-bucket file counts stay
+    bounded, and the dedup outcome equals one-shot batch dedup."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        dedup_corpus,
+    )
+    from end_to_end_azure_data_engineering_spark.queries import load as qload
+    from end_to_end_azure_data_engineering_spark.streaming import ingest
+
+    monkeypatch.setattr(ingest, "SIG_COMPACT_FILES_PER_BUCKET", 3)
+    docs = qload(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wh = VersionedWarehouse(spark, str(tmp_path / "wh_part"))
+    sink = ingest.dedup_stream_sink(wh, threshold=0.2, sig_buckets=4)
+    n_batches = 6
+    for i in range(n_batches):
+        sink(docs.filter(F.col("doc_id") % n_batches == i), i)
+
+    ddir = wh.data_dir("silver", "dedup_signatures")
+    bdirs = sorted(ddir.glob("bucket=*"))
+    assert len(bdirs) == 4
+    for b in bdirs:
+        assert len(list(b.glob("*.parquet"))) <= 2 * 3 + 1, b
+    # OPTIMIZE entries appear in history
+    ops = [h["operation"] for h in wh.history("silver", "dedup_signatures")]
+    assert any(op.startswith("OPTIMIZE bucket=") for op in ops)
+    sigs = wh.read("silver", "dedup_signatures")
+    assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
+    state = wh.read("silver", "dedup_components")
+    losers = {r.node for r in state.filter(F.col("node") != F.col("label")).collect()}
+    streamed = {r.doc_id for r in docs.collect() if r.doc_id not in losers}
+    batch = {
+        r.doc_id
+        for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert streamed == batch
