@@ -133,6 +133,8 @@ HEADLINE = [
     "duplicate_order_screen",
     "heavy_hitters_exact_topk",
     "priority_sequence_patterns",
+    "peak_concurrent_sessions",
+    "lsh_bucket_occupancy",
 ]
 
 

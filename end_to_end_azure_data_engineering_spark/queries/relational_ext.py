@@ -3495,3 +3495,97 @@ def priority_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("seq")).alias("total_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions — capacity planning's headline number: sessionize
+# (same 30-min-gap rule as sessionize_events), then interval-count session
+# starts/ends at minute grain and take each hour's peak running concurrency.
+# The running sum is over the per-minute REDUCTION (≤ 43k rows for a month
+# — bounded-frame exception), never raw events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM t
+    ),
+    sess AS (
+        SELECT date_trunc('minute', min(ts)) AS m_start,
+               date_trunc('minute', max(ts)) AS m_end
+        FROM s GROUP BY user_id, session_id
+    ),
+    ev AS (
+        SELECT m_start AS m, 1 AS delta FROM sess
+        UNION ALL
+        SELECT m_end + INTERVAL 1 MINUTE AS m, -1 AS delta FROM sess
+    ),
+    timeline AS (
+        SELECT m, CAST(sum(delta) AS BIGINT) AS net FROM ev GROUP BY m
+    ),
+    run AS (
+        SELECT m, CAST(sum(net) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS concurrent
+        FROM timeline
+    )
+    SELECT date_trunc('hour', m) AS hour,
+           CAST(max(concurrent) AS BIGINT) AS peak_sessions
+    FROM run GROUP BY 1
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | ((us - prev) > _GAP_US), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    s = t.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.date_trunc("minute", F.min("ts")).alias("m_start"),
+        F.date_trunc("minute", F.max("ts")).alias("m_end"),
+    )
+    evp = sess.select(
+        F.col("m_start").alias("m"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            (F.col("m_end") + F.expr("INTERVAL 1 MINUTE")).alias("m"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    timeline = evp.groupBy("m").agg(F.sum("delta").alias("net"))
+    run = timeline.select(
+        "m",
+        F.sum("net")
+        .over(W.orderBy("m").rowsBetween(W.unboundedPreceding, 0))
+        .alias("concurrent"),
+    )
+    return run.groupBy(F.date_trunc("hour", "m").alias("hour")).agg(
+        F.max("concurrent").alias("peak_sessions")
+    )

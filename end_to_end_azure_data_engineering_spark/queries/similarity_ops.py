@@ -885,3 +885,32 @@ def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("centroid_norm_sq_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket occupancy — the skew audit run BEFORE trusting bucketed ANN at
+# scale: sign-pattern bucket sizes histogrammed (an overloaded bucket means
+# one join partition does all the cosine work; near-empty buckets mean
+# recall loss). Two tiny reductions over the corpus scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_bucket_occupancy",
+    oracle=f"""
+    WITH b AS (
+        SELECT {V.SIGN_BUCKET_SQL('embedding')} AS bucket FROM embeddings
+    ),
+    occ AS (
+        SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket
+    )
+    SELECT n_vecs, count(*) AS n_buckets
+    FROM occ GROUP BY n_vecs
+    """,
+)
+def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    occ = e.select(V.sign_bucket(F.col("embedding")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("n_vecs"))
+    return occ.groupBy("n_vecs").agg(F.count("*").alias("n_buckets"))

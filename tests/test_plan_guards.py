@@ -74,6 +74,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "orders_backlog_timeline",  # running sum over one row per day
     "revenue_pareto_curve",     # ntile over the 2k-row part reduction
     "daily_revenue_trend",      # centered MA over one row per day
+    "peak_concurrent_sessions",  # running sum over one row per minute
 }
 
 

@@ -12,8 +12,10 @@ per-batch cost stay flat (bounded by O(batch + collisions)) or creep with
 corpus size — and if it creeps, which part (signature anti-join, band
 mine, component merge, table publish) owns the growth.
 
-Usage: python tools/streaming_scale_probe.py [n_batches] [batch_docs]
-       (defaults: 12 batches x 20_000 docs)
+Usage: python tools/streaming_scale_probe.py [n_batches] [batch_docs] [sig_buckets]
+       (defaults: 12 batches x 20_000 docs, unbucketed store; pass a
+       bucket count to exercise the partition-local-compaction path on a
+       VersionedWarehouse)
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ OUT_ROOT = Path("/tmp/end_to_end_azure_data_engineering_stream_scale")
 def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    sig_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     import shutil
 
@@ -38,7 +41,10 @@ def main() -> int:
 
     from dedup_scale_probe import synth_corpus
     from end_to_end_azure_data_engineering_spark.engine import get_spark
-    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+        Warehouse,
+    )
     from end_to_end_azure_data_engineering_spark.streaming.ingest import (
         cms_stream_sink,
         dedup_stream_sink,
@@ -59,12 +65,16 @@ def main() -> int:
     docs = spark.read.parquet(str(corpus_path))
 
     shutil.rmtree(OUT_ROOT / "wh", ignore_errors=True)
-    wh = Warehouse(spark, str(OUT_ROOT / "wh"))
-    dsink = dedup_stream_sink(wh, threshold=0.5)
+    wh_cls = VersionedWarehouse if sig_buckets else Warehouse
+    wh = wh_cls(spark, str(OUT_ROOT / "wh"))
+    dsink = dedup_stream_sink(wh, threshold=0.5, sig_buckets=sig_buckets)
     csink = cms_stream_sink(wh, "token_sketch", "doc_id")
     tsink = topk_stream_sink(wh, "hot_docs", "doc_id", k=50)
 
-    print(f"{n_batches} batches x {batch_docs} docs (total {total})")
+    print(
+        f"{n_batches} batches x {batch_docs} docs (total {total})"
+        + (f", {sig_buckets}-bucket partitioned store" if sig_buckets else "")
+    )
     print(
         f"{'batch':>5} {'corpus':>9} {'dedup_s':>8} {'cms_s':>7} "
         f"{'topk_s':>7} {'sig_rows':>9}"
