@@ -135,6 +135,8 @@ HEADLINE = [
     "priority_sequence_patterns",
     "peak_concurrent_sessions",
     "lsh_bucket_occupancy",
+    "referential_integrity_audit",
+    "prefix_dup_audit",
 ]
 
 

@@ -3589,3 +3589,52 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.date_trunc("hour", "m").alias("hour")).agg(
         F.max("concurrent").alias("peak_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — orphan counts across the fact/dim edges
+# (orders→customer, lineitem→orders, orders without lines): the DQ gate a
+# warehouse runs on every load. Anti-join counts only — each is a keyed
+# shuffle of the smaller key projection, folded into one summary row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            AS orders_orphan_customer,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS lines_orphan_order,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+            AS orders_without_lines
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orders_orphan_customer"))
+    )
+    b = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("lines_orphan_order"))
+    )
+    d = (
+        o.join(
+            li.select("l_orderkey").distinct(),
+            o.o_orderkey == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orders_without_lines"))
+    )
+    return a.crossJoin(b).crossJoin(d)

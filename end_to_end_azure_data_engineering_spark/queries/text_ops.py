@@ -1582,3 +1582,47 @@ def feature_hash_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplication audit — docs sharing an identical leading 64 chars
+# (the crawl artifact exact-hash dedup misses: same boilerplate head,
+# different tails). One substring-keyed reduction; per-source rates from
+# exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_dup_audit",
+    oracle="""
+    WITH p AS (
+        SELECT source, substr(text, 1, 64) AS pre FROM documents
+    ),
+    g AS (
+        SELECT source, pre, count(*) AS c FROM p GROUP BY source, pre
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_prefix_dup_docs,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_prefixes,
+           round(100.0 * CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                              AS DOUBLE) / sum(c), 4) AS dup_doc_pct
+    FROM g GROUP BY source
+    """,
+)
+def prefix_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    g = d.select("source", F.substring("text", 1, 64).alias("pre")).groupBy(
+        "source", "pre"
+    ).agg(F.count("*").alias("c"))
+    dup_docs = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    return g.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        dup_docs.alias("n_prefix_dup_docs"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_prefixes"),
+        F.round(100.0 * dup_docs.cast("double") / F.sum("c"), 4).alias(
+            "dup_doc_pct"
+        ),
+    )
