@@ -137,6 +137,9 @@ HEADLINE = [
     "lsh_bucket_occupancy",
     "referential_integrity_audit",
     "prefix_dup_audit",
+    "label_balance_weights",
+    "basket_size_value_matrix",
+    "user_burstiness_fano",
 ]
 
 

@@ -3638,3 +3638,83 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("orders_without_lines"))
     )
     return a.crossJoin(b).crossJoin(d)
+
+
+# ---------------------------------------------------------------------------
+# Basket size × value matrix — the joint distribution of lines-per-order
+# and order value band: the 2-D histogram a pricing/ops team reads to see
+# whether big baskets are big money. Two keyed reductions, all integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_size_value_matrix",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               least(count(*), 7) AS n_lines,
+               CAST(floor(o.o_totalprice / 50000.0) AS BIGINT) AS value_band
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    )
+    SELECT n_lines, value_band, count(*) AS n_orders
+    FROM per_order GROUP BY n_lines, value_band
+    """,
+)
+def basket_size_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.least(F.count("*"), F.lit(7)).alias("n_lines"))
+        .select(
+            "n_lines",
+            F.floor(F.col("o_totalprice") / 50000.0).alias("value_band"),
+        )
+    )
+    return per_order.groupBy("n_lines", "value_band").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) per user — var/mean of per-minute event counts
+# distinguishes steady traffic (≈1, Poisson) from bursty/bot traffic (≫1).
+# Counts are exact integers; variance derives from (Σc, Σc²) over the
+# user's OBSERVED minutes, one rational per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_burstiness_fano",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_minutes,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round((CAST(sum(c * c) AS DOUBLE) / count(*)
+                  - (CAST(sum(c) AS DOUBLE) / count(*))
+                    * (CAST(sum(c) AS DOUBLE) / count(*)))
+                 / (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS fano
+    FROM m GROUP BY user_id
+    """,
+)
+def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("c"))
+    n = F.count("*")
+    s1 = F.sum("c").cast("double")
+    s2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    mean = s1 / n
+    return m.groupBy("user_id").agg(
+        n.alias("n_minutes"),
+        F.sum("c").alias("n_events"),
+        F.round((s2 / n - mean * mean) / mean, 6).alias("fano"),
+    )

@@ -914,3 +914,41 @@ def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket"
     ).agg(F.count("*").alias("n_vecs"))
     return occ.groupBy("n_vecs").agg(F.count("*").alias("n_buckets"))
+
+
+# ---------------------------------------------------------------------------
+# Label balance + class weights — the imbalance audit and the
+# inverse-frequency weight table a training run consumes (weights
+# normalized so the mean weight is 1). Everything derives from one count
+# reduction; the weights are single rationals of exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_balance_weights",
+    oracle="""
+    WITH c AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM c)
+    SELECT c.label, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(t.total AS DOUBLE) / (t.k * c.n), 6) AS class_weight
+    FROM c CROSS JOIN t
+    """,
+)
+def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count("*").alias("k")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("total").cast("double") / (F.col("k") * F.col("n")), 6
+        ).alias("class_weight"),
+    )
