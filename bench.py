@@ -140,6 +140,7 @@ HEADLINE = [
     "label_balance_weights",
     "basket_size_value_matrix",
     "user_burstiness_fano",
+    "embedding_top_eigen_power",
 ]
 
 

@@ -952,3 +952,119 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double") / (F.col("k") * F.col("n")), 6
         ).alias("class_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top eigenvalue by power iteration — dominant principal direction of the
+# embedding second-moment matrix, computed ENTIRELY as relational algebra
+# (the anisotropy audit behind embedding whitening: one direction hogging
+# the spectrum degrades cosine ANN). Shape: one pass builds the 64×64
+# moment matrix as (i, j, m) rows (pair-explode keyed on vec_id — never
+# corpus×corpus); three matrix-vector multiplies are tiny joins on the
+# 4096-row matrix frame. Cross-engine exactness: elements quantize to
+# integers BEFORE every sum, iterates rescale by floor division, and the
+# final Rayleigh quotient's dot products accumulate in DECIMAL(38,0)
+# (HUGEINT in DuckDB) so the single closing division is the only float op.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_top_eigen_power",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, i.i AS i,
+               CAST(round(embedding[i.i]::DOUBLE * 1000.0) AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {V.EMB_DIM})) AS i) i
+    ),
+    c AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(floor(CAST(sum(a.q * b.q) AS DOUBLE) / 1000.0)
+                    AS BIGINT) AS m
+        FROM x a JOIN x b USING (vec_id)
+        GROUP BY a.i, b.i
+    ),
+    v1 AS (SELECT i, CAST(sum(m) AS BIGINT) AS v FROM c GROUP BY i),
+    v2 AS (
+        SELECT c.i, CAST(sum(c.m * v1.v) AS BIGINT) AS v
+        FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i
+    ),
+    v2s AS (SELECT i, CAST(floor(v / 1000000.0) AS BIGINT) AS v FROM v2),
+    v3 AS (
+        SELECT c.i, CAST(sum(c.m * v2s.v) AS BIGINT) AS v
+        FROM c JOIN v2s ON v2s.i = c.j GROUP BY c.i
+    ),
+    ray AS (
+        SELECT CAST(sum(v3.v * v2s.v) AS HUGEINT) AS num,
+               CAST(sum(v2s.v * v2s.v) AS HUGEINT) AS den
+        FROM v3 JOIN v2s USING (i)
+    )
+    SELECT round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0, 4)
+               AS top_eigen_m,
+           (SELECT CAST(count(*) AS BIGINT) FROM v3 WHERE abs(v) >=
+               (SELECT max(abs(v)) FROM v3) / 2) AS n_dominant_dims
+    FROM ray
+    """,
+)
+def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("val").cast("double") * 1000.0, 0).cast("long").alias("q"),
+    )
+    a = x.select("vec_id", F.col("i"), F.col("q").alias("qa"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    c = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            # floor-of-double on BOTH engines: integer `div` truncates
+            # toward zero while DuckDB's `//` floors — they disagree on
+            # negative off-diagonal moments. The sum is < 2^53, so the
+            # double division is exact enough for a deterministic floor.
+            F.floor(F.sum(F.col("qa") * F.col("qb")) / 1000.0)
+            .cast("long")
+            .alias("m")
+        )
+    ).persist()
+    v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
+        F.col("i").alias("j"), F.col("v")
+    )
+    v2 = (
+        c.join(F.broadcast(v1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("v"))
+    )
+    v2s = v2.select(
+        F.col("i").alias("j"),
+        F.floor(F.col("v") / 1000000.0).cast("long").alias("v"),
+    )
+    v3 = (
+        c.join(F.broadcast(v2s), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("v"))
+    )
+    joined = v3.select(F.col("i"), F.col("v").alias("v3")).join(
+        v2s.select(F.col("j").alias("i"), F.col("v").alias("v2s")), "i"
+    )
+    ray = joined.agg(
+        F.sum((F.col("v3") * F.col("v2s")).cast("decimal(38,0)")).alias("num"),
+        F.sum((F.col("v2s") * F.col("v2s")).cast("decimal(38,0)")).alias("den"),
+    )
+    dom = (
+        v3.crossJoin(
+            F.broadcast(v3.agg(F.max(F.abs("v")).alias("mx")))
+        )
+        .where(F.abs("v") >= F.col("mx") / 2)
+        .agg(F.count("*").alias("n_dominant_dims"))
+    )
+    return ray.crossJoin(F.broadcast(dom)).select(
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0,
+            4,
+        ).alias("top_eigen_m"),
+        "n_dominant_dims",
+    )

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "ab_assignment_lift",            # two 1-row arm frames crossjoined
     "referential_integrity_audit",   # three 1-row audit counts crossjoined
     "label_balance_weights",         # broadcast 1-row total/k scalars
+    "embedding_top_eigen_power",     # broadcast 1-row Rayleigh/max scalars
     "scalar_subquery_below_avg",     # broadcast scalar average
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
