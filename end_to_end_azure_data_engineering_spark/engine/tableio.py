@@ -846,7 +846,41 @@ class VersionedWarehouse(Warehouse):
         dedup sink's date/bucket layout at scale) cannot afford; here each
         fragmented partition is optimized locally while readers keep
         snapshot isolation and history keeps an ``OPTIMIZE`` entry.
-        Returns the committed version number."""
+        Returns the committed version number.
+
+        Serialized against concurrent appends via ``_append_lock`` (r6
+        advice): without it, an append publishing between this method's
+        snapshot read and its publish would be silently absent from the
+        compacted version (lost update) — for the dedup sink's signature
+        store that means duplicate signatures defeat the anti-join replay
+        guard and near-dup candidates vanish."""
+        with self._append_lock(namespace, table):
+            return self._compact_partition_locked(
+                namespace, table, partition, target_files
+            )
+
+    def compact(
+        self,
+        namespace: str,
+        table: str,
+        target_files: int,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """Whole-table compaction under the append lock (r6 advice): the
+        base-class read→overwrite sequence races a concurrent link-forward
+        append exactly like ``compact_partition`` would — an append that
+        publishes between the snapshot read and the compacted OVERWRITE
+        commit is lost from the new version."""
+        with self._append_lock(namespace, table):
+            return super().compact(namespace, table, target_files, cluster_by)
+
+    def _compact_partition_locked(
+        self,
+        namespace: str,
+        table: str,
+        partition: str,
+        target_files: int,
+    ) -> int:
         cur = self.current_version(namespace, table)
         if cur is None:
             raise FileNotFoundError(

@@ -3219,12 +3219,12 @@ def length_stopword_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n)
                  / 100.0, 6) AS lift,
            round((CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n)
-                 / sqrt((CAST(a.s2 AS DOUBLE) / a.n
-                         - (CAST(a.s1 AS DOUBLE) / a.n)
-                           * (CAST(a.s1 AS DOUBLE) / a.n)) / a.n
-                        + (CAST(b.s2 AS DOUBLE) / b.n
-                           - (CAST(b.s1 AS DOUBLE) / b.n)
-                             * (CAST(b.s1 AS DOUBLE) / b.n)) / b.n), 6)
+                 / sqrt((a.n * CAST(a.s2 AS DOUBLE)
+                         - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE))
+                        / (CAST(a.n AS DOUBLE) * a.n * (a.n - 1))
+                        + (b.n * CAST(b.s2 AS DOUBLE)
+                           - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))
+                          / (CAST(b.n AS DOUBLE) * b.n * (b.n - 1))), 6)
                AS welch_t
     FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1
     """,
@@ -3248,8 +3248,18 @@ def ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = F.col("s1a").cast("double") / F.col("n_a")
     mb = F.col("s1b").cast("double") / F.col("n_b")
-    va = (F.col("s2a").cast("double") / F.col("n_a") - ma * ma) / F.col("n_a")
-    vb = (F.col("s2b").cast("double") / F.col("n_b") - mb * mb) / F.col("n_b")
+    # Welch's s²/n per arm with the SAMPLE-variance n−1 divisor (r6 advice:
+    # the population-variance form overstated |t|, materially for small
+    # arms): s²/n = (n·Σx² − (Σx)²) / (n²·(n−1)), computed in double so the
+    # n³-scale divisor can't overflow BIGINT at large n.
+    va = (
+        F.col("n_a") * F.col("s2a").cast("double")
+        - F.col("s1a").cast("double") * F.col("s1a").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_a") * (F.col("n_a") - 1))
+    vb = (
+        F.col("n_b") * F.col("s2b").cast("double")
+        - F.col("s1b").cast("double") * F.col("s1b").cast("double")
+    ) / (F.col("n_b").cast("double") * F.col("n_b") * (F.col("n_b") - 1))
     return a.crossJoin(b).select(
         "n_a",
         "n_b",

@@ -962,9 +962,11 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moment matrix as (i, j, m) rows (pair-explode keyed on vec_id — never
 # corpus×corpus); three matrix-vector multiplies are tiny joins on the
 # 4096-row matrix frame. Cross-engine exactness: elements quantize to
-# integers BEFORE every sum, iterates rescale by floor division, and the
-# final Rayleigh quotient's dot products accumulate in DECIMAL(38,0)
-# (HUGEINT in DuckDB) so the single closing division is the only float op.
+# integers BEFORE every sum, iterates rescale by floor division, and every
+# matrix-vector product AND the final Rayleigh quotient accumulate in
+# DECIMAL(38,0) (HUGEINT in DuckDB — r6 advice: the iterates grow ~O(N²)
+# so BIGINT wrapped silently at scale) so the single closing division is
+# the only float op.
 # ---------------------------------------------------------------------------
 
 
@@ -986,12 +988,15 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v1 AS (SELECT i, CAST(sum(m) AS BIGINT) AS v FROM c GROUP BY i),
     v2 AS (
-        SELECT c.i, CAST(sum(c.m * v1.v) AS BIGINT) AS v
+        SELECT c.i, CAST(sum(CAST(c.m AS HUGEINT) * v1.v) AS HUGEINT) AS v
         FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i
     ),
-    v2s AS (SELECT i, CAST(floor(v / 1000000.0) AS BIGINT) AS v FROM v2),
+    v2s AS (
+        SELECT i, CAST(floor(CAST(v AS DOUBLE) / 1000000.0) AS BIGINT) AS v
+        FROM v2
+    ),
     v3 AS (
-        SELECT c.i, CAST(sum(c.m * v2s.v) AS BIGINT) AS v
+        SELECT c.i, CAST(sum(CAST(c.m AS HUGEINT) * v2s.v) AS HUGEINT) AS v
         FROM c JOIN v2s ON v2s.i = c.j GROUP BY c.i
     ),
     ray AS (
@@ -1033,19 +1038,28 @@ def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
         F.col("i").alias("j"), F.col("v")
     )
+    # Matrix-vector accumulation in DECIMAL(38,0) (HUGEINT in the oracle,
+    # r6 advice): the iterates grow ~O(N²) with corpus size, so BIGINT
+    # products/sums wrap silently in Spark's non-ANSI mode while DuckDB
+    # raises — decimal keeps both engines exact to ~1e38 and past that both
+    # fail LOUDLY (null/raise), never silently diverge. The per-row product
+    # casts m first: a long×long product would wrap before any cast.
     v2 = (
         c.join(F.broadcast(v1), "j")
         .groupBy("i")
-        .agg(F.sum(F.col("m") * F.col("v")).alias("v"))
+        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
     )
+    # floor-of-double rescale: DECIMAL→DOUBLE and HUGEINT→DOUBLE are both
+    # correctly-rounded IEEE conversions of the same exact integer, so the
+    # floored quotient is engine-identical even past 2^53.
     v2s = v2.select(
         F.col("i").alias("j"),
-        F.floor(F.col("v") / 1000000.0).cast("long").alias("v"),
+        F.floor(F.col("v").cast("double") / 1000000.0).cast("long").alias("v"),
     )
     v3 = (
         c.join(F.broadcast(v2s), "j")
         .groupBy("i")
-        .agg(F.sum(F.col("m") * F.col("v")).alias("v"))
+        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
     )
     joined = v3.select(F.col("i"), F.col("v").alias("v3")).join(
         v2s.select(F.col("j").alias("i"), F.col("v").alias("v2s")), "i"

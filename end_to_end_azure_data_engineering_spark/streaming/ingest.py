@@ -390,7 +390,14 @@ def topk_stream_sink(
       bound, asserted by the batch-parity test.
 
     Replay-safe like the other sinks: per-lineage ``_wm`` watermarks ride
-    in the table and publish atomically with the data."""
+    in the table and publish atomically with the data. Because ``_wm`` and
+    ``_off`` are literal columns on ROWS, a legitimately EMPTY summary —
+    all top k+1 counts tie, so the MG subtraction zeroes every counter —
+    would otherwise publish zero rows and silently drop every lineage's
+    replay watermark and the accumulated offset (the next at-least-once
+    redelivery then double-counts, r6 advice). The table therefore always
+    carries one sentinel bookkeeping row (``key IS NULL``); readers take
+    the data rows with ``WHERE key IS NOT NULL``."""
 
     def sink(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -409,7 +416,8 @@ def topk_stream_sink(
             row = existing.select("_off").first()
             off = int(row["_off"]) if row is not None else 0
             combined = (
-                existing.drop(*BOOKKEEPING_COLS, "_off")
+                existing.where(F.col("key").isNotNull())
+                .drop(*BOOKKEEPING_COLS, "_off")
                 .unionByName(delta)
                 .groupBy("key")
                 .agg(F.sum("c").alias("c"))
@@ -428,9 +436,16 @@ def topk_stream_sink(
             off += thresh
         else:
             summary = combined
+        # bookkeeping sentinel: _wm/_off survive even a zero-data-row MG state
+        sentinel = spark.createDataFrame(
+            [(None, None)], schema="key string, c bigint"
+        )
         wms[qid] = epoch
         wh.overwrite(
-            _stamp_watermarks(summary.withColumn("_off", F.lit(off)), wms),
+            _stamp_watermarks(
+                summary.unionByName(sentinel).withColumn("_off", F.lit(off)),
+                wms,
+            ),
             namespace,
             table,
         )
@@ -630,10 +645,17 @@ def dedup_stream_sink(
         elif ddir is not None:
             n_files = len(list(ddir.glob("*.parquet")))
             if n_files > SIG_COMPACT_FILES:
+                # Target capped BELOW the refire threshold (r6 advice): on a
+                # cluster whose defaultParallelism exceeds SIG_COMPACT_FILES
+                # an uncapped target would leave the store permanently above
+                # the threshold and refire the O(corpus) rewrite every epoch.
                 wh.compact(
                     namespace,
                     sig_table,
-                    spark.sparkContext.defaultParallelism,
+                    min(
+                        spark.sparkContext.defaultParallelism,
+                        SIG_COMPACT_FILES // 2,
+                    ),
                     cluster_by=["_id"],
                 )
         wms[qid] = epoch

@@ -446,9 +446,12 @@ def test_topk_stream_sink_misra_gries_bounds(spark, tmp_path):
         sink(b, i)
 
     tbl = wh.read("gold", "hot_users")
-    rows = tbl.collect()
+    all_rows = tbl.collect()
+    # exactly one bookkeeping sentinel (key IS NULL) rides in the table
+    assert sum(1 for r in all_rows if r["key"] is None) == 1
+    rows = [r for r in all_rows if r["key"] is not None]
     assert 0 < len(rows) <= k
-    off = rows[0]["_off"]
+    off = all_rows[0]["_off"]
     exact = {
         str(r["user_id"]): r["n"]
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
@@ -465,9 +468,53 @@ def test_topk_stream_sink_misra_gries_bounds(spark, tmp_path):
     before = sorted((r["key"], r["c"]) for r in rows)
     sink(batches[-1], len(batches) - 1)
     after = sorted(
-        (r["key"], r["c"]) for r in wh.read("gold", "hot_users").collect()
+        (r["key"], r["c"])
+        for r in wh.read("gold", "hot_users").collect()
+        if r["key"] is not None
     )
     assert before == after
+
+
+def test_topk_stream_sink_all_ties_keeps_bookkeeping(spark, tmp_path):
+    """All top k+1 counts tie ⇒ the MG subtraction zeroes every counter and
+    the published summary has zero DATA rows — but the sentinel row must
+    keep _wm (replay watermark) and _off (deficiency offset) alive, so a
+    redelivered batch is skipped and the bound survives (r6 advice)."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        topk_stream_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_ties"))
+    k = 2
+    sink = topk_stream_sink(wh, "hot", "user_id", k=k)
+    # 3 keys (> k) × 5 occurrences each: thresh == every count ⇒ empty summary
+    ties = spark.range(15).select((F.col("id") % 3).alias("user_id"))
+    sink(ties, 0)
+    tbl = wh.read("gold", "hot").collect()
+    assert [r for r in tbl if r["key"] is not None] == []
+    assert len(tbl) == 1 and tbl[0]["_off"] == 5  # sentinel carries _off
+
+    # at-least-once redelivery of epoch 0 must be recognized as a replay
+    sink(ties, 0)
+    again = wh.read("gold", "hot").collect()
+    assert len(again) == 1 and again[0]["_off"] == 5
+
+    # a following batch folds on top of the preserved offset: every key with
+    # true_count > _off is retained and mg <= true <= mg + _off holds
+    follow = spark.range(20).select(F.lit(7).cast("long").alias("user_id"))
+    sink(follow, 1)
+    rows = [
+        r for r in wh.read("gold", "hot").collect() if r["key"] is not None
+    ]
+    off = wh.read("gold", "hot").select("_off").first()["_off"]
+    true_counts = {"0": 5, "1": 5, "2": 5, "7": 20}
+    for r in rows:
+        assert 0 <= true_counts[r["key"]] - r["c"] <= off
+    retained = {r["key"] for r in rows}
+    for key, tc in true_counts.items():
+        if tc > off:
+            assert key in retained, (key, tc, off)
 
 
 def test_dedup_sink_autocompacts_signature_store(spark, tmp_path, monkeypatch):

@@ -492,6 +492,43 @@ def test_compact_partition_rewrites_only_target(spark, tmp_path):
     assert old == before
 
 
+def test_compaction_serializes_with_appends(spark, tmp_path):
+    """r6 advice (medium): compact/compact_partition must hold the append
+    lock — otherwise an append publishing between the compaction's snapshot
+    read and its publish is silently absent from the compacted version
+    (lost update). Proven by holding the lock and observing both compaction
+    entry points block until release, then complete with nothing lost."""
+    import threading
+
+    vw = VersionedWarehouse(spark, str(tmp_path / "cs_wh"))
+    vw.commit(
+        spark.range(100).selectExpr("id", "id % 2 AS bucket"),
+        "silver", "t", partition_by=["bucket"],
+    )
+    vw.append(
+        spark.range(100, 110).selectExpr("id", "CAST(1 AS BIGINT) AS bucket"),
+        "silver", "t", partition_by=["bucket"],
+    )
+    for method, args in [
+        ("compact_partition", ("silver", "t", "bucket=1")),
+        ("compact", ("silver", "t", 1)),
+    ]:
+        v0 = vw.current_version("silver", "t")
+        done = threading.Event()
+        with vw._append_lock("silver", "t"):
+            th = threading.Thread(
+                target=lambda m=method, a=args: (getattr(vw, m)(*a), done.set()),
+                daemon=True,
+            )
+            th.start()
+            assert not done.wait(1.5), f"{method} ran without the append lock"
+            assert vw.current_version("silver", "t") == v0
+        assert done.wait(60), f"{method} never completed after lock release"
+        th.join(10)
+        assert vw.current_version("silver", "t") == v0 + 1
+    assert vw.read("silver", "t").count() == 110
+
+
 def test_compact_partition_missing_partition_raises(spark, tmp_path):
     vw = VersionedWarehouse(spark, str(tmp_path / "opt_wh2"))
     vw.commit(
