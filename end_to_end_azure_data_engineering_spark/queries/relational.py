@@ -232,7 +232,7 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_filtered_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey",
         "o_totalprice",
         F.col("c_name").alias("customer_name"),
@@ -436,7 +436,7 @@ def grouped_agg_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -633,7 +633,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -675,9 +675,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -739,7 +739,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined = o.join(c, o.o_custkey == c.c_custkey)
 
     def status_total(code: str):
         return F.round(

@@ -188,7 +188,7 @@ def scalar_subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("_qty_cap")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(
@@ -557,7 +557,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
@@ -648,7 +648,7 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        cand.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -731,10 +731,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
     ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_sn_key"))
         .filter(pair)
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
@@ -771,7 +771,7 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     brand_rev = F.when(F.col("p_brand") == "Brand#4", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.round(F.sum(brand_rev) / F.sum(rev), 6).alias("brand_share"),
@@ -810,8 +810,8 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
@@ -885,7 +885,7 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
@@ -1195,7 +1195,7 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "o_orderkey",
             "c_mktsegment",
@@ -2912,14 +2912,20 @@ def copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("together"))
         .where(F.col("together") >= 2)
     )
+    # No broadcast hint on the degree marginals (r6 verdict): |deg| grows
+    # with part cardinality — O(corpus) at 100 TB — so a forced broadcast
+    # would OOM the driver exactly when the query matters. Left unhinted,
+    # AQE broadcasts it at small SF and falls back to a shuffled join at
+    # scale; both joins key on the same part column the pairs frame is
+    # already hashed by.
     deg = li.groupBy("l_partkey").agg(F.count("*").alias("d"))
     return (
         pairs.join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("part_a"), F.col("d").alias("deg_a"))),
+            deg.select(F.col("l_partkey").alias("part_a"), F.col("d").alias("deg_a")),
             "part_a",
         )
         .join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("part_b"), F.col("d").alias("deg_b"))),
+            deg.select(F.col("l_partkey").alias("part_b"), F.col("d").alias("deg_b")),
             "part_b",
         )
         .select(

@@ -93,7 +93,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -205,7 +205,7 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -262,7 +262,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("_max_rev")
     )
     return (
-        top.join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        top.join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -299,7 +299,7 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -336,7 +336,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -379,7 +379,7 @@ def significant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.filter(F.col("p_type") == "LARGE")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p.filter(F.col("p_type") == "LARGE"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -447,7 +447,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("avg_unit_price") == F.col("_min_price"))
     parts = p.filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(20, 25))
     return (
-        best.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        best.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "avg_unit_price")
     )

@@ -531,7 +531,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sizes.crossJoin(F.broadcast(tot))
         .join(
-            F.broadcast(ranked),
+            ranked,
             F.col("rk") == F.least(F.col("vocab_size"), F.col("n_vocab")),
         )
         .select(
@@ -583,7 +583,7 @@ def unigram_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
     freq = toks.groupBy("w").agg(F.count("*").alias("c"))
     per_doc = (
-        toks.join(F.broadcast(freq), "w")
+        toks.join(freq, "w")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("freq_sum"))
     )

@@ -161,3 +161,113 @@ def test_eager_stage_plans_expose_real_mining_work(plans):
         "incremental_components_merge:mine",
     ):
         assert "band" in plans[n], f"{n}: band join not visible"
+
+
+# ---------------------------------------------------------------------------
+# Bounded-broadcast fence (r6 verdict item 1): every EXPLICIT F.broadcast
+# hint forces the wrapped frame onto the driver and every executor at any
+# scale — AQE cannot save a hinted build side that grows with the corpus
+# (the r6 scale-killer: copurchase_jaccard hinted its per-part degree
+# marginal, O(parts) rows ⇒ OOM at 100 TB). Hints are therefore reserved
+# for frames PROVABLY bounded at scale, and this allowlist is the proof
+# ledger: each entry names the wrapped expression and its boundedness
+# category. Adding a new F.broadcast site fails here until it is classified.
+#
+# Categories:
+#   SCALAR  — 1-row (or ≤k-row) aggregate: totals, maxima, quantile frames
+#   PROBE   — code-capped probe batch / centroid codebook (≤16 rows)
+#   BAND    — literal band/bucket table (constant rows)
+#   FIXED   — nation/region: fixed 25/5-row TPC-H reference dims
+#   PERSRC  — one row (or one small frame) per document SOURCE (~20)
+#   VECTOR  — d- or d²-row vector/matrix frame, bounded by embedding dim
+#   TIME    — one row per day over the dataset horizon (≤ thousands)
+#   DIMPIN  — plans/gold.py accounts dim: the test-pinned skew-immunity
+#             path (test_skew_resilience: broadcast ⇒ hot key never
+#             shuffles; AQE skew-join proven as the fallback when the dim
+#             outgrows broadcast)
+#   QUAD    — fuzzy_name_match's non-equi length-band join: broadcast is
+#             the only non-Cartesian physical form; the op is a guarded
+#             evaluation query (BNLJ_ALLOWED)
+#   CONTRACT— streaming stream-static enrich: the API contract requires a
+#             bounded reference dim (docstring), caller-asserted
+#
+# SF-growing frames (customer/supplier/part/orders/lineitem derivatives,
+# vocabulary-sized term frames) were UNHINTED in r7 — AQE broadcasts them
+# while small and falls back to shuffled joins at scale.
+BROADCAST_ALLOWED: dict[str, set[str]] = {
+    "plans/bench_bronze.py": {"nation"},                       # FIXED
+    "plans/gold.py": {"a"},                                    # DIMPIN
+    "queries/pipeline_ops.py": {"probes"},                     # PROBE
+    "queries/relational.py": {"n", "r"},                       # FIXED
+    "queries/relational_ext.py": {
+        "avg_bal",                                             # SCALAR
+        "bands",                                               # BAND
+        "c.agg(F.count('*').alias('n_view_click'))",           # SCALAR
+        "p.agg(F.count('*').alias('n_view_click_purchase'))",  # SCALAR
+        "cn", "sn", "n",                                       # FIXED
+        "days",                                                # TIME
+        "q",                                                   # SCALAR (1-row quantiles)
+        "s",                                                   # QUAD (fuzzy_name_match)
+        "tot", "total", "pr_tot", "yr_tot",                    # SCALAR
+    },
+    "queries/relational_tpch2.py": {"max_rev", "n"},           # SCALAR / FIXED
+    "queries/similarity_ops.py": {
+        "dom", "global_c", "n_orphans", "t",                   # SCALAR
+        "v3.agg(F.max(F.abs('v')).alias('mx'))",               # SCALAR
+        "probe_cells", "probes",                               # PROBE
+        "v1", "v2s",                                           # VECTOR (d rows)
+    },
+    "queries/text_ops.py": {
+        "bg.agg(F.sum('n_bg').alias('t_bigrams'))",            # SCALAR
+        "mx", "n", "tot", "totals",                            # SCALAR
+        "deg.select(F.col('source').alias('src_a'), F.col('v').alias('vocab_a'))",  # PERSRC
+        "deg.select(F.col('source').alias('src_b'), F.col('v').alias('vocab_b'))",  # PERSRC
+        "mad", "med",                                          # PERSRC
+    },
+    "queries/training_ops.py": {
+        "na", "nb", "total",                                   # SCALAR
+        "totals.agg(F.sum('w').alias('sum_w'))",               # SCALAR
+        "rates",                                               # PERSRC
+    },
+    "streaming/ingest.py": {"dim"},                            # CONTRACT
+}
+
+
+def test_every_explicit_broadcast_is_provably_bounded():
+    """AST-walk the whole package: any F.broadcast(arg) whose
+    (file, unparsed-arg) pair is not in the proof ledger above fails with
+    its location, forcing the author to either drop the hint (let AQE
+    decide) or document why the frame stays bounded at 100 TB."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / (
+        "end_to_end_azure_data_engineering_spark"
+    )
+    offenders, seen = [], {}
+    for f in sorted(root.rglob("*.py")):
+        rel = str(f.relative_to(root))
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                arg = ast.unparse(node.args[0])
+                seen.setdefault(rel, set()).add(arg)
+                if arg not in BROADCAST_ALLOWED.get(rel, set()):
+                    offenders.append(f"{rel}:{node.lineno} F.broadcast({arg})")
+    assert not offenders, (
+        "unclassified explicit broadcast hint(s) — prove the frame is "
+        f"bounded at scale or drop the hint: {offenders}"
+    )
+    # the ledger must not rot: every allowlisted entry still exists
+    stale = [
+        f"{rel}: {sorted(args - seen.get(rel, set()))}"
+        for rel, args in BROADCAST_ALLOWED.items()
+        if args - seen.get(rel, set())
+    ]
+    assert not stale, f"stale allowlist entries (hint removed/renamed): {stale}"
