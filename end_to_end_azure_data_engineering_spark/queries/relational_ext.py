@@ -1233,23 +1233,34 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join: candidates pair only within a +-1 name-length
-    band (broadcast range join on a bounded dim), then exact Levenshtein
-    filters. Integer distances hash cross-engine; at scale the blocking
-    key would be a phonetic/prefix bucket with the identical plan shape."""
+    band, then exact Levenshtein filters. The band theta-join is rewritten
+    as an EQUI-join (r7): each supplier row explodes into its 3 candidate
+    band keys (ln-1, ln, ln+1) and the join keys on c_ln == band — a plain
+    hash join that shuffles on the band key at scale, instead of the
+    broadcast nested-loop the BETWEEN form forces (supplier grows with the
+    corpus, so a broadcast build side is a scale-killer; 3x row fan-out on
+    the smaller side is not). Integer distances hash cross-engine; at
+    scale the blocking key would be a phonetic/prefix bucket with the
+    identical plan shape."""
     c = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 7 == 0)
         .select("c_custkey", "c_name", F.length("c_name").alias("c_ln"))
     )
     s = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.length("s_name").alias("s_ln")
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.array(
+                F.length("s_name") - 1,
+                F.length("s_name"),
+                F.length("s_name") + 1,
+            )
+        ).alias("band"),
     )
     dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
     return (
-        c.join(
-            F.broadcast(s),
-            (F.col("s_ln") >= F.col("c_ln") - 1) & (F.col("s_ln") <= F.col("c_ln") + 1),
-        )
+        c.join(s, F.col("c_ln") == F.col("band"))
         .filter(dist <= 10)
         .select("c_custkey", "s_suppkey", dist.alias("edit_dist"))
     )

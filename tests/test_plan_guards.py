@@ -57,7 +57,6 @@ BNLJ_ALLOWED = {
     "scalar_subquery_below_avg",     # broadcast scalar average
     "not_exists_rich_inactive",      # broadcast scalar avg-balance crossjoin
     "tfidf_top_terms",               # broadcast scalar corpus doc count
-    "fuzzy_name_match",              # broadcast bounded dim, ±1 length band
     "rfm_segmentation",              # broadcast 9-scalar quartile boundaries
     "embedding_coverage_audit",      # broadcast 1-row orphan-count crossjoin
     "divergence_top_terms",          # two broadcast 1-row split totals
@@ -185,9 +184,6 @@ def test_eager_stage_plans_expose_real_mining_work(plans):
 #             path (test_skew_resilience: broadcast ⇒ hot key never
 #             shuffles; AQE skew-join proven as the fallback when the dim
 #             outgrows broadcast)
-#   QUAD    — fuzzy_name_match's non-equi length-band join: broadcast is
-#             the only non-Cartesian physical form; the op is a guarded
-#             evaluation query (BNLJ_ALLOWED)
 #   CONTRACT— streaming stream-static enrich: the API contract requires a
 #             bounded reference dim (docstring), caller-asserted
 #
@@ -207,7 +203,6 @@ BROADCAST_ALLOWED: dict[str, set[str]] = {
         "cn", "sn", "n",                                       # FIXED
         "days",                                                # TIME
         "q",                                                   # SCALAR (1-row quantiles)
-        "s",                                                   # QUAD (fuzzy_name_match)
         "tot", "total", "pr_tot", "yr_tot",                    # SCALAR
     },
     "queries/relational_tpch2.py": {"max_rev", "n"},           # SCALAR / FIXED
