@@ -1,0 +1,83 @@
+"""Round-over-round bench comparison against the measured noise band.
+
+Answers the question the driver's 2x gate needs (r6 verdict item 2): did
+this round's per-query timings REGRESS, or just bounce within same-session
+variance? Inputs are two bench artifacts — either the committed
+``BENCH_LOCAL.json`` full-results form (has ``queries`` + ``spread`` +
+``noise_band``) or a driver ``BENCH_r{N}.json`` (whose ``parsed`` field
+holds the compact stdout object). A query is flagged only when its
+round-over-round ratio exceeds BOTH the global p95 same-session spread and
+its own per-query spread (when recorded) by the slack factor — anything
+inside that envelope is noise by the bench's own measurement.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [slack]
+       (slack default 1.10; exit 1 iff regressions are found)
+
+A flag here is a TRIAGE list, not a verdict: the same-session spread
+understates cross-position variance in a 117-query sweep (block-manager
+pressure accumulates, so late-list queries inflate together — the r7
+check found 6 flagged queries that all re-timed at-or-below their prior
+values in isolation). Confirm any flag by re-timing the query alone
+(4 runs, discard the first) before calling it a regression; a real one
+also shows a changed row in PLANS.md's audit snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+
+def load(path: str) -> dict:
+    data = json.loads(Path(path).read_text())
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        raise SystemExit(f"{path}: no per-query map (parsed=null driver record?)")
+    return data
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    slack = float(sys.argv[3]) if len(sys.argv) > 3 else 1.10
+
+    band = new.get("noise_band") or old.get("noise_band") or {}
+    p95 = float(band.get("p95_spread", 1.5))
+    spreads = {**old.get("spread", {}), **new.get("spread", {})}
+
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    if not common:
+        raise SystemExit("no common queries between the two artifacts")
+    t_old = sum(old["queries"][q] for q in common)
+    t_new = sum(new["queries"][q] for q in common)
+
+    regressions, improved = [], []
+    for q in common:
+        a, b = old["queries"][q], new["queries"][q]
+        ratio = b / max(a, 1e-9)
+        envelope = max(p95, spreads.get(q, 1.0)) * slack
+        if ratio > envelope:
+            regressions.append((q, a, b, ratio, envelope))
+        elif 1 / max(ratio, 1e-9) > envelope:
+            improved.append((q, a, b, ratio))
+
+    print(
+        f"{len(common)} common queries: total {t_old:.1f}s -> {t_new:.1f}s "
+        f"({t_new / max(t_old, 1e-9):.2f}x); noise envelope = "
+        f"max(p95_spread {p95:.2f}, per-query spread) x {slack:.2f}"
+    )
+    for q, a, b, r, env in sorted(regressions, key=lambda x: -x[3]):
+        print(f"  REGRESSED {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x > {env:.2f}x envelope)")
+    for q, a, b, r in sorted(improved, key=lambda x: x[3])[:10]:
+        print(f"  improved  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    if not regressions:
+        print("  no per-query regression outside the measured noise band")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
