@@ -249,3 +249,84 @@ def test_versioned_warehouse_op_sequences_hold_invariants(spark, tmp_path_factor
             ]
             for v, n in contents.items():
                 assert vw.read("gold", "t", version=v).count() == n
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch-sink property: for ANY batch sequence with at-least-once
+# redeliveries, (1) the CMS estimate never undercounts any key and replays
+# never inflate it; (2) every Misra-Gries retained key satisfies the
+# deficiency bound mg <= true <= mg + _off, and every key whose true count
+# exceeds _off is retained. The deterministic tests pin single scenarios;
+# hypothesis drives the batch contents, epoch count, and replay pattern.
+# ---------------------------------------------------------------------------
+
+_STREAM_KEYS = ["a", "b", "c", "d", "e", "f"]
+_stream_batch = st.lists(st.sampled_from(_STREAM_KEYS), min_size=0, max_size=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    batches=st.lists(_stream_batch, min_size=1, max_size=3),
+    replays=st.lists(st.booleans(), min_size=3, max_size=3),
+)
+def test_stream_sketch_sinks_hold_bounds_under_random_replayed_batches(
+    spark, tmp_path_factory, batches, replays
+):
+    from collections import Counter
+
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        cms_stream_sink,
+        topk_stream_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("prop_stream")))
+    csink = cms_stream_sink(wh, "sketch", "k")
+    tsink = topk_stream_sink(wh, "hot", "k", k=2)
+
+    true = Counter()
+    for epoch, rows in enumerate(batches):
+        batch = spark.createDataFrame([(r,) for r in rows], "k STRING")
+        csink(batch, epoch)
+        tsink(batch, epoch)
+        if replays[epoch]:  # at-least-once redelivery: must be a no-op
+            csink(batch, epoch)
+            tsink(batch, epoch)
+        true.update(rows)
+
+    if not true:
+        return  # all batches empty: nothing to bound
+
+    # CMS: overcount-only, and replays did not inflate (est(k) is exact
+    # when no hash collision occurred, so est <= total increments always)
+    sk = wh.read("gold", "sketch")
+    total = sum(true.values())
+    probe = (
+        spark.createDataFrame([(k,) for k in true], "k STRING")
+        .select(
+            "k", F.explode(S.cms_entries(F.col("k").cast("string"))).alias("e")
+        )
+        .select("k", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+    )
+    ests = {
+        r["k"]: r["est"]
+        for r in probe.join(sk, ["j", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    }
+    for k, n in true.items():
+        assert n <= ests[k] <= total, (k, n, ests[k], batches, replays)
+
+    # Misra-Gries: deficiency bound for retained keys; guaranteed retention
+    # for keys heavier than the accumulated offset
+    rows = wh.read("gold", "hot").collect()
+    off = rows[0]["_off"]
+    retained = {r["key"]: r["c"] for r in rows if r["key"] is not None}
+    assert off >= 0
+    for k, c in retained.items():
+        assert c <= true[k] <= c + off, (k, c, off, batches, replays)
+    for k, n in true.items():
+        if n > off:
+            assert k in retained, (k, n, off, batches, replays)
