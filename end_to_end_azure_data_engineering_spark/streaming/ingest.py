@@ -70,6 +70,24 @@ SIG_APPEND_FILES = 4
 #: bucket-partitioned (sig_buckets): each fragmented bucket is rewritten
 #: locally via compact_partition — O(bucket), never O(store).
 SIG_COMPACT_FILES_PER_BUCKET = 16
+#: stagger classes for the per-bucket threshold: every bucket fragments at
+#: the same rate (each epoch's coalesced append touches all buckets), so a
+#: single shared threshold makes ALL buckets cross it on the SAME epoch and
+#: the partition-local design degenerates into a whole-store rewrite spike —
+#: the r7 1M-doc probe measured 19→41 s spike epochs growing with the
+#: corpus. Offsetting bucket b's threshold by SIG_APPEND_FILES·(b mod
+#: SIG_COMPACT_STAGGER) desynchronizes the cycles permanently (each bucket
+#: keeps its own threshold after every rewrite), so ~1/SIG_COMPACT_STAGGER
+#: of the buckets compact per cycle epoch and the per-epoch worst case
+#: drops by the same factor. Per-bucket file bound at sink exit:
+#: threshold + SIG_APPEND_FILES·(b mod SIG_COMPACT_STAGGER).
+SIG_COMPACT_STAGGER = 4
+
+
+def _bucket_compact_threshold(bucket: int) -> int:
+    return SIG_COMPACT_FILES_PER_BUCKET + SIG_APPEND_FILES * (
+        bucket % SIG_COMPACT_STAGGER
+    )
 
 
 def _load_watermarks(existing: DataFrame) -> dict[str, int]:
@@ -640,7 +658,14 @@ def dedup_stream_sink(
                     frag = len(list(bdir.glob("*.parquet")))
                 except (FileNotFoundError, OSError):
                     continue
-                if frag > SIG_COMPACT_FILES_PER_BUCKET:
+                try:
+                    bucket_no = int(bname.split("=", 1)[1])
+                except ValueError:
+                    bucket_no = 0
+                # staggered threshold: see SIG_COMPACT_STAGGER — keeps the
+                # buckets' compaction cycles out of phase so an epoch never
+                # rewrites the whole store at once
+                if frag > _bucket_compact_threshold(bucket_no):
                     wh.compact_partition(namespace, sig_table, bname)
         elif ddir is not None:
             n_files = len(list(ddir.glob("*.parquet")))

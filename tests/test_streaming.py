@@ -580,7 +580,13 @@ def test_dedup_sink_partitioned_store_partition_local_compaction(
     bdirs = sorted(ddir.glob("bucket=*"))
     assert len(bdirs) == 4
     for b in bdirs:
-        assert len(list(b.glob("*.parquet"))) <= 2 * 3 + 1, b
+        # staggered per-bucket threshold (see SIG_COMPACT_STAGGER): at sink
+        # exit every bucket is at or below ITS OWN threshold — any bucket
+        # past it was just rewritten to 1 file
+        bucket_no = int(b.name.split("=", 1)[1])
+        assert len(list(b.glob("*.parquet"))) <= ingest._bucket_compact_threshold(
+            bucket_no
+        ), b
     # OPTIMIZE entries appear in history
     ops = [h["operation"] for h in wh.history("silver", "dedup_signatures")]
     assert any(op.startswith("OPTIMIZE bucket=") for op in ops)
