@@ -93,6 +93,7 @@ def pairs_from_signatures(
     sig: DataFrame,
     threshold: float,
     batch_ids: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard >= threshold) mined
     from a PRECOMPUTED signature frame (_id, sh, mh) — the single mining
@@ -103,18 +104,48 @@ def pairs_from_signatures(
     examined. Lazy — callers materialize (localCheckpoint) and release
     their own signature persists. Band explodes are explode_outer per the
     PLANS.md rule-5 guard (a plain explode's inferred size() filter would
-    re-run the minhash kernel per row)."""
+    re-run the minhash kernel per row).
+
+    ``bucket_cap`` bounds hot-bucket blowup: a band bucket holding B docs
+    yields B² candidates from the self-join (B x batch from the batch
+    form) — on a boilerplate-heavy corpus one hot bucket can dominate the
+    whole mine. Buckets over the cap switch to STAR candidates: each
+    member pairs only with the bucket's min-id hub (O(B) edges). For the
+    dedup use (pairs → connected components → survivors) a true duplicate
+    cluster stays connected through its hub, since every member verifies
+    against it; what the star form can miss is a hub-dissimilar CHAIN
+    inside one hot bucket whose links other bands also miss — the
+    standard recall trade every capped-LSH deployment makes. Default
+    ``None`` = exact B² mining (the oracle-verified query form)."""
     bands = sig.select(
         "_id", F.explode_outer(S.band_signatures(F.col("mh"))).alias("band")
     )
+    if bucket_cap is not None:
+        # one extra shuffle on the band key (the join below shuffles on it
+        # anyway); hub = min id per bucket, the star center
+        occ = bands.groupBy("band").agg(
+            F.count("*").alias("_n"), F.min("_id").alias("_hub")
+        )
+        bands = bands.join(occ, "band")
+        hot = bands.filter(F.col("_n") > bucket_cap)
+        bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
     if batch_ids is None:
         cands = (
             bands.select(F.col("_id").alias("id_a"), "band")
             .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
+        if bucket_cap is not None:
+            star = (
+                hot.filter(F.col("_id") != F.col("_hub"))
+                .select(
+                    F.least("_id", "_hub").alias("id_a"),
+                    F.greatest("_id", "_hub").alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(star)
+        cands = cands.distinct()
     else:
         cands = (
             bands.join(batch_ids, "_id")
@@ -125,8 +156,18 @@ def pairs_from_signatures(
                 F.least("bid", "cid").alias("id_a"),
                 F.greatest("bid", "cid").alias("id_b"),
             )
-            .distinct()
         )
+        if bucket_cap is not None:
+            star = (
+                hot.join(batch_ids, "_id")
+                .filter(F.col("_id") != F.col("_hub"))
+                .select(
+                    F.least("_id", "_hub").alias("id_a"),
+                    F.greatest("_id", "_hub").alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(star)
+        cands = cands.distinct()
     jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         cands.join(sig.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -82,6 +82,13 @@ SIG_COMPACT_FILES_PER_BUCKET = 16
 #: drops by the same factor. Per-bucket file bound at sink exit:
 #: threshold + SIG_APPEND_FILES·(b mod SIG_COMPACT_STAGGER).
 SIG_COMPACT_STAGGER = 4
+#: LSH band-bucket occupancy cap for the sink's continuous mining: buckets
+#: holding more docs than this switch from all-pairs candidates to star
+#: candidates against the bucket's min-id hub (O(B) instead of O(B·batch)
+#: per epoch — the hot-bucket defense a standing corpus needs; see
+#: operators.neardup.pairs_from_signatures). Far above any test corpus's
+#: max occupancy, so batch-parity tests exercise the exact path.
+SIG_HOT_BUCKET_CAP = 1024
 
 
 def _bucket_compact_threshold(bucket: int) -> int:
@@ -609,8 +616,18 @@ def dedup_stream_sink(
             corpus_sig = sig_new
         corpus_sig = corpus_sig.persist()
 
+        # bucket_cap: the standing corpus side grows without bound, so a
+        # hot band bucket (boilerplate/template text) would otherwise pay
+        # O(bucket x batch) candidates EVERY epoch forever; over-cap
+        # buckets degrade to star candidates against the bucket hub
+        # (connectivity-preserving for true duplicate clusters — see
+        # pairs_from_signatures). The cap never binds at test corpora
+        # sizes, so batch-parity with the exact form holds there.
         new_pairs = pairs_from_signatures(
-            corpus_sig, threshold, batch_ids=sig_new.select("_id")
+            corpus_sig,
+            threshold,
+            batch_ids=sig_new.select("_id"),
+            bucket_cap=SIG_HOT_BUCKET_CAP,
         ).select("id_a", "id_b")
         edges = (
             old_state.select(F.col("node").alias("id_a"), F.col("label").alias("id_b"))

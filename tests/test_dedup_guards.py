@@ -115,3 +115,99 @@ def test_release_checkpoints_sees_through_derived_plans(spark):
     while _cached_rdd_ids(spark) & created and time.time() < deadline:
         time.sleep(0.2)
     assert not (_cached_rdd_ids(spark) & created)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cap (r7): a band bucket holding B docs yields B² candidates
+# from the exact self-join — one boilerplate bucket can dominate the whole
+# mine at scale. Over-cap buckets switch to star candidates against the
+# bucket's min-id hub: O(B) edges, connectivity preserved for true
+# duplicate clusters.
+# ---------------------------------------------------------------------------
+
+
+def _identical_corpus(spark, n=40, extra=3):
+    """n docs with IDENTICAL text (every band bucket holds all n) plus a
+    few distinct docs that collide with nothing."""
+    text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(i, text) for i in range(n)]
+    rows += [(1000 + j, f"completely unrelated document number {j} " * 20)
+             for j in range(extra)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_hot_bucket_cap_bounds_candidates_and_keeps_cluster(spark):
+    from end_to_end_azure_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        pairs_from_signatures,
+        sign_corpus,
+    )
+
+    docs = _identical_corpus(spark, n=40)
+    sig = sign_corpus(docs, "doc_id", "text").persist()
+    try:
+        # capped: the 40-doc buckets are all hot -> star edges to hub 0
+        star = pairs_from_signatures(sig, 0.8, bucket_cap=5)
+        star_pairs = {(r.id_a, r.id_b) for r in star.collect()}
+        assert star_pairs == {(0, i) for i in range(1, 40)}  # 39, not 780
+        # connectivity (the dedup outcome) matches the exact form
+        exact = pairs_from_signatures(sig, 0.8)
+        for pairs in (star, exact):
+            comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+            survivors = {
+                r.node for r in comp.filter(F.col("node") == F.col("label")).collect()
+            }
+            assert survivors == {0}
+        assert exact.count() == 40 * 39 // 2
+    finally:
+        sig.unpersist()
+
+
+def test_hot_bucket_cap_batch_path_stars_batch_members_only(spark):
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        pairs_from_signatures,
+        sign_corpus,
+    )
+
+    docs = _identical_corpus(spark, n=30)
+    sig = sign_corpus(docs, "doc_id", "text").persist()
+    try:
+        batch = spark.createDataFrame([(27,), (28,), (29,)], "_id LONG")
+        got = {
+            (r.id_a, r.id_b)
+            for r in pairs_from_signatures(
+                sig, 0.8, batch_ids=batch, bucket_cap=5
+            ).collect()
+        }
+        # each batch member pairs with hub 0 only — O(batch), not O(B x batch)
+        assert got == {(0, 27), (0, 28), (0, 29)}
+    finally:
+        sig.unpersist()
+
+
+def test_bucket_cap_is_exact_when_not_binding(spark):
+    """On a real corpus whose buckets sit under the cap, the capped mine
+    must return the EXACT pair set — the streaming sink's batch-parity
+    guarantee at test scale."""
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        pairs_from_signatures,
+        sign_corpus,
+    )
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    sig = sign_corpus(docs, "doc_id", "text").persist()
+    try:
+        exact = {
+            (r.id_a, r.id_b)
+            for r in pairs_from_signatures(sig, 0.5).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in pairs_from_signatures(sig, 0.5, bucket_cap=1024).collect()
+        }
+        assert exact == capped and exact
+    finally:
+        sig.unpersist()
