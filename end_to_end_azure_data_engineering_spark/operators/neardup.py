@@ -28,6 +28,7 @@ def near_dup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs (id_a < id_b, exact shingle-Jaccard ≥
     threshold) via MinHash+LSH banding. Columns: id_a, id_b, jaccard.
@@ -42,7 +43,7 @@ def near_dup_pairs(
     """
     sig = sign_corpus(docs, id_col, text_col).persist()
     pairs = (
-        pairs_from_signatures(sig, threshold)
+        pairs_from_signatures(sig, threshold, bucket_cap=bucket_cap)
         # materialize the (collision-bound, small) verified pairs, then
         # RELEASE the corpus-sized shingle cache deterministically: leaving
         # it persisted leaked one corpus of shingle arrays per call, and the
@@ -183,6 +184,7 @@ def near_dup_pairs_against(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs with AT LEAST ONE endpoint in ``batch``
     (columns id_a < id_b, jaccard) — the incremental-ingest mining path:
@@ -196,7 +198,9 @@ def near_dup_pairs_against(
     pairs verify). Same eager/unpersist contract as near_dup_pairs."""
     sig = sign_corpus(corpus, id_col, text_col).persist()
     batch_ids = batch.select(F.col(id_col).alias("_id")).distinct()
-    pairs = pairs_from_signatures(sig, threshold, batch_ids).localCheckpoint()
+    pairs = pairs_from_signatures(
+        sig, threshold, batch_ids, bucket_cap=bucket_cap
+    ).localCheckpoint()
     sig.unpersist()
     return pairs
 
@@ -290,11 +294,15 @@ def dedup_corpus(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Return docs minus non-canonical near-duplicates: for every duplicate
     cluster the min-id doc survives; docs in no cluster pass through.
-    One anti-join against the (small) non-survivor set."""
-    pairs = near_dup_pairs(docs, id_col, text_col, threshold)
+    One anti-join against the (small) non-survivor set. ``bucket_cap``
+    passes through to the miner (hot-bucket star candidates — the 100 TB
+    setting; survivors only need component connectivity, which the star
+    form preserves for true duplicate clusters)."""
+    pairs = near_dup_pairs(docs, id_col, text_col, threshold, bucket_cap=bucket_cap)
     comp = assign_components(pairs)
     losers = comp.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
