@@ -142,7 +142,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair builder for embedding_near_dup / semantic_dedup_survivors:
-    sign-bucket LSH join, raw-cosine threshold, columns (vec_a, vec_b, _cos)."""
+    sign-bucket LSH join, raw-cosine threshold, columns (vec_a, vec_b, _cos).
+
+    Same hot-bucket exposure as the minhash mine: a sign bucket holding B
+    vectors (degenerate/near-zero embeddings, mode collapse in the encoder)
+    yields B² candidates. At production scale apply the star-candidate cap
+    exactly as ``operators.neardup.pairs_from_signatures(bucket_cap=...)``
+    does for text — survivor components only need hub connectivity. The
+    oracle-verified query form here stays exact (test buckets are small)."""
     e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
     buckets = e.select(
         "vec_id", "_e_v", "_e_n", V.sign_bucket(F.col("embedding")).alias("bucket")
