@@ -153,6 +153,9 @@ def main() -> None:
 
     import __spark_entry__ as ent
     from end_to_end_azure_data_engineering_spark.engine import get_spark
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        release_checkpoints,
+    )
 
     spark = get_spark("bench")
     spark.range(1).count()  # JVM warm-up
@@ -169,7 +172,9 @@ def main() -> None:
         # build, and any first-execution interpreted fallback at the
         # actual measured SF
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = qs[name](spark, sf_dir)
+            warm.write.format("noop").mode("overwrite").save()
+            release_checkpoints(warm)
         except Exception:
             pass
         # timed runs (min-of-N, N recorded in the artifact): steady-state
@@ -186,8 +191,14 @@ def main() -> None:
         for _ in range(TIMED_RUNS):
             t0 = time.perf_counter()
             try:
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
+                # deterministically release any localCheckpoint blocks in
+                # the plan (eager dedup/CC queries): relying on GC lag let
+                # block-manager pressure accumulate across the sweep and
+                # inflate late-list queries ~2x vs isolated runs
+                release_checkpoints(df)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
                 break
