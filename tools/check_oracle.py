@@ -71,6 +71,9 @@ def main() -> int:
 
     import __spark_entry__ as ent
     from end_to_end_azure_data_engineering_spark.engine import get_spark
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        release_checkpoints,
+    )
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -88,6 +91,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # deterministic checkpoint release (same mechanism as bench.py):
+            # eager dedup/CC queries otherwise accumulate block-manager
+            # pressure across the 201-query sweep
+            release_checkpoints(sdf)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
