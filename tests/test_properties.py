@@ -201,6 +201,7 @@ _wh_op = st.one_of(
     st.tuples(st.just("append"), st.integers(1, 20)),
     st.tuples(st.just("restore"), st.integers(0, 100)),  # index into retained
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    st.tuples(st.just("compact"), st.integers(1, 4)),  # target file count
 )
 
 
@@ -232,6 +233,18 @@ def test_versioned_warehouse_op_sequences_hold_invariants(spark, tmp_path_factor
             src = sorted(contents)[arg % len(contents)]
             v = vw.restore("gold", "t", src)
             contents[v] = contents[src]
+            current = v
+        elif kind == "compact":
+            if current is None:
+                continue
+            # OPTIMIZE: a new version with identical rows (r7: compact now
+            # runs under the append lock; the modeled contents must
+            # survive). NOTE compact() returns the resulting FILE count
+            # (base-class contract) — the committed version is read back.
+            n_files = vw.compact("gold", "t", arg)
+            assert n_files <= arg
+            v = vw.current_version("gold", "t")
+            contents[v] = contents[current]
             current = v
         else:  # vacuum
             removed = vw.vacuum("gold", "t", keep=arg)
