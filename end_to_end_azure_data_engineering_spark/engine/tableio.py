@@ -870,7 +870,11 @@ class VersionedWarehouse(Warehouse):
         base-class read→overwrite sequence races a concurrent link-forward
         append exactly like ``compact_partition`` would — an append that
         publishes between the snapshot read and the compacted OVERWRITE
-        commit is lost from the new version."""
+        commit is lost from the new version.
+
+        Returns the resulting FILE count (the base-class contract —
+        unlike ``compact_partition``, which returns the committed version
+        number); read ``current_version`` for the published version."""
         with self._append_lock(namespace, table):
             return super().compact(namespace, table, target_files, cluster_by)
 
