@@ -1,0 +1,160 @@
+"""Distributed exact per-group ranking — the scalable replacement for
+window ntile / percent_rank / cume_dist over LOW-cardinality partition
+keys.
+
+A plain ``Window.partitionBy(segment).orderBy(v)`` hash-partitions on the
+group key alone: with G groups the whole frame sorts on G tasks, so a
+5-segment ntile over 1.5B customers is five 300M-row single-task sorts —
+the quiet scale-killer the ``Exchange SinglePartition`` plan fence cannot
+see (the exchange is a hash exchange, just a degenerate one). The rank
+family the reference never needed (its windows key on business ids,
+4_silver/silver_transactions.py:106-116) but our §2.5 distribution
+queries do.
+
+``sharded_row_number`` computes the SAME exact global row_number per
+group with every shuffle and sort keyed on ``(group, range-bucket)``:
+
+1. per-group order-preserving bucket boundaries via ``percentile_approx``
+   (a proper partial aggregate — produces one G-row frame carrying the
+   boundary array and the exact per-group count);
+2. each row's bucket = number of boundaries strictly below its sort
+   value (an array HOF evaluated in whole-stage codegen; value ties
+   share a bucket, so bucketing is order-consistent with the caller's
+   total order);
+3. per-(group, bucket) counts roll into cumulative per-bucket offsets —
+   a window over the ≤``num_buckets``-row-per-group counts frame, a
+   bounded reduction the low-cardinality-window fence allowlists;
+4. ``row_number`` within (group, bucket) + offset = exact global rank,
+   sorted on G×B tasks instead of G.
+
+Exactness does NOT depend on the boundary values: any boundary set
+yields identical ranks (buckets only shard the sort), so
+``percentile_approx``'s approximation error — and any run-to-run merge
+nondeterminism — is invisible in the output. The unchanged
+ntile/percent_rank/cume_dist DuckDB oracles hash-verify the closed
+forms downstream:
+
+    ntile(k)     = floor((rn-1)*k/n) + 1           [unique ordering]
+    percent_rank = (rn-1)/(n-1)   (0.0 when n = 1)
+    cume_dist    = rn/n
+
+All three closed forms require the caller to pass a TOTAL order (append
+a unique tiebreaker): with ties ``rank() != row_number`` and the closed
+forms would drift from the SQL rank functions.
+
+At 100 TB: ``num_buckets`` is the sort-shard knob — per-task sort frames
+shrink by B×, chosen like ``spark.sql.shuffle.partitions`` (B ≈
+cluster-cores / G). The boundary aggregate and both joins stay keyed;
+the offsets frame is G×B rows, which AQE broadcasts on its own (no
+explicit hint — the bounded-broadcast fence applies).
+
+Skew caveat: rows TIED on the bucketing value cannot be split across
+buckets (order consistency forbids it), so the per-task bound is
+``max(n_g/B, heaviest duplicate value count)``. For the quality-score /
+balance / price frames here ties are a vanishing fraction; a frame
+dominated by one value (e.g. ranking a boolean) would need a
+higher-resolution first sort key, which is a caller decision — the
+closed forms are unaffected either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["sharded_row_number"]
+
+_BNDS, _BUCKET, _BCNT, _BOFF, _LRN = "_bnds", "_rbucket", "_bcnt", "_boff", "_lrn"
+
+
+def sharded_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    *,
+    rn: str = "rn",
+    n: str = "n_g",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact per-group ``row_number`` (1-based, ordered by ``order_cols``
+    ascending) without a per-group single-task sort.
+
+    ``order_cols`` must be a total order (unique tiebreaker last) and its
+    FIRST column must be numeric and non-null — it is the range-bucketing
+    value. Adds ``rn`` (exact global rank within the group) and ``n``
+    (exact group row count); all intermediate columns are dropped.
+    """
+    val = F.col(order_cols[0]).cast("double")
+    fracs = F.array(
+        *[F.lit(i / num_buckets) for i in range(1, num_buckets)]
+    )
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS),
+        F.count("*").alias(n),
+    )
+    bucketed = df.join(bounds, group_cols).withColumn(
+        _BUCKET,
+        F.aggregate(
+            F.col(_BNDS),
+            F.lit(0),
+            lambda acc, b: acc + F.when(b < val, 1).otherwise(0),
+        ),
+    ).drop(_BNDS)
+
+    counts = bucketed.groupBy(*group_cols, _BUCKET).agg(
+        F.count("*").alias(_BCNT)
+    )
+    # cumulative offset of all lower buckets: a window over the bounded
+    # (≤num_buckets rows per group) counts frame — never the data frame
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy(_BUCKET)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        _BUCKET,
+        F.coalesce(F.sum(_BCNT).over(w_off), F.lit(0)).alias(_BOFF),
+    )
+
+    w_local = W.partitionBy(*group_cols, _BUCKET).orderBy(*order_cols)
+    return (
+        bucketed.join(offsets, [*group_cols, _BUCKET])
+        .withColumn(_LRN, F.row_number().over(w_local))
+        .withColumn(rn, (F.col(_BOFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_BUCKET, _BOFF, _LRN)
+    )
+
+
+def ntile_expr(rn_col: str, n_col: str, k: int):
+    """Exact ``ntile(k)`` from a total-order row_number. SQL ntile sizing
+    is FRONT-LOADED: with q = n div k and r = n mod k, the first r
+    buckets hold q+1 rows and the rest hold q (one row each, buckets
+    1..n, when n < k). The tempting closed form ``floor((rn-1)k/n)+1``
+    spreads the remainder evenly instead (n=10, k=4 gives sizes 3,2,3,2
+    — SQL says 3,3,2,2), so the piecewise form is required; it is
+    hash-verified against the DuckDB ``ntile()`` oracles."""
+    rn, n = F.col(rn_col), F.col(n_col)
+    q = F.floor(n / k)
+    r = n % k
+    cutoff = r * (q + 1)
+    return (
+        F.when(q == 0, rn)
+        .when(rn <= cutoff, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - cutoff) / q) + 1)
+    ).cast("int")
+
+
+def percent_rank_expr(rn_col: str, n_col: str):
+    """``percent_rank`` under a total order: (rn-1)/(n-1), 0.0 for the
+    single-row group (SQL defines 0, Spark's int 0/0 would be NULL)."""
+    return F.when(F.col(n_col) == 1, F.lit(0.0)).otherwise(
+        (F.col(rn_col) - 1) / (F.col(n_col) - 1)
+    )
+
+
+def cume_dist_expr(rn_col: str, n_col: str):
+    """``cume_dist`` under a total order: rn/n (no ties ⇒ the ≤-count is
+    the row_number itself)."""
+    return F.col(rn_col) / F.col(n_col)

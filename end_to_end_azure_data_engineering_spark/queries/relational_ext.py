@@ -1186,23 +1186,32 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing + exact distribution ranks per segment. The
-    deterministic (price, orderkey) ordering makes ntile assignment unique;
-    the filter keeps the windowed frame bounded (high-value orders), the
-    shape every 'top band analysis' report uses."""
+    deterministic (price, orderkey) ordering makes ntile assignment
+    unique. The >400000 filter trims a constant FRACTION of orders, so a
+    `PARTITION BY c_mktsegment` window still sorts O(N) rows on each of
+    5 tasks — rewritten on sharded_row_number + the closed-form rank
+    family (r8), hash-verified by the unchanged SQL window oracle."""
+    from ..operators.ranks import (
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
+        sharded_row_number,
+    )
+
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
     )
-    return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "o_orderkey",
-            "c_mktsegment",
-            F.ntile(4).over(w).alias("value_quartile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
-        )
+    ranked = sharded_row_number(
+        base, ["c_mktsegment"], ["o_totalprice", "o_orderkey"]
+    )
+    return ranked.select(
+        "o_orderkey",
+        "c_mktsegment",
+        ntile_expr("rn", "n_g", 4).alias("value_quartile"),
+        percent_rank_expr("rn", "n_g").alias("pct_rank"),
+        cume_dist_expr("rn", "n_g").alias("cume"),
     )
 
 
@@ -2681,6 +2690,15 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment spend deciles WITHOUT a per-segment single-task sort:
+    `ntile(10) OVER (PARTITION BY segment ...)` hash-partitions on the
+    5-value segment key, so each window partition holds N/5 customers —
+    linear in the corpus, the low-cardinality window class the r8 plan
+    fence bans. Rewritten on sharded_row_number (range-bucketed exact
+    rank, sorts on segments×buckets tasks) + the closed-form ntile; the
+    unchanged DuckDB ntile() oracle hash-verifies equivalence."""
+    from ..operators.ranks import ntile_expr, sharded_row_number
+
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     spend = (
@@ -2691,12 +2709,9 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"))
     )
-    t = spend.select(
-        "segment",
-        "sp",
-        F.ntile(10).over(W.partitionBy("segment").orderBy("sp", "ck")).alias(
-            "decile"
-        ),
+    ranked = sharded_row_number(spend, ["segment"], ["sp", "ck"])
+    t = ranked.select(
+        "segment", "sp", ntile_expr("rn", "n_g", 10).alias("decile")
     )
     return t.groupBy("segment", "decile").agg(
         F.count("*").alias("n_customers"),
@@ -2728,20 +2743,32 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function surface from one sharded exact row_number:
+    the former `PARTITION BY nation` window sorted each nation's entire
+    supplier list on one task (supplier count grows with the corpus; 25
+    nations ⇒ 25 tasks forever). Under the (s_acctbal, s_suppkey) total
+    order, percent_rank/cume_dist/ntile are closed forms of (rn, n) —
+    hash-verified by the unchanged SQL-rank-function oracle."""
+    from ..operators.ranks import (
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
+        sharded_row_number,
+    )
+
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    w = W.partitionBy("nation").orderBy("s_acctbal", "s_suppkey")
-    return (
-        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .select(F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal")
-        .select(
-            "nation",
-            "s_suppkey",
-            F.round("s_acctbal", 2).alias("acctbal"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
+    base = s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select(
+        F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal"
+    )
+    ranked = sharded_row_number(base, ["nation"], ["s_acctbal", "s_suppkey"])
+    return ranked.select(
+        "nation",
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(percent_rank_expr("rn", "n_g"), 6).alias("pct_rank"),
+        F.round(cume_dist_expr("rn", "n_g"), 6).alias("cume"),
+        ntile_expr("rn", "n_g", 4).alias("quartile"),
     )
 
 

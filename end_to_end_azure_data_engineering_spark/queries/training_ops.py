@@ -700,15 +700,24 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, making thresholds comparable across sources whose raw score
     distributions differ (the standard fix before a global quality cut —
     a web source's median must not outrank a books source's p90 just
-    because the units differ). percent_rank = (rank-1)/(n-1) is a single
-    division of exact integers — hash-stable cross-engine. Window
-    partitions by source: parallel across sources at any corpus size
-    (within-source ordering is the necessary cost of an exact quantile;
-    the approx path at 100 TB is approxQuantile per source)."""
+    because the units differ). percent_rank = (rn-1)/(n-1) is a single
+    division of exact integers — hash-stable cross-engine. r8: the former
+    `PARTITION BY source` window sorted each source's whole document set
+    on one task (sources are O(10), docs O(corpus)); now an exact sharded
+    rank sorts on sources×buckets tasks, same oracle, same hash."""
+    from ..operators.ranks import percent_rank_expr, sharded_row_number
+
     d = spread(load(spark, sf_dir, "documents"))
-    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    return d.select(
-        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pct_rank")
+    ranked = sharded_row_number(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        ["n_chars", "doc_id"],
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        percent_rank_expr("rn", "n_g").alias("pct_rank"),
     )
 
 

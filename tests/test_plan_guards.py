@@ -117,6 +117,73 @@ def test_no_row_python_udfs(plans):
     assert not offenders, offenders
 
 
+# ---------------------------------------------------------------------------
+# Low-cardinality window fence (r8): a Window that partitions ONLY by
+# bounded-cardinality keys sorts O(N/G) rows on each of G tasks forever —
+# at 100 TB a `PARTITION BY c_mktsegment` ntile is five 300M-row
+# single-task sorts. The SinglePartition fence above cannot see this (the
+# exchange is a hash exchange, just a degenerate one). Rule: every Window
+# node's partition spec must either
+#   (a) contain a key whose cardinality GROWS with the data
+#       (SCALING_WINDOW_KEYS — business ids, fingerprints, component
+#       labels) or a sharding KNOB key (_rbucket / shard: fixed count B
+#       chosen like shuffle.partitions, cutting per-task frames B×, the
+#       sharded_row_number / PACK_SHARD construction), or
+#   (b) be rank-limited in the same plan (a WindowGroupLimit with the
+#       same partition spec bounds surviving rows per group to k — Spark
+#       plans every rank<=k filter this way), or
+#   (c) carry a WINDOW_LOWCARD_ALLOWED entry naming the bounded frame the
+#       window actually runs over.
+# The four §2.5 distribution queries were rewritten onto
+# operators/ranks.py::sharded_row_number in r8 exactly to satisfy this
+# fence; their only remaining group-keyed window is the per-bucket offsets
+# cumsum over a ≤NUM_BUCKETS-row-per-group counts frame.
+SCALING_WINDOW_KEYS = {
+    "user_id", "o_custkey", "c_custkey", "l_partkey", "l_orderkey",
+    "doc_id", "vec_id", "probe_id", "fp", "label",
+    "_rbucket", "shard",
+}
+
+WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
+    "customer_spend_deciles": "offsets cumsum over ≤num_buckets-row-per-segment counts frame",
+    "order_value_distribution": "offsets cumsum over ≤num_buckets-row-per-segment counts frame",
+    "quality_quantile_normalize": "offsets cumsum over ≤num_buckets-row-per-source counts frame",
+    "supplier_percentile_ranks": "offsets cumsum over ≤num_buckets-row-per-nation counts frame",
+    "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
+}
+
+_WIN_RE = re.compile(r"Window \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$")
+_GROUPLIMIT_RE = re.compile(r"WindowGroupLimit \[([^\[\]]*)\]")
+
+
+def _norm_spec(spec: str) -> tuple:
+    return tuple(sorted(t.strip().split("#")[0] for t in spec.split(",") if t.strip()))
+
+
+def test_window_partition_keys_scale(plans):
+    offenders = []
+    for n, p in plans.items():
+        limited = {_norm_spec(m) for m in _GROUPLIMIT_RE.findall(p)}
+        for line in p.splitlines():
+            m = _WIN_RE.search(line)
+            if not m:
+                continue
+            cols = _norm_spec(m.group(1))
+            if not cols:
+                continue  # SinglePartition — fenced by the global-window test
+            if cols in limited:
+                continue  # rank<=k pushed down: k rows per group survive
+            if set(cols) & SCALING_WINDOW_KEYS:
+                continue
+            if n in WINDOW_LOWCARD_ALLOWED:
+                continue
+            offenders.append(f"{n}: Window partitioned by {cols}")
+    assert not offenders, (
+        "window partitions on bounded-cardinality keys (per-task frames "
+        f"grow with the corpus) — reshard or document: {sorted(set(offenders))}"
+    )
+
+
 def test_global_windows_only_documented(plans):
     offenders = [
         n for n, p in plans.items()

@@ -1,0 +1,106 @@
+"""sharded_row_number and its closed-form rank family vs Spark's own
+window rank functions — the operator that replaces low-cardinality-key
+windows (customer_spend_deciles / supplier_percentile_ranks /
+order_value_distribution / quality_quantile_normalize, r8).
+
+The equivalence claim is EXACT: for any frame with a total order,
+sharded_row_number == row_number() over the group window, and the
+ntile/percent_rank/cume_dist closed forms == the SQL rank functions.
+Randomized frames deliberately cover the regimes the closed forms get
+wrong if mis-derived: n < k (ntile buckets of one row), n % k != 0
+(front-loaded remainder — the floor((rn-1)k/n)+1 trap), duplicate sort
+values (bucket-boundary ties), single-row groups (percent_rank 0/0), and
+groups smaller than the bucket count.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from end_to_end_azure_data_engineering_spark.operators.ranks import (
+    cume_dist_expr,
+    ntile_expr,
+    percent_rank_expr,
+    sharded_row_number,
+)
+
+
+def _frame(spark, seed: int, n_rows: int, n_groups: int, val_space: int):
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(n_groups)}", rng.randrange(val_space), i)
+        for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, ["g", "v", "id"])
+
+
+CASES = [
+    # (seed, n_rows, n_groups, val_space, num_buckets, k)
+    (1, 500, 3, 40, 8, 10),     # heavy value ties across bucket boundaries
+    (2, 200, 1, 10_000, 32, 4),  # one group, distinct-ish values
+    (3, 97, 7, 5, 16, 10),       # n % k != 0 in every group, 5 values only
+    (4, 30, 25, 1_000, 8, 4),    # most groups smaller than k and buckets
+    (5, 64, 64, 100, 32, 7),     # many single-row groups (percent_rank 0/0)
+]
+
+
+@pytest.mark.parametrize("seed,n_rows,n_groups,val_space,buckets,k", CASES)
+def test_sharded_rank_family_matches_window(
+    spark, seed, n_rows, n_groups, val_space, buckets, k
+):
+    df = _frame(spark, seed, n_rows, n_groups, val_space)
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select(
+        "g",
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(k).over(w).alias("nt"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    got = sharded_row_number(
+        df, ["g"], ["v", "id"], num_buckets=buckets
+    ).select(
+        "g",
+        "id",
+        "rn",
+        ntile_expr("rn", "n_g", k).alias("nt"),
+        percent_rank_expr("rn", "n_g").alias("pr"),
+        cume_dist_expr("rn", "n_g").alias("cd"),
+    )
+    mismatch = (
+        expected.alias("e")
+        .join(got.alias("s"), ["g", "id"], "full")
+        .where(
+            ~F.col("e.rn").eqNullSafe(F.col("s.rn"))
+            | ~F.col("e.nt").eqNullSafe(F.col("s.nt"))
+            | ~F.col("e.pr").eqNullSafe(F.col("s.pr"))
+            | ~F.col("e.cd").eqNullSafe(F.col("s.cd"))
+        )
+    )
+    bad = mismatch.limit(5).collect()
+    assert not bad, bad
+
+
+def test_sharded_rank_no_wide_sort_partition(spark):
+    """The point of the operator: no Sort in the plan runs on a
+    partitioning coarser than (group, bucket). Assert the executed plan
+    hash-partitions on both keys before the ranking sort."""
+    df = _frame(spark, 0, 300, 2, 50)
+    plan = (
+        sharded_row_number(df, ["g"], ["v", "id"], num_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_rbucket" in plan.split("Window")[-1] or "hashpartitioning(g" in plan
+    # the ranking window itself must partition by (g, _rbucket)
+    import re
+
+    win_parts = re.findall(r"Window \[[^\n]*\], \[([^\]]*)\], \[", plan)
+    rank_windows = [p for p in win_parts if "_rbucket" in p]
+    assert rank_windows, f"no (group,bucket)-sharded window found: {win_parts}"
