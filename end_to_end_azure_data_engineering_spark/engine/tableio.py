@@ -305,6 +305,14 @@ class VersionedWarehouse(Warehouse):
     # Class attributes so tests can shrink them without patching code.
     LOCK_STEAL_AFTER = 600.0
     LOCK_HEARTBEAT = 60.0
+    # Steal horizon for the short-lived pointer lock in _publish. The lock
+    # protects microseconds of driver-side work, so any holder older than
+    # this crashed mid-publish; waiters steal rather than error (the wait
+    # deadline is sized PAST the horizon — a fixed 10 s deadline under a
+    # 60 s horizon turned one crashed publisher into TimeoutErrors for
+    # every publisher arriving in the next minute; found by the r8
+    # SIGKILL fault-injection test).
+    PTR_STEAL_AFTER = 60.0
 
     def __init__(self, spark, root, autovacuum_keep: int | None = None):
         super().__init__(spark, root)
@@ -767,7 +775,7 @@ class VersionedWarehouse(Warehouse):
         commit: the version directory exists and time-travel reads it."""
         base = self.path(namespace, table)
         lock = base / ".ptr.lock"
-        deadline = time.monotonic() + 10.0
+        deadline = time.monotonic() + self.PTR_STEAL_AFTER + 10.0
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -775,7 +783,7 @@ class VersionedWarehouse(Warehouse):
                 break
             except FileExistsError:
                 try:
-                    if time.time() - lock.stat().st_mtime > 60.0:
+                    if time.time() - lock.stat().st_mtime > self.PTR_STEAL_AFTER:
                         lock.unlink(missing_ok=True)
                         continue
                 except OSError:

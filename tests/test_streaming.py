@@ -600,3 +600,71 @@ def test_dedup_sink_partitioned_store_partition_local_compaction(
         for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
     }
     assert streamed == batch
+
+
+def test_dedup_sink_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """END-TO-END restart recovery (r8): a REAL file-source readStream
+    drives dedup_stream_sink through foreachBatch with a durable
+    checkpoint; the query is stopped, new files land, and the stream is
+    RESTARTED from the same checkpoint — twice, the second time with
+    nothing new to process. Spark's checkpointed file tracking plus the
+    sink's per-lineage replay watermark must together give exactly-once
+    folding across process-lifetime boundaries: the prior tests call the
+    sink directly, so the queryId/epoch plumbing Spark provides on
+    restart (same StreamingQuery.id, monotonically advancing batchId)
+    was never exercised for real."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.operators.neardup import dedup_corpus
+    from end_to_end_azure_data_engineering_spark.queries import load as qload
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        dedup_stream_sink, stream_files,
+    )
+
+    docs = qload(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    in_dir = str(tmp_path / "doc_drops")
+    cp = str(tmp_path / "cp")
+    wh = Warehouse(spark, str(tmp_path / "wh_restart"))
+    sink = dedup_stream_sink(wh, threshold=0.2)
+    schema = docs.schema
+
+    def run_stream():
+        q = (
+            stream_files(spark, in_dir, schema)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # life 1: first file drop
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+    # life 2: two more drops land while "down", restart from checkpoint
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+    # life 3: restart with NOTHING new — must fold nothing twice
+    run_stream()
+
+    sigs = wh.read("silver", "dedup_signatures")
+    assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
+    state = wh.read("silver", "dedup_components")
+    losers = {
+        r.node for r in state.filter(F.col("node") != F.col("label")).collect()
+    }
+    streamed = {r.doc_id for r in docs.collect() if r.doc_id not in losers}
+    batch = {
+        r.doc_id
+        for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert streamed == batch
