@@ -76,6 +76,7 @@ def sharded_row_number(
     rn: str = "rn",
     n: str = "n_g",
     num_buckets: int = 32,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (1-based, ordered by ``order_cols``
     ascending) without a per-group single-task sort.
@@ -84,7 +85,18 @@ def sharded_row_number(
     FIRST column must be numeric and non-null — it is the range-bucketing
     value. Adds ``rn`` (exact global rank within the group) and ``n``
     (exact group row count); all intermediate columns are dropped.
-    """
+
+    The construction evaluates ``df`` three times (boundary aggregate,
+    bucket counts, final rank). When the input is a bare column-pruned
+    scan that is three cheap parallel scans; when it is an expensive
+    join/aggregate, pass ``materialize=True`` to localCheckpoint the
+    input once (profiled at synthetic sf10: the customer_spend_deciles
+    spend aggregate alone is ~8.5 s warm, so recomputing it 3× dwarfs
+    the ~5.7 s of rank stages — the lazy twin in queries/lazy_stages.py
+    keeps the checkpointed upstream visible to the plan audit, the same
+    discipline as the mining stages)."""
+    if materialize:
+        df = df.localCheckpoint()
     val = F.col(order_cols[0]).cast("double")
     fracs = F.array(
         *[F.lit(i / num_buckets) for i in range(1, num_buckets)]

@@ -105,6 +105,23 @@ def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_edge_frame_lazy(li)
 
 
+def _spend_deciles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer_spend_deciles' full plan with the spend-aggregate
+    checkpoint disabled: upstream join+agg AND the sharded-rank stages
+    (bounds aggregate, bucket counts, offsets, (group,bucket) window)
+    all visible to the audit (r8)."""
+    from .relational_ext import customer_spend_deciles_plan
+
+    return customer_spend_deciles_plan(spark, sf_dir, materialize=False)
+
+
+def _order_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_value_distribution's full lazy plan (see above)."""
+    from .relational_ext import order_value_distribution_plan
+
+    return order_value_distribution_plan(spark, sf_dir, materialize=False)
+
+
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh:mine": _minhash_mine,
@@ -112,4 +129,6 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components_merge:mine": _incremental_mine,
         "pagerank_copurchase:mine": _copurchase_mine,
         "dedup_connected_components:round": _cc_round,
+        "customer_spend_deciles:rank": _spend_deciles_rank,
+        "order_value_distribution:rank": _order_value_rank,
     }

@@ -1171,6 +1171,39 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def order_value_distribution_plan(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Shared plan builder (registered query materializes the filtered
+    join before the three-pass rank; the lazy_stages twin keeps the
+    upstream visible to the plan audit)."""
+    from ..operators.ranks import (
+        cume_dist_expr,
+        ntile_expr,
+        percent_rank_expr,
+        sharded_row_number,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    ranked = sharded_row_number(
+        base,
+        ["c_mktsegment"],
+        ["o_totalprice", "o_orderkey"],
+        materialize=materialize,
+    )
+    return ranked.select(
+        "o_orderkey",
+        "c_mktsegment",
+        ntile_expr("rn", "n_g", 4).alias("value_quartile"),
+        percent_rank_expr("rn", "n_g").alias("pct_rank"),
+        cume_dist_expr("rn", "n_g").alias("cume"),
+    )
+
+
 @register(
     "order_value_distribution",
     oracle="""
@@ -1191,28 +1224,7 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     `PARTITION BY c_mktsegment` window still sorts O(N) rows on each of
     5 tasks — rewritten on sharded_row_number + the closed-form rank
     family (r8), hash-verified by the unchanged SQL window oracle."""
-    from ..operators.ranks import (
-        cume_dist_expr,
-        ntile_expr,
-        percent_rank_expr,
-        sharded_row_number,
-    )
-
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    c = load(spark, sf_dir, "customer")
-    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
-        "o_orderkey", "c_mktsegment", "o_totalprice"
-    )
-    ranked = sharded_row_number(
-        base, ["c_mktsegment"], ["o_totalprice", "o_orderkey"]
-    )
-    return ranked.select(
-        "o_orderkey",
-        "c_mktsegment",
-        ntile_expr("rn", "n_g", 4).alias("value_quartile"),
-        percent_rank_expr("rn", "n_g").alias("pct_rank"),
-        cume_dist_expr("rn", "n_g").alias("cume"),
-    )
+    return order_value_distribution_plan(spark, sf_dir, materialize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2666,6 +2678,38 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def customer_spend_deciles_plan(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Shared plan builder: the registered query materializes the spend
+    aggregate before the three-pass sharded rank; the lazy_stages twin
+    passes materialize=False so the audit sees the upstream join+agg."""
+    from ..operators.ranks import ntile_expr, sharded_row_number
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("ck"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"))
+    )
+    ranked = sharded_row_number(
+        spend, ["segment"], ["sp", "ck"], materialize=materialize
+    )
+    t = ranked.select(
+        "segment", "sp", ntile_expr("rn", "n_g", 10).alias("decile")
+    )
+    return t.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("sp").cast("double"), 2).alias("total_spend"),
+        F.round(F.min("sp").cast("double"), 2).alias("min_spend"),
+        F.round(F.max("sp").cast("double"), 2).alias("max_spend"),
+    )
+
+
 @register(
     "customer_spend_deciles",
     oracle="""
@@ -2697,28 +2741,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fence bans. Rewritten on sharded_row_number (range-bucketed exact
     rank, sorts on segments×buckets tasks) + the closed-form ntile; the
     unchanged DuckDB ntile() oracle hash-verifies equivalence."""
-    from ..operators.ranks import ntile_expr, sharded_row_number
-
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    spend = (
-        cust.join(orders, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("c_custkey").alias("ck"),
-        )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"))
-    )
-    ranked = sharded_row_number(spend, ["segment"], ["sp", "ck"])
-    t = ranked.select(
-        "segment", "sp", ntile_expr("rn", "n_g", 10).alias("decile")
-    )
-    return t.groupBy("segment", "decile").agg(
-        F.count("*").alias("n_customers"),
-        F.round(F.sum("sp").cast("double"), 2).alias("total_spend"),
-        F.round(F.min("sp").cast("double"), 2).alias("min_spend"),
-        F.round(F.max("sp").cast("double"), 2).alias("max_spend"),
-    )
+    return customer_spend_deciles_plan(spark, sf_dir, materialize=True)
 
 
 # ---------------------------------------------------------------------------

@@ -174,3 +174,36 @@ def test_sigkill_while_holding_pointer_lock_recovers(tmp_path):
         assert (vdir / "after.txt").exists()
     finally:
         VersionedWarehouse.PTR_STEAL_AFTER = orig
+
+
+def test_concurrent_writers_no_lost_appends(tmp_path):
+    """K healthy writer processes interleave insert_file commits against
+    one table. The append lock serializes link-forward chains, so the
+    final published snapshot must contain every writer's every file —
+    a lost update would drop a file from the chain silently. (The
+    counter-based cross-process test proves lock exclusion; this proves
+    the COMMIT protocol composes with it: claims, link-forward, publish
+    monotonicity.)"""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    root = tmp_path / "mw_wh"
+    k, n = 3, 40
+    procs = [_spawn(root, f"p{j}", n) for j in range(k)]
+    acked = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err[-2000:]
+        acked.extend(_acks(out))
+    assert len(acked) == k * n
+
+    wh = VersionedWarehouse(None, str(root))
+    cur = wh.current_version("silver", "t")
+    vdir = root / "silver" / "t" / f"_v{cur}"
+    missing = [
+        (tag, i)
+        for tag, i in acked
+        if not (vdir / f"f_{tag}_{i}.txt").exists()
+    ]
+    assert not missing, f"lost appends under concurrency: {missing[:10]}"
