@@ -668,3 +668,63 @@ def test_dedup_sink_stream_restart_from_checkpoint_exactly_once(spark, tmp_path)
         for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
     }
     assert streamed == batch
+
+
+def test_dedup_sink_crash_between_signature_and_state_publish(spark, tmp_path):
+    """The sink's documented crash window (ingest.py::dedup_stream_sink
+    docstring): signatures publish BEFORE state, so a crash between the
+    two must leave a replayable epoch — the replay's anti-join skips the
+    already-stored signatures and the state merge re-runs idempotently.
+    Inject the crash by failing the state-table overwrite once, then
+    replay the epoch and assert convergence to the batch result with
+    every signature stored exactly once."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import Warehouse
+    from end_to_end_azure_data_engineering_spark.operators.neardup import dedup_corpus
+    from end_to_end_azure_data_engineering_spark.queries import load as qload
+    from end_to_end_azure_data_engineering_spark.streaming.ingest import (
+        dedup_stream_sink,
+    )
+
+    docs = qload(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_crashwin"))
+    sink = dedup_stream_sink(wh, threshold=0.2)
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+
+    real_overwrite = wh.overwrite
+    crashed = {"n": 0}
+
+    def failing_overwrite(df, namespace, table, **kw):
+        if table == "dedup_components" and crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("injected crash after signature publish")
+        return real_overwrite(df, namespace, table, **kw)
+
+    wh.overwrite = failing_overwrite
+    batch1 = docs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        sink(batch1, 1)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    # epoch 1's signatures are durable, its state is not — the watermark
+    # still says epoch 0, so the replay must NOT be skipped
+    sigs_mid = wh.read("silver", "dedup_signatures")
+    assert sigs_mid.count() == docs.count()  # batch already stored
+    wh.overwrite = real_overwrite
+
+    sink(batch1, 1)  # the at-least-once replay after restart
+
+    sigs = wh.read("silver", "dedup_signatures")
+    assert sigs.count() == sigs.select("_id").distinct().count() == docs.count()
+    state = wh.read("silver", "dedup_components")
+    losers = {
+        r.node for r in state.filter(F.col("node") != F.col("label")).collect()
+    }
+    streamed = {r.doc_id for r in docs.collect() if r.doc_id not in losers}
+    batch = {
+        r.doc_id
+        for r in dedup_corpus(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert streamed == batch
