@@ -75,7 +75,7 @@ def sharded_row_number(
     *,
     rn: str = "rn",
     n: str = "n_g",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (1-based, ordered by ``order_cols``
@@ -95,6 +95,11 @@ def sharded_row_number(
     the ~5.7 s of rank stages — the lazy twin in queries/lazy_stages.py
     keeps the checkpointed upstream visible to the plan audit, the same
     discipline as the mining stages)."""
+    if num_buckets is None:
+        # the sort-shard knob defaults to the session's parallelism (like
+        # shuffle.partitions): more executors ⇒ finer shards ⇒ smaller
+        # per-task sort frames, with no semantic effect at any value
+        num_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism)
     if materialize:
         df = df.localCheckpoint()
     val = F.col(order_cols[0]).cast("double")
