@@ -159,6 +159,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.range(1).count()  # JVM warm-up
+    # Host contention stamp: on a shared host, external load inflates
+    # every sub-second query uniformly (r8: load ~5 from OUTSIDE the
+    # container turned ~20 tiny queries into 1.5-1.8x "regressions" that
+    # re-timed even slower in isolation). Recording 1/5/15-min load at
+    # both ends lets bench_compare and the driver separate machine noise
+    # from plan regressions.
+    load_start = os.getloadavg()
 
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
@@ -238,6 +245,10 @@ def main() -> None:
         "spread": spreads,
         "noise_band": noise,
         "sf": sf,
+        "load_avg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
     }
 
     # End-to-end pipeline run (VERDICT r3 item 5): ingestion → silver ×11 →
@@ -301,6 +312,7 @@ def main() -> None:
         "noise_band": noise,
         "sf": sf,
         "pipeline_total": out.get("pipeline_total"),
+        "load_avg": out["load_avg"],
         "full_results": str(full_path),
     }
     if errors:

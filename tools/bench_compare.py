@@ -70,6 +70,19 @@ def main() -> int:
         f"({t_new / max(t_old, 1e-9):.2f}x); noise envelope = "
         f"max(p95_spread {p95:.2f}, per-query spread) x {slack:.2f}"
     )
+    # Host-contention advisory (r8): external load inflates every small
+    # query uniformly; a many-query flag list under high recorded load is
+    # machine noise until isolated re-timing on a quiet host says otherwise.
+    for tag, art in (("old", old), ("new", new)):
+        la = art.get("load_avg")
+        if la:
+            print(f"  load_avg[{tag}]: start {la['start']} end {la['end']}")
+    new_la = (new.get("load_avg") or {}).get("start", [0])
+    if regressions and len(regressions) > 5 and new_la and new_la[0] > 2.0:
+        print(
+            f"  ADVISORY: {len(regressions)} flags under load_avg "
+            f"{new_la[0]:.1f} — likely host contention, re-run when quiet"
+        )
     for q, a, b, r, env in sorted(regressions, key=lambda x: -x[3]):
         print(f"  REGRESSED {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x > {env:.2f}x envelope)")
     for q, a, b, r in sorted(improved, key=lambda x: x[3])[:10]:
