@@ -294,7 +294,14 @@ def main() -> None:
     # it. Persist the complete per-query map to a committed file and keep
     # the final stdout line compact enough to survive the tail capture:
     # total, sf, n, and only the top-5 slowest queries inline.
-    full_path = REPO / "BENCH_LOCAL.json"
+    # Canonical-SF guard (r8): an ad-hoc verify run at sf0.01 silently
+    # overwrote the committed sf0.1 closing artifact and poisoned the
+    # round-over-round comparison. Only the canonical driver SF writes
+    # the committed artifact; other SFs write a sibling /tmp file.
+    if abs(sf - 0.1) < 1e-9:
+        full_path = REPO / "BENCH_LOCAL.json"
+    else:
+        full_path = Path(f"/tmp/bench_full_sf{sf}.json")
     try:
         full_path.write_text(json.dumps(out, indent=1) + "\n")
     except OSError as exc:
