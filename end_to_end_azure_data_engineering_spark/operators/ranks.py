@@ -175,3 +175,41 @@ def cume_dist_expr(rn_col: str, n_col: str):
     """``cume_dist`` under a total order: rn/n (no ties ⇒ the ≤-count is
     the row_number itself)."""
     return F.col(rn_col) / F.col(n_col)
+
+
+def with_tie_ranks(
+    ranked: DataFrame,
+    group_cols: list[str],
+    tie_cols: list[str],
+    *,
+    rn: str = "rn",
+    rank: str = "rank",
+    dense_rank: str = "dense_rank",
+) -> DataFrame:
+    """Tie-aware ``rank()`` / ``dense_rank()`` on top of a
+    ``sharded_row_number`` result — completing the SQL rank-function
+    family without any coarser shuffle than the ranking itself.
+
+    ``tie_cols`` are the ORDER columns WITHOUT the unique tiebreaker
+    (rows equal on them are SQL ties). Within one (group, tie-value)
+    class the row_numbers are consecutive, so:
+
+        rank       = min(rn) over the tie class
+        dense_rank = how many distinct tie classes have min(rn) ≤ mine
+                     = rank of the tie class itself, computed by ranking
+                       the (bounded-per-value) class frame
+
+    The class aggregation shuffles on (group, tie_cols) — cardinality ≥
+    the data's distinct sort values, never the G-partition shuffle this
+    module exists to remove. The class frame can itself be
+    data-sized (mostly-unique orderings ⇒ one class per row), so its
+    dense-rank numbering recurses through ``sharded_row_number`` on the
+    class min-rn (a unique numeric total order by construction) rather
+    than a per-group window."""
+    classes = ranked.groupBy(*group_cols, *tie_cols).agg(
+        F.min(rn).alias(rank)
+    )
+    classes = sharded_row_number(
+        classes, group_cols, [rank], rn=dense_rank, n="_n_classes"
+    ).drop("_n_classes")
+    return ranked.join(classes, [*group_cols, *tie_cols])

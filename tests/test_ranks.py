@@ -104,3 +104,41 @@ def test_sharded_rank_no_wide_sort_partition(spark):
     win_parts = re.findall(r"Window \[[^\n]*\], \[([^\]]*)\], \[", plan)
     rank_windows = [p for p in win_parts if "_rbucket" in p]
     assert rank_windows, f"no (group,bucket)-sharded window found: {win_parts}"
+
+
+@pytest.mark.parametrize("seed,n_rows,n_groups,val_space", [
+    (11, 400, 3, 12),   # heavy ties: ~11 classes per group
+    (12, 120, 5, 10_000),  # mostly unique: one class per row
+    (13, 60, 60, 4),    # single-row groups + tiny value space
+])
+def test_tie_aware_ranks_match_window(spark, seed, n_rows, n_groups, val_space):
+    """rank()/dense_rank() with TIES (ordering excludes the unique id):
+    with_tie_ranks must reproduce Spark's own rank functions, including
+    the mostly-unique regime where the tie-class frame is data-sized and
+    the dense numbering recurses through sharded_row_number."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        with_tie_ranks,
+    )
+
+    df = _frame(spark, seed, n_rows, n_groups, val_space)
+    w = W.partitionBy("g").orderBy("v")
+    expected = df.select(
+        "g",
+        "id",
+        F.rank().over(w).alias("rank"),
+        F.dense_rank().over(w).alias("dense_rank"),
+    )
+    ranked = sharded_row_number(df, ["g"], ["v", "id"], num_buckets=8)
+    got = with_tie_ranks(ranked, ["g"], ["v"]).select(
+        "g", "id", "rank", "dense_rank"
+    )
+    mismatch = (
+        expected.alias("e")
+        .join(got.alias("s"), ["g", "id"], "full")
+        .where(
+            ~F.col("e.rank").eqNullSafe(F.col("s.rank"))
+            | ~F.col("e.dense_rank").eqNullSafe(F.col("s.dense_rank"))
+        )
+    )
+    bad = mismatch.limit(5).collect()
+    assert not bad, bad
