@@ -82,7 +82,9 @@ def sharded_row_number(
     materialize: bool = False,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (1-based, ordered by ``order_cols``
-    ascending) without a per-group single-task sort.
+    ascending) without a per-group single-task sort. Empty ``group_cols``
+    = GLOBAL total order (rank over the whole frame, sorted on
+    ``num_buckets`` tasks — the scalable form of ``W.orderBy(...)``).
 
     ``order_cols`` must be a total order (unique tiebreaker last) and its
     FIRST column must be numeric and non-null — it is the range-bucketing
@@ -109,10 +111,16 @@ def sharded_row_number(
     fracs = F.array(
         *[F.lit(i / num_buckets) for i in range(1, num_buckets)]
     )
-    bounds = df.groupBy(*group_cols).agg(
+    aggs = (
         F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS),
         F.count("*").alias(n),
     )
+    # empty group_cols = GLOBAL total order: the boundary frame is ONE row
+    # and rides an explicit one-row broadcast crossJoin (a constant join
+    # key would constant-fold into a keyless BNLJ); everything downstream
+    # keys on the bucket column, so the data frame still shuffles only on
+    # the ~num_buckets bucket keys, never to a single partition.
+    bounds = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
     # Bucket assignment = #boundaries strictly below the sort value. The
     # obvious array-HOF form (aggregate over the per-group boundary
     # array) is interpreted per element — profiled at 20 s PER PASS over
@@ -131,11 +139,12 @@ def sharded_row_number(
         operator.add,
         [(val > F.col(c)).cast("int") for c in bcols],
     )
-    bucketed = (
+    joined = (
         df.join(bounds_wide, group_cols)
-        .withColumn(_BUCKET, bucket_chain)
-        .drop(*bcols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds_wide))
     )
+    bucketed = joined.withColumn(_BUCKET, bucket_chain).drop(*bcols)
 
     counts = bucketed.groupBy(*group_cols, _BUCKET).agg(
         F.count("*").alias(_BCNT)

@@ -122,6 +122,23 @@ def _order_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_value_distribution_plan(spark, sf_dir, materialize=False)
 
 
+def _gini_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_activity_gini's full lazy plan: the per-user events aggregate
+    AND the sharded GLOBAL rank stages (one-row bounds crossJoin, bucket
+    counts, ≤num_buckets-row offsets cumsum, bucket-keyed window)."""
+    from .relational_ext import user_activity_gini_plan
+
+    return user_activity_gini_plan(spark, sf_dir, materialize=False)
+
+
+def _pareto_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_pareto_curve's full lazy plan (sharded global rank over the
+    per-part revenue reduction, see above)."""
+    from .relational_ext import revenue_pareto_curve_plan
+
+    return revenue_pareto_curve_plan(spark, sf_dir, materialize=False)
+
+
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh:mine": _minhash_mine,
@@ -131,4 +148,6 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_connected_components:round": _cc_round,
         "customer_spend_deciles:rank": _spend_deciles_rank,
         "order_value_distribution:rank": _order_value_rank,
+        "user_activity_gini:rank": _gini_rank,
+        "revenue_pareto_curve:rank": _pareto_rank,
     }

@@ -2574,10 +2574,10 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # users, the one-number skew diagnostic that predicts hot-key trouble in
 # every user-keyed shuffle downstream. Exact rank formulation:
 # G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted per-user counts.
-# The global rank window runs over the per-user REDUCTION (one row per
-# user), never raw events — the same bounded-frame exception as the
-# documented vocabulary curves (PLANS.md global-window inventory). All
-# inputs to the final double expression are exact integers.
+# The rank runs over the per-user reduction — but users GROW with the
+# corpus, so it goes through sharded_row_number (global form), not a
+# one-task W.orderBy window: the sort shards on num_buckets range
+# buckets. All inputs to the final double expression are exact integers.
 # ---------------------------------------------------------------------------
 
 
@@ -2599,14 +2599,21 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r
     """,
 )
-def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_activity_gini_plan(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    from ..operators.ranks import sharded_row_number
+
     ev = load(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    r = c.select(
-        "n",
-        "user_id",
-        F.row_number().over(W.orderBy("n", "user_id")).alias("i"),
-    )
+    # the per-user frame grows with the corpus, so the global rank runs
+    # through sharded_row_number (empty group = global total order) —
+    # sorted on num_buckets tasks, never the one-task W.orderBy sort the
+    # r8 window fence bans for data-sized frames; the events aggregate is
+    # materialized once (lazy twin: user_activity_gini:rank)
+    r = sharded_row_number(
+        c, [], ["n", "user_id"], rn="i", n="_n_all", materialize=materialize
+    ).drop("_n_all")
     n_users = F.count("*").cast("double")
     total = F.sum("n").cast("double")
     return r.agg(
@@ -2688,13 +2695,17 @@ def customer_spend_deciles_plan(
 
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    spend = (
-        cust.join(orders, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("c_custkey").alias("ck"),
-        )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"))
+    # aggregate BELOW the join: orders collapse to one row per customer
+    # (map-side partial agg) before picking up the segment, so the join
+    # and every downstream shuffle move |customers| rows, not |orders| —
+    # at 100 TB that is the ~10× orders-per-customer factor off the wire.
+    # segment is functionally dependent on c_custkey, so the result is
+    # identical to grouping after the join (oracle unchanged).
+    ospend = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp")
+    )
+    spend = cust.join(ospend, ospend.ck == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "ck", "sp"
     )
     ranked = sharded_row_number(
         spend, ["segment"], ["sp", "ck"], materialize=materialize
@@ -3142,8 +3153,9 @@ def weekly_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Revenue Pareto curve — the 80/20 concentration profile: parts ranked into
 # revenue deciles, each decile's share of total revenue. Money accumulates
-# in DECIMAL; the decile window runs over the 2k-row PART reduction (the
-# documented bounded-frame exception) and the grand total is one broadcast
+# in DECIMAL; the part reduction GROWS with the corpus, so the decile rank
+# goes through sharded_row_number (global form — sorted on num_buckets
+# range-bucket tasks, never one) and the grand total is one broadcast
 # scalar row.
 # ---------------------------------------------------------------------------
 
@@ -3172,18 +3184,31 @@ def weekly_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY decile, t2.total
     """,
 )
-def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_pareto_curve_plan(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    from ..operators.ranks import ntile_expr, sharded_row_number
+
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
-    t = pr.select(
-        "l_partkey",
-        "rev",
-        F.ntile(10).over(W.orderBy(F.col("rev").desc(), "l_partkey")).alias(
-            "decile"
-        ),
+    if materialize:
+        # the lineitem reduction feeds the rank passes AND the grand
+        # total: checkpoint it once (lazy twin: revenue_pareto_curve:rank)
+        pr = pr.localCheckpoint()
+    # rev DESC == -rev ASC (decimal negation is exact); l_partkey breaks
+    # ties, so the sharded global rank reproduces the SQL ntile order
+    ranked = sharded_row_number(
+        pr.withColumn("_negrev", -F.col("rev")),
+        [],
+        ["_negrev", "l_partkey"],
+        rn="rn",
+        n="n_g",
+    ).drop("_negrev")
+    t = ranked.select(
+        "l_partkey", "rev", ntile_expr("rn", "n_g", 10).alias("decile")
     )
     tot = pr.agg(F.sum("rev").alias("total"))
     return (

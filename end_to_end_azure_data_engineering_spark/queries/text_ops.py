@@ -503,11 +503,12 @@ _VOCAB_SIZES = (10, 100, 1000)
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-design diagnostic: what fraction of the corpus token mass
     the top-N vocabulary entries cover (the curve that sizes a vocab before
-    training one). Explode → per-token counts → ONE globally-ordered
-    cumulative sum over the vocabulary frame — bounded by distinct-token
-    count, not corpus size, and explicitly single-partition (a vocabulary
-    fits one task even when the corpus doesn't; shard the cumsum by
-    frequency band if it ever didn't). Integer math throughout."""
+    training one). Explode → per-token counts → cumulative sum over ONLY
+    the top-max(_VOCAB_SIZES) entries: the cumsum at rank ≤ K depends on
+    nothing below K, so the frame is cut to 1,000 rows by orderBy+limit —
+    Spark plans that as TakeOrderedAndProject (per-partition top-K, then
+    merge), never a vocabulary-sized single-task sort even when the
+    distinct-token count grows with the corpus. Integer math throughout."""
     d = spread(load(spark, sf_dir, "documents"))
     from pyspark.sql.window import Window as W
 
@@ -516,8 +517,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )
+    top = freq.orderBy(F.col("c").desc(), F.col("t").asc()).limit(
+        max(_VOCAB_SIZES)
+    )
     w = W.orderBy(F.col("c").desc(), F.col("t").asc())
-    ranked = freq.select(
+    ranked = top.select(
         "c",
         F.row_number().over(w).alias("rk"),
         F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),

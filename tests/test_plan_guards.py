@@ -49,7 +49,8 @@ BNLJ_ALLOWED = {
     "minhash_band_candidates",       # broadcast 1-row candidate total
     "important_part_value",          # broadcast scalar threshold subquery
     "priority_share_drift",          # broadcast 1-row grand-total scalar
-    "revenue_pareto_curve",          # broadcast 1-row revenue total
+    "revenue_pareto_curve",          # broadcast 1-row revenue total + 1-row global rank bounds
+    "user_activity_gini",            # broadcast 1-row global rank bounds
     "ab_assignment_lift",            # two 1-row arm frames crossjoined
     "referential_integrity_audit",   # three 1-row audit counts crossjoined
     "label_balance_weights",         # broadcast 1-row total/k scalars
@@ -72,10 +73,13 @@ GLOBAL_WINDOW_ALLOWED = {
     "vocab_growth_curve",  # cumsum over the 10-row decile frame only
     "zipf_rank_freq",      # rank over the vocabulary-bound frequency frame
     "revenue_mom_growth",  # lag over one row per calendar month
-    "user_activity_gini",      # rank over one row per user (reduction)
     "orders_backlog_timeline",  # running sum over one row per day
-    "revenue_pareto_curve",     # ntile over the 2k-row part reduction
     "daily_revenue_trend",      # centered MA over one row per day
+    # sharded global ranks: the only remaining global window is the
+    # offsets cumsum over the ≤num_buckets-row bucket-counts frame — the
+    # data-sized sort itself shards on the bucket key (operators/ranks.py)
+    "user_activity_gini",
+    "revenue_pareto_curve",
     "peak_concurrent_sessions",  # running sum over one row per minute
 }
 
@@ -107,7 +111,8 @@ def test_no_cartesian_products(plans):
 def test_bnlj_only_where_bounded(plans):
     offenders = [
         n for n, p in plans.items()
-        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+        # lazy twins (name:stage) inherit the query's allowance
+        if "BroadcastNestedLoopJoin" in p and n.split(":")[0] not in BNLJ_ALLOWED
     ]
     assert not offenders, offenders
 
@@ -190,7 +195,8 @@ def test_global_windows_only_documented(plans):
         n for n, p in plans.items()
         if re.search(r"Exchange SinglePartition", p)
         and "Window" in p
-        and n not in GLOBAL_WINDOW_ALLOWED
+        # lazy twins (name:stage) inherit the query's allowance
+        and n.split(":")[0] not in GLOBAL_WINDOW_ALLOWED
     ]
     assert not offenders, offenders
 
@@ -293,6 +299,10 @@ BROADCAST_ALLOWED: dict[str, set[str]] = {
         "rates",                                               # PERSRC
     },
     "streaming/ingest.py": {"dim"},                            # CONTRACT
+    # global-rank path only (group_cols empty): bounds is ONE row — a
+    # global aggregate carrying num_buckets-1 boundary columns, bounded
+    # by the sort-shard knob, never by data
+    "operators/ranks.py": {"bounds_wide"},                     # SCALAR
 }
 
 
