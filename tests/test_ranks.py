@@ -106,6 +106,67 @@ def test_sharded_rank_no_wide_sort_partition(spark):
     assert rank_windows, f"no (group,bucket)-sharded window found: {win_parts}"
 
 
+@pytest.mark.parametrize("seed,n_rows,val_space,buckets,k", [
+    (21, 500, 40, 8, 10),      # heavy ties across bucket boundaries
+    (22, 200, 10_000, 32, 4),  # distinct-ish values
+    (23, 7, 5, 16, 10),        # n < k AND n < buckets
+])
+def test_global_sharded_rank_matches_window(
+    spark, seed, n_rows, val_space, buckets, k
+):
+    """EMPTY group_cols = global total order: the sharded rank must equal
+    `row_number() OVER (ORDER BY v, id)` (no partition) and the closed
+    forms must equal the global SQL rank functions — the form
+    user_activity_gini / revenue_pareto_curve run on."""
+    df = _frame(spark, seed, n_rows, 1, val_space).drop("g")
+    w = W.orderBy("v", "id")
+    expected = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(k).over(w).alias("nt"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    got = sharded_row_number(df, [], ["v", "id"], num_buckets=buckets).select(
+        "id",
+        "rn",
+        ntile_expr("rn", "n_g", k).alias("nt"),
+        percent_rank_expr("rn", "n_g").alias("pr"),
+        cume_dist_expr("rn", "n_g").alias("cd"),
+    )
+    mismatch = (
+        expected.alias("e")
+        .join(got.alias("s"), ["id"], "full")
+        .where(
+            ~F.col("e.rn").eqNullSafe(F.col("s.rn"))
+            | ~F.col("e.nt").eqNullSafe(F.col("s.nt"))
+            | ~F.col("e.pr").eqNullSafe(F.col("s.pr"))
+            | ~F.col("e.cd").eqNullSafe(F.col("s.cd"))
+        )
+    )
+    bad = mismatch.limit(5).collect()
+    assert not bad, bad
+
+
+def test_global_sharded_rank_no_single_partition_sort(spark):
+    """The global form must not sort the data frame on one task: the
+    ranking window partitions by the bucket column (a hash exchange on
+    ~num_buckets keys), and the only SinglePartition exchange feeds the
+    ≤num_buckets-row offsets cumsum, never a Sort of the data frame."""
+    df = _frame(spark, 0, 300, 1, 50).drop("g")
+    plan = (
+        sharded_row_number(df, [], ["v", "id"], num_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    win_parts = re.findall(r"Window \[[^\n]*\], \[([^\]]*)\], \[", plan)
+    rank_windows = [p for p in win_parts if "_rbucket" in p]
+    assert rank_windows, f"no bucket-sharded window found: {win_parts}"
+
+
 @pytest.mark.parametrize("seed,n_rows,n_groups,val_space", [
     (11, 400, 3, 12),   # heavy ties: ~11 classes per group
     (12, 120, 5, 10_000),  # mostly unique: one class per row
@@ -135,6 +196,33 @@ def test_tie_aware_ranks_match_window(spark, seed, n_rows, n_groups, val_space):
     mismatch = (
         expected.alias("e")
         .join(got.alias("s"), ["g", "id"], "full")
+        .where(
+            ~F.col("e.rank").eqNullSafe(F.col("s.rank"))
+            | ~F.col("e.dense_rank").eqNullSafe(F.col("s.dense_rank"))
+        )
+    )
+    bad = mismatch.limit(5).collect()
+    assert not bad, bad
+
+
+def test_global_tie_aware_ranks_match_window(spark):
+    """with_tie_ranks composes with the global form (empty group_cols)."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        with_tie_ranks,
+    )
+
+    df = _frame(spark, 14, 300, 1, 9).drop("g")
+    w = W.orderBy("v")
+    expected = df.select(
+        "id",
+        F.rank().over(w).alias("rank"),
+        F.dense_rank().over(w).alias("dense_rank"),
+    )
+    ranked = sharded_row_number(df, [], ["v", "id"], num_buckets=8)
+    got = with_tie_ranks(ranked, [], ["v"]).select("id", "rank", "dense_rank")
+    mismatch = (
+        expected.alias("e")
+        .join(got.alias("s"), ["id"], "full")
         .where(
             ~F.col("e.rank").eqNullSafe(F.col("s.rank"))
             | ~F.col("e.dense_rank").eqNullSafe(F.col("s.dense_rank"))
