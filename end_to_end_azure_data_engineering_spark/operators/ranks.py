@@ -59,8 +59,7 @@ closed forms are unaffected either way.
 
 from __future__ import annotations
 
-import operator
-from functools import reduce
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +68,81 @@ from pyspark.sql.window import Window as W
 __all__ = ["sharded_row_number"]
 
 _BNDS, _BUCKET, _BCNT, _BOFF, _LRN = "_bnds", "_rbucket", "_bcnt", "_boff", "_lrn"
+_COARSE, _FINE = "_rcoarse", "_rfine"
+
+# Single-level cap: above this the boundary unpack itself becomes the
+# bottleneck — O(B) join-side columns and an O(B)-node comparison
+# expression cost the DRIVER seconds-to-minutes of analysis + janino
+# compilation (measured on a 50k-row frame, where executor work is nil:
+# B=256 ≈ 15 s, B=2048 ≈ 57 s, and before the balanced-sum fix B=1024
+# StackOverflowed codegen outright). Past the cap the assignment goes
+# TWO-LEVEL (coarse ~√B cells, then fine within each cell): per-pass
+# width drops to √B columns, planning cost stays trivial, per-row work
+# is O(√B), and order consistency — hence exactness — is preserved
+# because (coarse, fine) is lexicographic in the sort value.
+_LEVEL_MAX = 128
+
+
+def _balanced_sum(exprs):
+    """Sum Column expressions as a BALANCED tree. ``reduce(add, ...)``
+    builds a left-deep chain whose depth equals the term count, and
+    Catalyst's codegen recurses once per Add node — at the cluster-scale
+    bucket counts this module is for (num_buckets ≈ cores/G, thousands),
+    a chained sum StackOverflows the codegen visitor (measured: B=1024
+    kills the executor; B=256 already costs seconds of analysis).
+    Pairwise folding keeps depth at ceil(log2(terms)) — 11 at B=2048."""
+    while len(exprs) > 1:
+        exprs = [
+            exprs[i] + exprs[i + 1] if i + 1 < len(exprs) else exprs[i]
+            for i in range(0, len(exprs), 2)
+        ]
+    return exprs[0]
+
+
+def _assign_buckets(
+    df: DataFrame,
+    keys: list[str],
+    val,
+    nb: int,
+    out: str,
+    *,
+    n: str | None = None,
+) -> DataFrame:
+    """One order-consistent bucketing pass: adds ``out`` (0..nb-1) to
+    ``df``. Per-``keys`` approximate-quantile boundaries ride the join
+    as nb-1 plain columns, and the bucket = #boundaries strictly below
+    the sort value. The obvious array-HOF form (aggregate over the
+    boundary array) is interpreted per element — profiled at 20 s PER
+    PASS over 10M rows, dwarfing the 1.2 s boundary aggregate and even
+    the single-task sort it replaces; the unpacked chain of scalar
+    comparisons compiles in whole-stage codegen (20 s → <1 s per pass).
+    Value ties share a bucket (strictly-below counting), so bucketing
+    is order-consistent with the caller's total order, and exactness
+    never depends on the boundary VALUES — any boundary set only shards
+    the downstream sort.
+
+    Empty ``keys`` = one boundary row on an explicit one-row broadcast
+    crossJoin (a constant join key would constant-fold into a keyless
+    BNLJ); otherwise a keyed join AQE broadcasts on its own. When ``n``
+    is given the exact per-``keys`` row count rides along."""
+    fracs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
+    aggs = [F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS)]
+    if n is not None:
+        aggs.append(F.count("*").alias(n))
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    bcols = [f"_b{i}" for i in range(nb - 1)]
+    bounds_wide = bounds.select(
+        *keys,
+        *([n] if n is not None else []),
+        *[F.col(_BNDS)[i].alias(c) for i, c in enumerate(bcols)],
+    )
+    chain = _balanced_sum([(val > F.col(c)).cast("int") for c in bcols])
+    joined = (
+        df.join(bounds_wide, keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds_wide))
+    )
+    return joined.withColumn(out, chain).drop(*bcols)
 
 
 def sharded_row_number(
@@ -92,7 +166,9 @@ def sharded_row_number(
     (exact group row count); all intermediate columns are dropped.
 
     The construction evaluates ``df`` three times (boundary aggregate,
-    bucket counts, final rank). When the input is a bare column-pruned
+    bucket counts, final rank; the two-level path above ``_LEVEL_MAX``
+    buckets adds one more for the fine-boundary aggregate). When the
+    input is a bare column-pruned
     scan that is three cheap parallel scans; when it is an expensive
     join/aggregate, pass ``materialize=True`` to localCheckpoint the
     input once (profiled at synthetic sf10: the customer_spend_deciles
@@ -108,43 +184,25 @@ def sharded_row_number(
     if materialize:
         df = df.localCheckpoint()
     val = F.col(order_cols[0]).cast("double")
-    fracs = F.array(
-        *[F.lit(i / num_buckets) for i in range(1, num_buckets)]
-    )
-    aggs = (
-        F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS),
-        F.count("*").alias(n),
-    )
-    # empty group_cols = GLOBAL total order: the boundary frame is ONE row
-    # and rides an explicit one-row broadcast crossJoin (a constant join
-    # key would constant-fold into a keyless BNLJ); everything downstream
-    # keys on the bucket column, so the data frame still shuffles only on
-    # the ~num_buckets bucket keys, never to a single partition.
-    bounds = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-    # Bucket assignment = #boundaries strictly below the sort value. The
-    # obvious array-HOF form (aggregate over the per-group boundary
-    # array) is interpreted per element — profiled at 20 s PER PASS over
-    # 10M rows, dwarfing the 1.2 s boundary aggregate and even the
-    # single-task sort it replaces. Unpacking the array into B-1 plain
-    # columns on the (G-row, AQE-broadcast) join side turns the count
-    # into a chain of scalar comparisons that whole-stage codegen
-    # compiles: measured 20 s → <1 s per pass, fully lazy, any G.
-    bcols = [f"_b{i}" for i in range(num_buckets - 1)]
-    bounds_wide = bounds.select(
-        *group_cols,
-        n,
-        *[F.col(_BNDS)[i].alias(c) for i, c in enumerate(bcols)],
-    )
-    bucket_chain = reduce(
-        operator.add,
-        [(val > F.col(c)).cast("int") for c in bcols],
-    )
-    joined = (
-        df.join(bounds_wide, group_cols)
-        if group_cols
-        else df.crossJoin(F.broadcast(bounds_wide))
-    )
-    bucketed = joined.withColumn(_BUCKET, bucket_chain).drop(*bcols)
+    if num_buckets <= _LEVEL_MAX:
+        bucketed = _assign_buckets(
+            df, group_cols, val, num_buckets, _BUCKET, n=n
+        )
+    else:
+        # two-level assignment (see _LEVEL_MAX): coarse cell first, then
+        # fine bucket WITHIN the cell — the fine boundaries aggregate
+        # groups on (group, coarse), still a proper partial aggregate,
+        # and the fine join is keyed on the same, so the global form
+        # pays its one-row broadcast crossJoin only at the coarse level.
+        coarse_n = math.isqrt(num_buckets - 1) + 1
+        fine_n = -(-num_buckets // coarse_n)
+        step1 = _assign_buckets(df, group_cols, val, coarse_n, _COARSE, n=n)
+        step2 = _assign_buckets(
+            step1, [*group_cols, _COARSE], val, fine_n, _FINE
+        )
+        bucketed = step2.withColumn(
+            _BUCKET, F.col(_COARSE) * fine_n + F.col(_FINE)
+        ).drop(_COARSE, _FINE)
 
     counts = bucketed.groupBy(*group_cols, _BUCKET).agg(
         F.count("*").alias(_BCNT)

@@ -45,6 +45,11 @@ CASES = [
     (3, 97, 7, 5, 16, 10),       # n % k != 0 in every group, 5 values only
     (4, 30, 25, 1_000, 8, 4),    # most groups smaller than k and buckets
     (5, 64, 64, 100, 32, 7),     # many single-row groups (percent_rank 0/0)
+    # num_buckets > _LEVEL_MAX engages the TWO-LEVEL (coarse, fine)
+    # assignment — the cluster-scale path (B ≈ cores/G). Heavy value
+    # ties ensure tied rows straddle would-be coarse AND fine cell
+    # boundaries; most groups far smaller than the bucket count.
+    (6, 400, 3, 30, 256, 5),
 ]
 
 
@@ -110,6 +115,7 @@ def test_sharded_rank_no_wide_sort_partition(spark):
     (21, 500, 40, 8, 10),      # heavy ties across bucket boundaries
     (22, 200, 10_000, 32, 4),  # distinct-ish values
     (23, 7, 5, 16, 10),        # n < k AND n < buckets
+    (24, 300, 40, 256, 6),     # two-level global form, heavy ties
 ])
 def test_global_sharded_rank_matches_window(
     spark, seed, n_rows, val_space, buckets, k
