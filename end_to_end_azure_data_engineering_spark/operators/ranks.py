@@ -197,6 +197,17 @@ def sharded_row_number(
         coarse_n = math.isqrt(num_buckets - 1) + 1
         fine_n = -(-num_buckets // coarse_n)
         step1 = _assign_buckets(df, group_cols, val, coarse_n, _COARSE, n=n)
+        # The fine-boundary percentile_approx is an ObjectHashAggregate —
+        # it breaks whole-stage codegen around the lazy coarse join it
+        # consumes, and the fine join then re-evaluates that whole
+        # pipeline again: measured 175 s vs 12 s PER PASS at B=2048 on a
+        # 15M-row frame. Pinning the coarse-assigned frame once bounds
+        # the cost at materialize + two cheap scans. This branch never
+        # runs in the committed local-B queries (B=32 ≤ _LEVEL_MAX), so
+        # the plan-audit surface is unchanged; at cluster B the eager
+        # checkpoint is the same materialize discipline the caller-level
+        # flag applies to expensive inputs.
+        step1 = step1.localCheckpoint()
         step2 = _assign_buckets(
             step1, [*group_cols, _COARSE], val, fine_n, _FINE
         )
