@@ -91,6 +91,41 @@ def test_sharded_rank_family_matches_window(
     assert not bad, bad
 
 
+@pytest.mark.parametrize("buckets", [8, 256])
+def test_sharded_rank_special_float_values(spark, buckets):
+    """The bucketing value column can carry the full double line:
+    negatives, ±0.0, ±1e308, ±Infinity and NaN (Spark orders NaN
+    LAST, > +Infinity, and the `val > boundary` comparison follows the
+    same total order, so a NaN boundary behaves as +inf and NaN rows
+    land in the top bucket — order consistency, hence exactness,
+    holds). Covers both the single-level (8) and two-level (256)
+    assignment paths."""
+    rng = random.Random(99)
+    special = [
+        float("nan"), float("inf"), float("-inf"),
+        -0.0, 0.0, -1e308, 1e308,
+    ]
+    rows = [
+        (
+            "g0",
+            rng.choice(special) if rng.random() < 0.15
+            else rng.uniform(-1e6, 1e6),
+            i,
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    got = sharded_row_number(df, ["g"], ["v", "id"], num_buckets=buckets)
+    bad = (
+        expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_sharded_rank_no_wide_sort_partition(spark):
     """The point of the operator: no Sort in the plan runs on a
     partitioning coarser than (group, bucket). Assert the executed plan
