@@ -281,6 +281,7 @@ def with_tie_ranks(
     rn: str = "rn",
     rank: str = "rank",
     dense_rank: str = "dense_rank",
+    materialize: bool = False,
 ) -> DataFrame:
     """Tie-aware ``rank()`` / ``dense_rank()`` on top of a
     ``sharded_row_number`` result — completing the SQL rank-function
@@ -301,11 +302,27 @@ def with_tie_ranks(
     data-sized (mostly-unique orderings ⇒ one class per row), so its
     dense-rank numbering recurses through ``sharded_row_number`` on the
     class min-rn (a unique numeric total order by construction) rather
-    than a per-group window."""
+    than a per-group window.
+
+    ``ranked`` is referenced twice (class aggregate + final join) and
+    the class frame three more times inside the recursion — Catalyst
+    plans DAG reuse as TREE DUPLICATION, so left lazy the full
+    construction re-derives the upstream rank pipeline ~40× (measured:
+    40 parquet scans, 58 exchanges, zero exchange reuse on a parts
+    frame). Pass ``materialize=True`` on any non-trivial input to pin
+    ``ranked`` once and the class frame once (same lazy-twin audit
+    discipline as ``sharded_row_number``'s own flag)."""
+    if materialize:
+        ranked = ranked.localCheckpoint()
     classes = ranked.groupBy(*group_cols, *tie_cols).agg(
         F.min(rn).alias(rank)
     )
     classes = sharded_row_number(
-        classes, group_cols, [rank], rn=dense_rank, n="_n_classes"
+        classes,
+        group_cols,
+        [rank],
+        rn=dense_rank,
+        n="_n_classes",
+        materialize=materialize,
     ).drop("_n_classes")
     return ranked.join(classes, [*group_cols, *tie_cols])

@@ -139,6 +139,15 @@ def _pareto_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_pareto_curve_plan(spark, sf_dir, materialize=False)
 
 
+def _tie_ranks_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_size_tie_ranks' full lazy plan: the outer sharded rank, the
+    tie-class min-rn aggregate, and the class frame's recursive sharded
+    numbering — all stages the eager pins hide from the audited query."""
+    from .relational_ext import part_size_tie_ranks_plan
+
+    return part_size_tie_ranks_plan(spark, sf_dir, materialize=False)
+
+
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh:mine": _minhash_mine,
@@ -150,4 +159,5 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_distribution:rank": _order_value_rank,
         "user_activity_gini:rank": _gini_rank,
         "revenue_pareto_curve:rank": _pareto_rank,
+        "part_size_tie_ranks:rank": _tie_ranks_rank,
     }

@@ -2806,6 +2806,48 @@ def supplier_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_size_tie_ranks",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+    """,
+)
+def part_size_tie_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware rank()/dense_rank() per brand over part size — p_size is
+    a 1..50 integer, so every (brand, size) class holds many tied rows:
+    the regime where rank != row_number and the closed forms don't
+    apply. Completes the oracle-gated rank-function surface for
+    ``with_tie_ranks`` (previously pytest-only): min-rn per tie class
+    gives rank, and the class frame's own sharded numbering gives
+    dense_rank — no shuffle coarser than (brand, size), never the
+    |brands|-partition window the rank fence bans. materialize=True pins
+    the ranked frame and the tie-class frame once (left lazy, the DAG
+    reuse plans as ~40 duplicated part scans); the lazy twin
+    `part_size_tie_ranks:rank` keeps the full pipeline audit-visible."""
+    return part_size_tie_ranks_plan(spark, sf_dir, materialize=True)
+
+
+def part_size_tie_ranks_plan(
+    spark: SparkSession, sf_dir: str, *, materialize: bool
+) -> DataFrame:
+    from ..operators.ranks import sharded_row_number, with_tie_ranks
+
+    p = load(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size")
+    ranked = sharded_row_number(p, ["p_brand"], ["p_size", "p_partkey"])
+    return with_tie_ranks(
+        ranked,
+        ["p_brand"],
+        ["p_size"],
+        rank="rnk",
+        dense_rank="drnk",
+        materialize=materialize,
+    ).select("p_brand", "p_partkey", "p_size", "rnk", "drnk")
+
+
 #: fixed per-part allocation budget (units) for the FIFO allocation demo —
 #: small enough that a realistic fraction of demand is backordered at any SF.
 FIFO_CAP = 400.0

@@ -154,6 +154,7 @@ WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
     "order_value_distribution": "offsets cumsum over ≤num_buckets-row-per-segment counts frame",
     "quality_quantile_normalize": "offsets cumsum over ≤num_buckets-row-per-source counts frame",
     "supplier_percentile_ranks": "offsets cumsum over ≤num_buckets-row-per-nation counts frame",
+    "part_size_tie_ranks": "offsets cumsums over ≤num_buckets-row-per-brand counts frames (outer rank + the tie-class recursion)",
     "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
 }
 
