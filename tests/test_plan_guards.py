@@ -123,6 +123,58 @@ def test_no_row_python_udfs(plans):
 
 
 # ---------------------------------------------------------------------------
+# Scan fan-out fence (late r8): Catalyst plans DAG reuse as TREE
+# DUPLICATION — a frame referenced k times re-derives its whole lineage k
+# times, scanning the table underneath k times (with_tie_ranks was caught
+# at 40 part scans / 58 exchanges / zero exchange reuse before its
+# materialize fix). Rule: no registered query may scan one table more than
+# SCAN_FANOUT_MAX times, except the documented batch-simulation demos
+# where each re-read is a pushdown-pruned SLICE standing in for a separate
+# incremental batch / funnel stage / n-gram pass (production runs of those
+# macro-ops materialize between merges — plans/pipeline.py goes through
+# the warehouse, so each merge branch scans a stored table, not a
+# re-derived lineage). Lazy twins (name:stage) are exempt: they exist to
+# expose the deliberately un-pinned pipeline to the other fences.
+SCAN_FANOUT_MAX = 4
+SCAN_FANOUT_ALLOWED = {
+    "scd2_as_of_snapshot": 12,  # three chained plan-form merges simulated from one table
+    "scd2_final_state": 7,      # two window-dedup batches + merge branches from one table
+    "idempotent_append": 7,     # two overlapping batch slices + replay, anti-join branches
+    "funnel_conversion": 6,     # one filtered scan per funnel stage (disjoint event-type slices)
+    "bigram_lift": 5,           # unigram/bigram/corpus-total passes over the token stream
+}
+
+_TABLE_RE = re.compile(r"(\w+)\.parquet")
+
+
+def test_table_scan_fanout(spark):
+    # NOT the shared toString fixture: executedPlan().toString() reprints
+    # a persisted frame's full child lineage at EVERY InMemoryRelation
+    # reference (embedding_top_eigen_power shows 22 embeddings "scans"
+    # that execute as one cache fill), so raw counts over it false-flag
+    # every persist() user. The formatted explain prints each scan
+    # operator once, so its per-table counts are the real fan-out.
+    from collections import Counter
+
+    offenders = []
+    for n, fn in ent.queries().items():
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        counts = Counter(_TABLE_RE.findall(plan))
+        cap = SCAN_FANOUT_ALLOWED.get(n, SCAN_FANOUT_MAX)
+        worst = [(t, c) for t, c in sorted(counts.items()) if c > cap]
+        if worst:
+            offenders.append(f"{n}: {worst} (cap {cap})")
+    assert not offenders, (
+        "table scanned more times than the fan-out cap — a lazy frame is "
+        "referenced repeatedly and re-derives its lineage per reference; "
+        f"pin it (materialize) or document the slice semantics: {offenders}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Low-cardinality window fence (r8): a Window that partitions ONLY by
 # bounded-cardinality keys sorts O(N/G) rows on each of G tasks forever —
 # at 100 TB a `PARTITION BY c_mktsegment` ntile is five 300M-row
