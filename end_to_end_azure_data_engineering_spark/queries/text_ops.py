@@ -1181,11 +1181,18 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed association order, so the rounded lift hashes cross-engine."""
     d = spread(load(spark, sf_dir, "documents"))
     toks = d.select(X.tokens(F.lower(F.col("text"))).alias("tk"))
+    # uni is referenced three times (both marginal joins + the token
+    # total) and bg twice (lift + the bigram total); Catalyst plans DAG
+    # reuse as tree duplication, so left lazy each reference re-tokenizes
+    # the corpus — 5 document scans for one query (scan fan-out fence).
+    # Persisting the two VOCABULARY-sized aggregates bounds tokenization
+    # at two passes (one cache fill each); the cached frames are tiny
+    # relative to the corpus at any scale.
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-    )
+    ).persist()
     bg = (
         toks.select(
             F.explode_outer(
@@ -1198,7 +1205,7 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p.w2").isNotNull())
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("n_bg"))
-    )
+    ).persist()
     totals = uni.agg(F.sum("n").alias("t_tokens")).crossJoin(
         F.broadcast(bg.agg(F.sum("n_bg").alias("t_bigrams")))
     )

@@ -141,7 +141,6 @@ SCAN_FANOUT_ALLOWED = {
     "scd2_final_state": 7,      # two window-dedup batches + merge branches from one table
     "idempotent_append": 7,     # two overlapping batch slices + replay, anti-join branches
     "funnel_conversion": 6,     # one filtered scan per funnel stage (disjoint event-type slices)
-    "bigram_lift": 5,           # unigram/bigram/corpus-total passes over the token stream
 }
 
 _TABLE_RE = re.compile(r"(\w+)\.parquet")
