@@ -93,8 +93,17 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             # deterministic checkpoint release (same mechanism as bench.py):
             # eager dedup/CC queries otherwise accumulate block-manager
-            # pressure across the 201-query sweep
+            # pressure across the 202-query sweep
             release_checkpoints(sdf)
+            # .persist() sites (signature frames, Gram matrix, vocabulary
+            # aggregates) register in the CacheManager by LOGICAL PLAN and
+            # stay there until unpersist/clearCache — object GC never
+            # removes the entry, so a full sweep would otherwise
+            # accumulate one cached frame per persist-using query.
+            # Correctness runs never reuse caches across queries; bench.py
+            # deliberately does NOT do this (its warm second run may reuse
+            # a query's own cached frames — documented methodology).
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
