@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import sketches as S
 from ..functions import text as X
 from .neardup import dedup_corpus, release_checkpoints
+from ..engine.pin import pin as _pin
 
 
 @dataclass
@@ -104,7 +105,7 @@ def curate_corpus(
         # including the near-dup pair/label CHECKPOINTS inside dedup_corpus
         # (plain unpersist only drops CacheManager entries; checkpoint
         # blocks need the LogicalRDD release, r4 verdict item 7)
-        out = deduped.localCheckpoint()
+        out = deduped.transform(_pin)
         for df in persisted:
             df.unpersist()
         release_checkpoints(deduped)

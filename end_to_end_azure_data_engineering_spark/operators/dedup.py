@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from ..engine.pin import pin as _pin
 
 
 def keep_latest(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
@@ -88,12 +89,12 @@ def connected_components(
     bidir = (
         edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
         .unionByName(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
-        .localCheckpoint()
+        .transform(_pin)
     )
     labels = (
         bidir.select(F.col("_n").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     hash_sum = labels.agg(F.sum(F.xxhash64("label").cast("decimal(38,0)"))).first()[0]
     converged = False
@@ -117,7 +118,7 @@ def connected_components(
         labels = (
             parts.groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .transform(_pin)
         )
         new_sum = labels.agg(F.sum(F.xxhash64("label").cast("decimal(38,0)"))).first()[0]
         if new_sum == hash_sum:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sketches as S
 from .dedup import connected_components
+from ..engine.pin import pin as _pin
 
 
 def near_dup_pairs(
@@ -50,7 +51,7 @@ def near_dup_pairs(
         # accumulated block-manager pressure progressively slowed every
         # later query in a long-lived session (2.5x run-to-run variance on
         # the downstream connected-components measured before this fix).
-        .localCheckpoint()
+        .transform(_pin)
     )
     sig.unpersist()
     return pairs
@@ -200,7 +201,7 @@ def near_dup_pairs_against(
     batch_ids = batch.select(F.col(id_col).alias("_id")).distinct()
     pairs = pairs_from_signatures(
         sig, threshold, batch_ids, bucket_cap=bucket_cap
-    ).localCheckpoint()
+    ).transform(_pin)
     sig.unpersist()
     return pairs
 
@@ -254,7 +255,7 @@ def containment_pairs(
     specialist alternative at 100 TB. Same eager/unpersist contract as
     near_dup_pairs."""
     lazy, sh = containment_pairs_lazy(docs, id_col, text_col, threshold)
-    pairs = lazy.localCheckpoint()
+    pairs = lazy.transform(_pin)
     sh.unpersist()
     return pairs
 

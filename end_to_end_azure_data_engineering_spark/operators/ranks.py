@@ -64,6 +64,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from ..engine.pin import pin as _pin
 
 __all__ = ["sharded_row_number"]
 
@@ -182,7 +183,7 @@ def sharded_row_number(
         # per-task sort frames, with no semantic effect at any value
         num_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism)
     if materialize:
-        df = df.localCheckpoint()
+        df = df.transform(_pin)
     val = F.col(order_cols[0]).cast("double")
     if num_buckets <= _LEVEL_MAX:
         bucketed = _assign_buckets(
@@ -207,7 +208,7 @@ def sharded_row_number(
         # the plan-audit surface is unchanged; at cluster B the eager
         # checkpoint is the same materialize discipline the caller-level
         # flag applies to expensive inputs.
-        step1 = step1.localCheckpoint()
+        step1 = step1.transform(_pin)
         step2 = _assign_buckets(
             step1, [*group_cols, _COARSE], val, fine_n, _FINE
         )
@@ -313,7 +314,7 @@ def with_tie_ranks(
     ``ranked`` once and the class frame once (same lazy-twin audit
     discipline as ``sharded_row_number``'s own flag)."""
     if materialize:
-        ranked = ranked.localCheckpoint()
+        ranked = ranked.transform(_pin)
     classes = ranked.groupBy(*group_cols, *tie_cols).agg(
         F.min(rn).alias(rank)
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import sketches as S
 from ..functions import text as X
 from . import load, register, spread
+from ..engine.pin import pin as _pin
 
 # Hard ceiling for the deliberately-bounded all-pairs ground-truth evals
 # below. 50k rows is the outer limit of a sane exact-eval slice: the pair
@@ -536,8 +537,8 @@ def incremental_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new-old collisions only)
     new_pairs = pairs_from_signatures(
         sig, threshold=0.2, batch_ids=sig.select("_id").filter(F.col("_id") % 3 == 0)
-    ).select("id_a", "id_b").localCheckpoint()
-    old_state = connected_components(old_pairs.localCheckpoint(), "id_a", "id_b")
+    ).select("id_a", "id_b").transform(_pin)
+    old_state = connected_components(old_pairs.transform(_pin), "id_a", "id_b")
     sig.unpersist()
     merged_edges = old_state.select(
         F.col("node").alias("id_a"), F.col("label").alias("id_b")
@@ -665,7 +666,7 @@ def minhash_jaccard_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(n_match.cast("double") / S.K, 6).alias("est_jaccard"),
             F.round("jaccard", 6).alias("exact_jaccard"),
         )
-        .localCheckpoint()
+        .transform(_pin)
     )
     sig.unpersist()
     return out
@@ -751,7 +752,7 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("jaccard_decile")
         .agg(F.count("*").alias("n_pairs"))
-        .localCheckpoint()
+        .transform(_pin)
     )
     sig.unpersist()
     return out

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from . import epoch_us, load, register
+from ..engine.pin import pin as _pin
 
 # ---------------------------------------------------------------------------
 # As-of join — for each purchase event, the latest strictly-earlier click of
@@ -2051,7 +2052,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # materialize the (bounded: >=2-support pairs) edge+degree frame once —
     # three iterations reuse it instead of re-mining the self-join 3x
-    ew = copurchase_edge_frame_lazy(li).localCheckpoint()
+    ew = copurchase_edge_frame_lazy(li).transform(_pin)
     ranks = ew.select(F.col("src").alias("node")).distinct().withColumn(
         "r", F.lit(1_000_000).cast("long")
     )
@@ -2125,7 +2126,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three self-join branches below: materialize the (bounded,
         # >=2-support) edge list once instead of re-mining the per-order
         # self-join three times
-        .localCheckpoint()
+        .transform(_pin)
     )
     e1 = pairs.select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
     e2 = pairs.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c"))
@@ -3239,7 +3240,7 @@ def revenue_pareto_curve_plan(
     if materialize:
         # the lineitem reduction feeds the rank passes AND the grand
         # total: checkpoint it once (lazy twin: revenue_pareto_curve:rank)
-        pr = pr.localCheckpoint()
+        pr = pr.transform(_pin)
     # rev DESC == -rev ASC (decimal negation is exact); l_partkey breaks
     # ties, so the sharded global rank reproduces the SQL ntile order
     ranked = sharded_row_number(

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window as W
 from ..functions import sketches as S
 from ..functions import text as X
 from . import load, register, spread
+from ..engine.pin import pin as _pin
 
 
 @register(
@@ -1059,7 +1060,7 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise evaluates the k-gram/zip_with chain twice; sketching is
     # the dominant cost, per the 940s-vs-1s note in _winnow_sketch). Same
     # precedent as near_dup_pairs' checkpointed signature frame.
-    all_marks = fp.select("doc_id", F.explode_outer("_fp").alias("h")).localCheckpoint()
+    all_marks = fp.select("doc_id", F.explode_outer("_fp").alias("h")).transform(_pin)
     # stop-fingerprint screen: marks held by > _MAX_MARK_DOCS docs are
     # dropped before the self-join — precision (boilerplate marks assert
     # nothing about copying) AND the hard fan-out bound (194x blowup on

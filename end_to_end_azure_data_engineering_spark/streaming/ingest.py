@@ -33,6 +33,7 @@ from ..engine.clock import Clock, SystemClock
 from ..engine.tableio import Warehouse
 from ..operators.dedup import latest_by_recency
 from ..operators.scd2 import scd2_init, scd2_merge
+from ..engine.pin import pin as _pin
 
 
 def _query_lineage_id(spark: SparkSession) -> str:
@@ -635,7 +636,7 @@ def dedup_stream_sink(
             if old_state is not None
             else new_pairs
         )
-        new_state = connected_components(edges, "id_a", "id_b").localCheckpoint()
+        new_state = connected_components(edges, "id_a", "id_b").transform(_pin)
 
         # publish order matters: signatures first (replay-safe via the
         # anti-join), THEN the state carrying the epoch high-water mark —
