@@ -38,6 +38,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/end_to_end_azure_data_engineering_warehouse"
     ),
+    # reliable-tier pinning (engine.pin): when a deployment sets a
+    # checkpoint dir, every pin site writes reliable checkpoints — this
+    # lets the ContextCleaner delete their rdd files once the frames are
+    # garbage, so a long-lived session doesn't grow the checkpoint dir
+    # without bound. No effect on the local localCheckpoint tier.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 
