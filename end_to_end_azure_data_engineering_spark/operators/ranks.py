@@ -91,7 +91,10 @@ def _balanced_sum(exprs):
     bucket counts this module is for (num_buckets ≈ cores/G, thousands),
     a chained sum StackOverflows the codegen visitor (measured: B=1024
     kills the executor; B=256 already costs seconds of analysis).
-    Pairwise folding keeps depth at ceil(log2(terms)) — 11 at B=2048."""
+    Pairwise folding keeps depth at ceil(log2(terms)) — 11 at B=2048.
+    Zero terms = zero (num_buckets=1: no boundaries, one bucket)."""
+    if not exprs:
+        return F.lit(0)
     while len(exprs) > 1:
         exprs = [
             exprs[i] + exprs[i + 1] if i + 1 < len(exprs) else exprs[i]

@@ -91,6 +91,30 @@ def test_sharded_rank_family_matches_window(
     assert not bad, bad
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_rank_property_fuzz(spark, seed):
+    """Randomized regime fuzz beyond the curated CASES: group count,
+    tie density (val_space=1 is ALL ties — every row lands in one
+    bucket, the documented skew caveat, and exactness must still hold),
+    and bucket counts spanning degenerate (1), single-level, and
+    two-level (>_LEVEL_MAX) assignment."""
+    rng = random.Random(1000 + seed)
+    n_rows = rng.randrange(1, 400)
+    n_groups = rng.randrange(1, 30)
+    val_space = rng.choice([1, 2, 5, 10_000])
+    buckets = rng.choice([1, 2, 3, 31, 64, 150, 300])
+    df = _frame(spark, 2000 + seed, n_rows, n_groups, val_space)
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    got = sharded_row_number(df, ["g"], ["v", "id"], num_buckets=buckets)
+    bad = (
+        expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0, (n_rows, n_groups, val_space, buckets)
+
+
 @pytest.mark.parametrize("buckets", [8, 256])
 def test_sharded_rank_special_float_values(spark, buckets):
     """The bucketing value column can carry the full double line:
