@@ -11,6 +11,16 @@ family the reference never needed (its windows key on business ids,
 4_silver/silver_transactions.py:106-116) but our §2.5 distribution
 queries do.
 
+The entry point is ADAPTIVE (r9): when ``num_buckets`` is left to
+default, a one-pass probe measures the heaviest group. Below
+``SMALL_GROUP_ROWS`` the plain window wins — its single sort per group
+is cheaper than the sharded construction's three passes — and is safe
+(the frame provably fits one task), so that path is taken. Above it the
+sharded construction engages, with a skew guard (below) enforcing the
+tie contract the r8 version only documented. Passing ``num_buckets``
+explicitly pins the sharded path unconditionally (no probe, no guard) —
+the unit-test and plan-audit hook.
+
 ``sharded_row_number`` computes the SAME exact global row_number per
 group with every shuffle and sort keyed on ``(group, range-bucket)``:
 
@@ -34,7 +44,7 @@ nondeterminism — is invisible in the output. The unchanged
 ntile/percent_rank/cume_dist DuckDB oracles hash-verify the closed
 forms downstream:
 
-    ntile(k)     = floor((rn-1)*k/n) + 1           [unique ordering]
+    ntile(k)     = front-loaded piecewise form (see ntile_expr)
     percent_rank = (rn-1)/(n-1)   (0.0 when n = 1)
     cume_dist    = rn/n
 
@@ -42,34 +52,67 @@ All three closed forms require the caller to pass a TOTAL order (append
 a unique tiebreaker): with ties ``rank() != row_number`` and the closed
 forms would drift from the SQL rank functions.
 
+NULL group keys are first-class (r9, after the r8 ADVICE finding): all
+internal joins use null-safe equality, so a NULL-keyed group ranks
+exactly like the window version's NULL partition instead of silently
+vanishing. The FIRST order column must still be numeric and non-null
+(it is the range-bucketing value).
+
 At 100 TB: ``num_buckets`` is the sort-shard knob — per-task sort frames
 shrink by B×, chosen like ``spark.sql.shuffle.partitions`` (B ≈
 cluster-cores / G). The boundary aggregate and both joins stay keyed;
 the offsets frame is G×B rows, which AQE broadcasts on its own (no
 explicit hint — the bounded-broadcast fence applies).
 
-Skew caveat: rows TIED on the bucketing value cannot be split across
-buckets (order consistency forbids it), so the per-task bound is
-``max(n_g/B, heaviest duplicate value count)``. For the quality-score /
-balance / price frames here ties are a vanishing fraction; a frame
-dominated by one value (e.g. ranking a boolean) would need a
-higher-resolution first sort key, which is a caller decision — the
-closed forms are unaffected either way.
+Skew contract (ENFORCED since r9): rows TIED on the bucketing value
+cannot be split across buckets (order consistency forbids it), so the
+per-task bound is ``max(n_g/B, heaviest duplicate value count)``. The
+adaptive probe measures the bucketing value's distinct count per big
+group; when a group above the small threshold has fewer than
+``_SKEW_DISTINCT_FACTOR × num_buckets`` distinct values the bucket
+count is clamped to what the value resolution supports (loud
+``warnings.warn``), and a near-constant value (under
+``_SKEW_MIN_DISTINCT`` distincts — a boolean-like sort key) raises
+instead of silently recreating the single-task sort. The fix is a
+caller decision either way: a higher-resolution first sort key.
 """
 
 from __future__ import annotations
 
+import functools
+import itertools
 import math
+import operator
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 from ..engine.pin import pin as _pin
 
-__all__ = ["sharded_row_number"]
+__all__ = ["sharded_row_number", "with_tie_ranks", "SMALL_GROUP_ROWS"]
 
 _BNDS, _BUCKET, _BCNT, _BOFF, _LRN = "_bnds", "_rbucket", "_bcnt", "_boff", "_lrn"
 _COARSE, _FINE = "_rcoarse", "_rfine"
+
+# Adaptive switch (r9 verdict item 1): heaviest-group row count at or
+# below which the plain per-group window is used instead of the sharded
+# construction. A 2M-row single-task sort of narrow rank rows is
+# sub-second on any executor — far below the sharded path's fixed cost
+# of two extra full passes plus two keyed joins — and bounded per-task
+# memory (~hundreds of MB) at any cluster size. Above it the per-task
+# frame grows with the data and the sharded path is mandatory. The probe
+# that measures it is one map-side-combinable aggregate pass.
+SMALL_GROUP_ROWS = 2_000_000
+
+# Skew-contract enforcement (r9 verdict item 3): a big group needs at
+# least FACTOR × num_buckets distinct bucketing values for the range
+# buckets to stay balanced (ties cannot split). Below that, clamp B to
+# distinct/FACTOR (per-task ≈ FACTOR× the average duplicate run — still
+# sharded, loudly warned); below MIN_DISTINCT the value is boolean-like
+# and no bucket count helps — fail instead of a silent one-task sort.
+_SKEW_DISTINCT_FACTOR = 4
+_SKEW_MIN_DISTINCT = 32
 
 # Single-level cap: above this the boundary unpack itself becomes the
 # bottleneck — O(B) join-side columns and an O(B)-node comparison
@@ -82,6 +125,32 @@ _COARSE, _FINE = "_rcoarse", "_rfine"
 # is O(√B), and order consistency — hence exactness — is preserved
 # because (coarse, fine) is lexicographic in the sort value.
 _LEVEL_MAX = 128
+
+_JOIN_SEQ = itertools.count()
+
+
+def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner equi-join on ``keys`` with SQL ``<=>`` semantics: NULL keys
+    match NULL keys instead of silently dropping the row (the r8 ADVICE
+    finding — a plain ``df.join(other, keys)`` loses every NULL-keyed
+    group, where the window versions kept a NULL partition).
+    ``EqualNullSafe`` is still an equi-join predicate, so the plan stays
+    a hash-partitioned SortMergeJoin / BroadcastHashJoin — no BNLJ.
+    Output = all of ``left``'s columns then ``right``'s non-key columns,
+    the same shape as the name-list join it replaces."""
+    la, ra = f"_nsj{next(_JOIN_SEQ)}l", f"_nsj{next(_JOIN_SEQ)}r"
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"{la}.{k}").eqNullSafe(F.col(f"{ra}.{k}")) for k in keys],
+    )
+    return (
+        left.alias(la)
+        .join(right.alias(ra), cond)
+        .select(
+            *[F.col(f"{la}.{c}") for c in left.columns],
+            *[F.col(f"{ra}.{c}") for c in right.columns if c not in keys],
+        )
+    )
 
 
 def _balanced_sum(exprs):
@@ -127,8 +196,9 @@ def _assign_buckets(
 
     Empty ``keys`` = one boundary row on an explicit one-row broadcast
     crossJoin (a constant join key would constant-fold into a keyless
-    BNLJ); otherwise a keyed join AQE broadcasts on its own. When ``n``
-    is given the exact per-``keys`` row count rides along."""
+    BNLJ); otherwise a null-safe keyed join (NULL groups rank too) that
+    AQE broadcasts on its own. When ``n`` is given the exact per-``keys``
+    row count rides along."""
     fracs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     aggs = [F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS)]
     if n is not None:
@@ -142,11 +212,27 @@ def _assign_buckets(
     )
     chain = _balanced_sum([(val > F.col(c)).cast("int") for c in bcols])
     joined = (
-        df.join(bounds_wide, keys)
+        _nullsafe_join(df, bounds_wide, keys)
         if keys
         else df.crossJoin(F.broadcast(bounds_wide))
     )
     return joined.withColumn(out, chain).drop(*bcols)
+
+
+def _plain_row_number(
+    df: DataFrame, group_cols: list[str], order_cols: list[str], rn: str, n: str
+) -> DataFrame:
+    """The small-frame path: one window sort per group, identical output
+    schema/order to the sharded construction (…input cols, n, rn)."""
+    w_rank = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    ).orderBy(*order_cols)
+    w_cnt = W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    return df.select(
+        *df.columns,
+        F.count("*").over(w_cnt).alias(n),
+        F.row_number().over(w_rank).cast("bigint").alias(rn),
+    )
 
 
 def sharded_row_number(
@@ -158,36 +244,90 @@ def sharded_row_number(
     n: str = "n_g",
     num_buckets: int | None = None,
     materialize: bool = False,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     """Exact per-group ``row_number`` (1-based, ordered by ``order_cols``
-    ascending) without a per-group single-task sort. Empty ``group_cols``
-    = GLOBAL total order (rank over the whole frame, sorted on
-    ``num_buckets`` tasks — the scalable form of ``W.orderBy(...)``).
+    ascending) without an unbounded per-group single-task sort. Empty
+    ``group_cols`` = GLOBAL total order (rank over the whole frame,
+    sorted on ``num_buckets`` tasks — the scalable form of
+    ``W.orderBy(...)``).
 
     ``order_cols`` must be a total order (unique tiebreaker last) and its
     FIRST column must be numeric and non-null — it is the range-bucketing
-    value. Adds ``rn`` (exact global rank within the group) and ``n``
-    (exact group row count); all intermediate columns are dropped.
+    value. ``group_cols`` MAY contain NULLs (null-safe joins throughout).
+    Adds ``rn`` (exact global rank within the group) and ``n`` (exact
+    group row count); all intermediate columns are dropped.
 
-    The construction evaluates ``df`` three times (boundary aggregate,
-    bucket counts, final rank; the two-level path above ``_LEVEL_MAX``
-    buckets adds one more for the fine-boundary aggregate). When the
-    input is a bare column-pruned
-    scan that is three cheap parallel scans; when it is an expensive
-    join/aggregate, pass ``materialize=True`` to localCheckpoint the
-    input once (profiled at synthetic sf10: the customer_spend_deciles
-    spend aggregate alone is ~8.5 s warm, so recomputing it 3× dwarfs
-    the ~5.7 s of rank stages — the lazy twin in queries/lazy_stages.py
+    ADAPTIVE (r9): with ``num_buckets=None`` (the query-layer default) a
+    one-pass probe measures the heaviest group and the bucketing value's
+    distinct count. Heaviest group ≤ ``small_group_rows`` (default
+    ``SMALL_GROUP_ROWS``) ⇒ the plain window path — provably one bounded
+    task per group, and cheaper than three passes at that size. Bigger ⇒
+    the sharded construction, with the tie-skew contract enforced (clamp
+    ``num_buckets`` to the value resolution with a warning; raise on a
+    boolean-like bucketing value — see the module docstring). BOTH paths
+    produce byte-identical output, hash-verified by the same oracles.
+    ``small_group_rows=0`` skips the probe and forces the sharded path
+    (the lazy_stages twins use this so the plan audit always fences the
+    100 TB shape). An EXPLICIT ``num_buckets`` also pins the sharded
+    path with no probe — the unit-test hook.
+
+    The sharded construction evaluates ``df`` three times (boundary
+    aggregate, bucket counts, final rank; the two-level path above
+    ``_LEVEL_MAX`` buckets adds one more for the fine-boundary
+    aggregate); the adaptive probe adds one more map-side-combinable
+    aggregate pass. When the input is a bare column-pruned scan those
+    are cheap parallel scans; when it is an expensive join/aggregate,
+    pass ``materialize=True`` to localCheckpoint the input once
+    (profiled at synthetic sf10: the customer_spend_deciles spend
+    aggregate alone is ~8.5 s warm, so recomputing it 3× dwarfs the
+    ~5.7 s of rank stages — the lazy twin in queries/lazy_stages.py
     keeps the checkpointed upstream visible to the plan audit, the same
     discipline as the mining stages)."""
+    if materialize:
+        df = df.transform(_pin)
+    val = F.col(order_cols[0]).cast("double")
     if num_buckets is None:
+        thr = SMALL_GROUP_ROWS if small_group_rows is None else small_group_rows
+        min_d_big = None
+        if thr > 0:
+            grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+            stats = grouped.agg(
+                F.count("*").alias("_pn"),
+                F.approx_count_distinct(val).alias("_pd"),
+            )
+            probe = stats.agg(
+                F.max("_pn").alias("_mx"),
+                F.min(F.when(F.col("_pn") > thr, F.col("_pd"))).alias("_md"),
+            ).first()
+            if (probe["_mx"] or 0) <= thr:
+                return _plain_row_number(df, group_cols, order_cols, rn, n)
+            min_d_big = probe["_md"]
         # the sort-shard knob defaults to the session's parallelism (like
         # shuffle.partitions): more executors ⇒ finer shards ⇒ smaller
         # per-task sort frames, with no semantic effect at any value
         num_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism)
-    if materialize:
-        df = df.transform(_pin)
-    val = F.col(order_cols[0]).cast("double")
+        if min_d_big is not None and min_d_big < _SKEW_DISTINCT_FACTOR * num_buckets:
+            if min_d_big < _SKEW_MIN_DISTINCT:
+                raise ValueError(
+                    f"sharded_row_number: bucketing value {order_cols[0]!r} has "
+                    f"~{min_d_big} distinct values in a group larger than "
+                    f"{thr} rows — range buckets cannot split ties, so the "
+                    "sort would collapse back to a near-single-task frame. "
+                    "Use a higher-resolution first sort key (or pass an "
+                    "explicit num_buckets to assert the skew is acceptable)."
+                )
+            clamped = max(2, int(min_d_big) // _SKEW_DISTINCT_FACTOR)
+            warnings.warn(
+                f"sharded_row_number: bucketing value {order_cols[0]!r} has "
+                f"~{min_d_big} distinct values — clamping num_buckets "
+                f"{num_buckets}→{clamped}; per-task sort frames are bounded "
+                f"by the heaviest duplicate run (~{_SKEW_DISTINCT_FACTOR}× "
+                "the average). A higher-resolution first sort key restores "
+                "full sharding.",
+                stacklevel=2,
+            )
+            num_buckets = clamped
     if num_buckets <= _LEVEL_MAX:
         bucketed = _assign_buckets(
             df, group_cols, val, num_buckets, _BUCKET, n=n
@@ -237,11 +377,21 @@ def sharded_row_number(
 
     w_local = W.partitionBy(*group_cols, _BUCKET).orderBy(*order_cols)
     return (
-        bucketed.join(offsets, [*group_cols, _BUCKET])
+        _nullsafe_join(bucketed, offsets, [*group_cols, _BUCKET])
         .withColumn(_LRN, F.row_number().over(w_local))
         .withColumn(rn, (F.col(_BOFF) + F.col(_LRN)).cast("bigint"))
         .drop(_BUCKET, _BOFF, _LRN)
     )
+
+
+def _idiv(a, b):
+    """Exact floor division for NON-NEGATIVE bigint columns at ANY
+    magnitude. ``F.floor(a / b)`` divides as doubles and silently loses
+    exactness past 2^53 rows (the r8 ADVICE finding); here ``a - a % b``
+    is an exact multiple of ``b`` computed in integer arithmetic, and a
+    DECIMAL(38,0) division of an exact multiple is an exact integer —
+    no rounding at any representable bigint."""
+    return ((a - a % b).cast("decimal(38,0)") / b).cast("bigint")
 
 
 def ntile_expr(rn_col: str, n_col: str, k: int):
@@ -251,15 +401,17 @@ def ntile_expr(rn_col: str, n_col: str, k: int):
     1..n, when n < k). The tempting closed form ``floor((rn-1)k/n)+1``
     spreads the remainder evenly instead (n=10, k=4 gives sizes 3,2,3,2
     — SQL says 3,3,2,2), so the piecewise form is required; it is
-    hash-verified against the DuckDB ``ntile()`` oracles."""
+    hash-verified against the DuckDB ``ntile()`` oracles. All divisions
+    go through ``_idiv`` — exact integer arithmetic end-to-end, no
+    double rounding at any group cardinality."""
     rn, n = F.col(rn_col), F.col(n_col)
-    q = F.floor(n / k)
+    q = _idiv(n, F.lit(k))
     r = n % k
     cutoff = r * (q + 1)
     return (
         F.when(q == 0, rn)
-        .when(rn <= cutoff, F.floor((rn - 1) / (q + 1)) + 1)
-        .otherwise(r + F.floor((rn - 1 - cutoff) / q) + 1)
+        .when(rn <= cutoff, _idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rn - 1 - cutoff, q) + 1)
     ).cast("int")
 
 
@@ -286,14 +438,16 @@ def with_tie_ranks(
     rank: str = "rank",
     dense_rank: str = "dense_rank",
     materialize: bool = False,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     """Tie-aware ``rank()`` / ``dense_rank()`` on top of a
     ``sharded_row_number`` result — completing the SQL rank-function
     family without any coarser shuffle than the ranking itself.
 
     ``tie_cols`` are the ORDER columns WITHOUT the unique tiebreaker
-    (rows equal on them are SQL ties). Within one (group, tie-value)
-    class the row_numbers are consecutive, so:
+    (rows equal on them are SQL ties; NULL tie values join null-safely).
+    Within one (group, tie-value) class the row_numbers are consecutive,
+    so:
 
         rank       = min(rn) over the tie class
         dense_rank = how many distinct tie classes have min(rn) ≤ mine
@@ -306,7 +460,8 @@ def with_tie_ranks(
     data-sized (mostly-unique orderings ⇒ one class per row), so its
     dense-rank numbering recurses through ``sharded_row_number`` on the
     class min-rn (a unique numeric total order by construction) rather
-    than a per-group window.
+    than a per-group window; ``small_group_rows`` passes through, so the
+    recursion is adaptive too.
 
     ``ranked`` is referenced twice (class aggregate + final join) and
     the class frame three more times inside the recursion — Catalyst
@@ -328,5 +483,6 @@ def with_tie_ranks(
         rn=dense_rank,
         n="_n_classes",
         materialize=materialize,
+        small_group_rows=small_group_rows,
     ).drop("_n_classes")
-    return ranked.join(classes, [*group_cols, *tie_cols])
+    return _nullsafe_join(ranked, classes, [*group_cols, *tie_cols])

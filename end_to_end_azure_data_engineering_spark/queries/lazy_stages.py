@@ -107,19 +107,24 @@ def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spend_deciles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer_spend_deciles' full plan with the spend-aggregate
-    checkpoint disabled: upstream join+agg AND the sharded-rank stages
+    checkpoint disabled AND the adaptive small-frame switch pinned off
+    (small_group_rows=0): upstream join+agg AND the sharded-rank stages
     (bounds aggregate, bucket counts, offsets, (group,bucket) window)
-    all visible to the audit (r8)."""
+    all visible to the audit at any SF (r8; adaptive r9)."""
     from .relational_ext import customer_spend_deciles_plan
 
-    return customer_spend_deciles_plan(spark, sf_dir, materialize=False)
+    return customer_spend_deciles_plan(
+        spark, sf_dir, materialize=False, small_group_rows=0
+    )
 
 
 def _order_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """order_value_distribution's full lazy plan (see above)."""
     from .relational_ext import order_value_distribution_plan
 
-    return order_value_distribution_plan(spark, sf_dir, materialize=False)
+    return order_value_distribution_plan(
+        spark, sf_dir, materialize=False, small_group_rows=0
+    )
 
 
 def _gini_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +133,9 @@ def _gini_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, ≤num_buckets-row offsets cumsum, bucket-keyed window)."""
     from .relational_ext import user_activity_gini_plan
 
-    return user_activity_gini_plan(spark, sf_dir, materialize=False)
+    return user_activity_gini_plan(
+        spark, sf_dir, materialize=False, small_group_rows=0
+    )
 
 
 def _pareto_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +143,9 @@ def _pareto_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part revenue reduction, see above)."""
     from .relational_ext import revenue_pareto_curve_plan
 
-    return revenue_pareto_curve_plan(spark, sf_dir, materialize=False)
+    return revenue_pareto_curve_plan(
+        spark, sf_dir, materialize=False, small_group_rows=0
+    )
 
 
 def _tie_ranks_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +154,9 @@ def _tie_ranks_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbering — all stages the eager pins hide from the audited query."""
     from .relational_ext import part_size_tie_ranks_plan
 
-    return part_size_tie_ranks_plan(spark, sf_dir, materialize=False)
+    return part_size_tie_ranks_plan(
+        spark, sf_dir, materialize=False, small_group_rows=0
+    )
 
 
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1173,11 +1173,15 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_value_distribution_plan(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     """Shared plan builder (registered query materializes the filtered
-    join before the three-pass rank; the lazy_stages twin keeps the
-    upstream visible to the plan audit)."""
+    join before the rank, which adapts plain-window/sharded by probed
+    size — r9; the lazy_stages twin passes small_group_rows=0 to force
+    the sharded 100 TB shape for the plan audit)."""
     from ..operators.ranks import (
         cume_dist_expr,
         ntile_expr,
@@ -1195,6 +1199,7 @@ def order_value_distribution_plan(
         ["c_mktsegment"],
         ["o_totalprice", "o_orderkey"],
         materialize=materialize,
+        small_group_rows=small_group_rows,
     )
     return ranked.select(
         "o_orderkey",
@@ -2601,7 +2606,10 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_activity_gini_plan(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     from ..operators.ranks import sharded_row_number
 
@@ -2613,7 +2621,13 @@ def user_activity_gini_plan(
     # r8 window fence bans for data-sized frames; the events aggregate is
     # materialized once (lazy twin: user_activity_gini:rank)
     r = sharded_row_number(
-        c, [], ["n", "user_id"], rn="i", n="_n_all", materialize=materialize
+        c,
+        [],
+        ["n", "user_id"],
+        rn="i",
+        n="_n_all",
+        materialize=materialize,
+        small_group_rows=small_group_rows,
     ).drop("_n_all")
     n_users = F.count("*").cast("double")
     total = F.sum("n").cast("double")
@@ -2687,11 +2701,15 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_spend_deciles_plan(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     """Shared plan builder: the registered query materializes the spend
-    aggregate before the three-pass sharded rank; the lazy_stages twin
-    passes materialize=False so the audit sees the upstream join+agg."""
+    aggregate before the adaptive rank; the lazy_stages twin passes
+    materialize=False + small_group_rows=0 so the audit sees the
+    upstream join+agg AND the sharded 100 TB shape."""
     from ..operators.ranks import ntile_expr, sharded_row_number
 
     cust = load(spark, sf_dir, "customer")
@@ -2709,7 +2727,11 @@ def customer_spend_deciles_plan(
         F.col("c_mktsegment").alias("segment"), "ck", "sp"
     )
     ranked = sharded_row_number(
-        spend, ["segment"], ["sp", "ck"], materialize=materialize
+        spend,
+        ["segment"],
+        ["sp", "ck"],
+        materialize=materialize,
+        small_group_rows=small_group_rows,
     )
     t = ranked.select(
         "segment", "sp", ntile_expr("rn", "n_g", 10).alias("decile")
@@ -2833,12 +2855,21 @@ def part_size_tie_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def part_size_tie_ranks_plan(
-    spark: SparkSession, sf_dir: str, *, materialize: bool
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    materialize: bool,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     from ..operators.ranks import sharded_row_number, with_tie_ranks
 
     p = load(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size")
-    ranked = sharded_row_number(p, ["p_brand"], ["p_size", "p_partkey"])
+    ranked = sharded_row_number(
+        p,
+        ["p_brand"],
+        ["p_size", "p_partkey"],
+        small_group_rows=small_group_rows,
+    )
     return with_tie_ranks(
         ranked,
         ["p_brand"],
@@ -2846,6 +2877,7 @@ def part_size_tie_ranks_plan(
         rank="rnk",
         dense_rank="drnk",
         materialize=materialize,
+        small_group_rows=small_group_rows,
     ).select("p_brand", "p_partkey", "p_size", "rnk", "drnk")
 
 
@@ -3228,7 +3260,10 @@ def weekly_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_pareto_curve_plan(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    small_group_rows: int | None = None,
 ) -> DataFrame:
     from ..operators.ranks import ntile_expr, sharded_row_number
 
@@ -3249,6 +3284,7 @@ def revenue_pareto_curve_plan(
         ["_negrev", "l_partkey"],
         rn="rn",
         n="n_g",
+        small_group_rows=small_group_rows,
     ).drop("_negrev")
     t = ranked.select(
         "l_partkey", "rev", ntile_expr("rn", "n_g", 10).alias("decile")

@@ -1186,14 +1186,19 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total) and bg twice (lift + the bigram total); Catalyst plans DAG
     # reuse as tree duplication, so left lazy each reference re-tokenizes
     # the corpus — 5 document scans for one query (scan fan-out fence).
-    # Persisting the two VOCABULARY-sized aggregates bounds tokenization
-    # at two passes (one cache fill each); the cached frames are tiny
+    # Pinning the two VOCABULARY-sized aggregates bounds tokenization at
+    # two passes; pin (localCheckpoint / reliable checkpoint) rather than
+    # persist() because a persist here leaked its CacheManager entries —
+    # they are keyed by logical plan and survive the frames' GC, so every
+    # invocation in a long-lived session accumulated two cached frames
+    # (r8 ADVICE). Checkpoint blocks are released by the ContextCleaner
+    # when the frames go out of scope. The pinned frames are tiny
     # relative to the corpus at any scale.
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-    ).persist()
+    ).transform(_pin)
     bg = (
         toks.select(
             F.explode_outer(
@@ -1206,7 +1211,7 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p.w2").isNotNull())
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("n_bg"))
-    ).persist()
+    ).transform(_pin)
     totals = uni.agg(F.sum("n").alias("t_tokens")).crossJoin(
         F.broadcast(bg.agg(F.sum("n_bg").alias("t_bigrams")))
     )

@@ -75,9 +75,12 @@ GLOBAL_WINDOW_ALLOWED = {
     "revenue_mom_growth",  # lag over one row per calendar month
     "orders_backlog_timeline",  # running sum over one row per day
     "daily_revenue_trend",      # centered MA over one row per day
-    # sharded global ranks: the only remaining global window is the
-    # offsets cumsum over the ≤num_buckets-row bucket-counts frame — the
-    # data-sized sort itself shards on the bucket key (operators/ranks.py)
+    # adaptive global ranks (r9): below the probed SMALL_GROUP_ROWS the
+    # plain global window runs (the probe proves the frame fits one
+    # task); above it the sharded construction engages, whose only
+    # global window is the offsets cumsum over the ≤num_buckets-row
+    # bucket-counts frame — the sharded shape is force-pinned and
+    # audited via the :rank twins (operators/ranks.py)
     "user_activity_gini",
     "revenue_pareto_curve",
     "peak_concurrent_sessions",  # running sum over one row per minute
@@ -200,12 +203,20 @@ SCALING_WINDOW_KEYS = {
     "_rbucket", "shard",
 }
 
+# r9: sharded_row_number is ADAPTIVE — at this audit's tiny SF the probe
+# proves every group under SMALL_GROUP_ROWS and the queries below plan a
+# PLAIN per-group window (provably one bounded task per group; the probe
+# is the proof). Their 100 TB shape — the sharded construction whose only
+# group-keyed window is the bounded offsets cumsum — is force-pinned and
+# audited via the lazy twins (small_group_rows=0), which this fence also
+# walks; tests/test_ranks.py::test_adaptive_switch_is_size_gated pins the
+# threshold behavior itself.
 WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
-    "customer_spend_deciles": "offsets cumsum over ≤num_buckets-row-per-segment counts frame",
-    "order_value_distribution": "offsets cumsum over ≤num_buckets-row-per-segment counts frame",
-    "quality_quantile_normalize": "offsets cumsum over ≤num_buckets-row-per-source counts frame",
-    "supplier_percentile_ranks": "offsets cumsum over ≤num_buckets-row-per-nation counts frame",
-    "part_size_tie_ranks": "offsets cumsums over ≤num_buckets-row-per-brand counts frames (outer rank + the tie-class recursion)",
+    "customer_spend_deciles": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
+    "order_value_distribution": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
+    "quality_quantile_normalize": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded above (offsets cumsum over ≤num_buckets-row counts frame)",
+    "supplier_percentile_ranks": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded above (offsets cumsum over ≤num_buckets-row counts frame)",
+    "part_size_tie_ranks": "adaptive: plain windows below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
     "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
 }
 
@@ -396,3 +407,14 @@ def test_every_explicit_broadcast_is_provably_bounded():
         if args - seen.get(rel, set())
     ]
     assert not stale, f"stale allowlist entries (hint removed/renamed): {stale}"
+
+
+def test_bigram_lift_leaves_no_cache_entries(spark):
+    """r8 ADVICE: bigram_lift persisted its two vocabulary-sized frames
+    and never unpersisted them — CacheManager entries are keyed by
+    logical plan and survive object GC, so every invocation in a
+    long-lived session leaked two cached frames. The frames are pinned
+    (checkpointed) now; a full run must leave the cache empty."""
+    spark.catalog.clearCache()
+    ent.queries()["bigram_lift"](spark, SF_DIR).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

