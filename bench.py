@@ -19,6 +19,40 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+#: the driver's per-round SF — the only SF whose sweeps may become the
+#: committed comparison baseline
+CANONICAL_SF = 0.1
+#: 1-min load above which a sweep is a loaded-host sweep: r8 lost its
+#: quiet-start closing artifact to a run that started at load 3.5 — the
+#: numbers were fine as a smoke check but poisoned round-over-round
+#: comparison. A quiet local[32] host idles well under 2.
+LOAD_GATE = 2.0
+
+
+def promotion_decision(
+    sf: float, load1: float, force: bool = False
+) -> tuple[bool, str]:
+    """Should this sweep overwrite the committed canonical artifact
+    (BENCH_LOCAL.json)? Two r8 artifact-clobber incidents motivated the
+    gate: an sf0.01 verify run silently overwrote the sf0.1 baseline
+    (misdiagnosed as a regression), then the driver's loaded-host
+    closing run clobbered the quiet-start artifact in the working tree.
+    Every sweep still writes its full results to an SF-stamped path;
+    only canonical-SF quiet-host sweeps (or an explicit
+    SPARK_GRAFT_BENCH_PROMOTE=1) touch the comparison baseline."""
+    if abs(sf - CANONICAL_SF) > 1e-9:
+        return False, f"non-canonical sf={sf} (canonical {CANONICAL_SF})"
+    if force:
+        return True, "explicit SPARK_GRAFT_BENCH_PROMOTE=1"
+    if load1 > LOAD_GATE:
+        return False, (
+            f"host 1-min load {load1:.2f} > gate {LOAD_GATE}: loaded-host "
+            "sweep kept in the SF-stamped file only; promote deliberately "
+            "with SPARK_GRAFT_BENCH_PROMOTE=1"
+        )
+    return True, f"canonical sf, quiet host (load {load1:.2f})"
+
+
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -294,16 +328,30 @@ def main() -> None:
     # it. Persist the complete per-query map to a committed file and keep
     # the final stdout line compact enough to survive the tail capture:
     # total, sf, n, and only the top-5 slowest queries inline.
-    # Canonical-SF guard (r8): an ad-hoc verify run at sf0.01 silently
-    # overwrote the committed sf0.1 closing artifact and poisoned the
-    # round-over-round comparison. Only the canonical driver SF writes
-    # the committed artifact; other SFs write a sibling /tmp file.
-    if abs(sf - 0.1) < 1e-9:
-        full_path = REPO / "BENCH_LOCAL.json"
+    # Artifact routing (r9, closing the r8 overwrite hole for good):
+    # EVERY sweep persists its full results to an SF-stamped path —
+    # BENCH_LOCAL_sf{sf}.json in the repo at the canonical SF, /tmp
+    # otherwise — and the committed comparison baseline BENCH_LOCAL.json
+    # is only refreshed (copied) when promotion_decision says the sweep
+    # is comparable: canonical SF AND quiet host, or an explicit
+    # SPARK_GRAFT_BENCH_PROMOTE=1. A refused promotion is recorded in
+    # both artifacts and stdout, never silent.
+    if abs(sf - CANONICAL_SF) < 1e-9:
+        full_path = REPO / f"BENCH_LOCAL_sf{sf}.json"
     else:
         full_path = Path(f"/tmp/bench_full_sf{sf}.json")
+    promote, promote_reason = promotion_decision(
+        sf,
+        load_start[0],
+        force=os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1",
+    )
+    out["promoted_to_baseline"] = promote
+    out["promotion_reason"] = promote_reason
     try:
-        full_path.write_text(json.dumps(out, indent=1) + "\n")
+        payload = json.dumps(out, indent=1) + "\n"
+        full_path.write_text(payload)
+        if promote:
+            (REPO / "BENCH_LOCAL.json").write_text(payload)
     except OSError as exc:
         errors["bench_local_write"] = str(exc)[:200]
         out["errors"] = errors
@@ -321,6 +369,8 @@ def main() -> None:
         "pipeline_total": out.get("pipeline_total"),
         "load_avg": out["load_avg"],
         "full_results": str(full_path),
+        "promoted_to_baseline": promote,
+        "promotion_reason": promote_reason,
     }
     if errors:
         compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
