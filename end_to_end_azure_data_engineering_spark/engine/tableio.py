@@ -402,6 +402,26 @@ class VersionedWarehouse(Warehouse):
             )
         return self.path(namespace, table) / f"_v{v}"
 
+    @staticmethod
+    def _steal_stale_lock(lock: Path, horizon: float) -> bool:
+        """Retire a crashed holder's lock by RENAME-then-unlink: rename of
+        one source path succeeds for exactly ONE caller (the filesystem
+        arbitrates), so two waiters can never both "steal" and then one
+        remove the other's freshly re-created lock — the two-waiter race
+        a bare stat+unlink steal leaves open (r8 ADVICE). Returns True if
+        THIS caller retired the lock; on any miss (not stale yet, already
+        stolen, vanished) returns False and the caller just retries its
+        O_EXCL create."""
+        try:
+            if time.time() - lock.stat().st_mtime <= horizon:
+                return False
+            stale = lock.with_name(f"{lock.name}.stale.{uuid.uuid4().hex[:8]}")
+            os.rename(lock, stale)
+        except OSError:
+            return False
+        stale.unlink(missing_ok=True)
+        return True
+
     @contextmanager
     def _append_lock(self, namespace: str, table: str):
         """Serialize link-forward appends per table: two concurrent appends
@@ -456,14 +476,11 @@ class VersionedWarehouse(Warehouse):
                     last_ino = st.st_ino
                     deadline = time.monotonic() + STEAL_AFTER + 60.0
                 if time.time() - st.st_mtime > STEAL_AFTER:
-                    # best-effort crashed-holder steal; the re-stat narrows
-                    # (but cannot fully close — documented residual) the
-                    # window where a fresh holder's lock is removed instead
-                    try:
-                        if lock.stat().st_ino == st.st_ino:
-                            lock.unlink(missing_ok=True)
-                    except OSError:
-                        pass
+                    # rename-then-unlink steal (r9): exactly one waiter's
+                    # rename succeeds, closing the former stat+unlink
+                    # residual where two waiters both observed staleness
+                    # and the loser removed the winner's fresh lock
+                    self._steal_stale_lock(lock, STEAL_AFTER)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -776,18 +793,30 @@ class VersionedWarehouse(Warehouse):
         base = self.path(namespace, table)
         lock = base / ".ptr.lock"
         deadline = time.monotonic() + self.PTR_STEAL_AFTER + 10.0
+        my_ino: int | None = None
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
+                # ownership token (same discipline as _append_lock): the
+                # inode of OUR lock file — release only unlinks while the
+                # path still carries it, so a post-steal successor's lock
+                # is never removed by a zombie holder
+                try:
+                    my_ino = lock.stat().st_ino
+                except OSError:
+                    my_ino = None
                 break
             except FileExistsError:
-                try:
-                    if time.time() - lock.stat().st_mtime > self.PTR_STEAL_AFTER:
-                        lock.unlink(missing_ok=True)
-                        continue
-                except OSError:
-                    continue
+                # rename-then-unlink steal (r8 ADVICE): a bare
+                # stat+unlink let TWO waiters both observe a stale mtime,
+                # A unlink+recreate, then B unlink A's FRESH lock and
+                # also acquire — mutual exclusion of the
+                # read-compare-replace was not guaranteed after a steal.
+                # os.rename of one source path succeeds for exactly ONE
+                # caller; only the renamer retires the stale lock, every
+                # other waiter loops back to the O_EXCL create.
+                self._steal_stale_lock(lock, self.PTR_STEAL_AFTER)
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"pointer lock for {namespace}.{table} held too long"
@@ -807,7 +836,14 @@ class VersionedWarehouse(Warehouse):
                 os.fsync(f.fileno())
             os.replace(tmp, self._pointer(namespace, table))
         finally:
-            lock.unlink(missing_ok=True)
+            # unlink only OUR lock: an unconditional unlink here could
+            # remove the lock a stealer re-created after deciding ours
+            # was stale (the second half of the r8 ADVICE race)
+            try:
+                if my_ino is not None and lock.stat().st_ino == my_ino:
+                    lock.unlink(missing_ok=True)
+            except OSError:
+                pass
         keep = self._retention(namespace, table)
         if keep is not None:
             self.vacuum(namespace, table, keep=keep)

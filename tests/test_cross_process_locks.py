@@ -105,3 +105,64 @@ def test_append_lock_crashed_process_holder_is_stolen(tmp_path):
         took = time.monotonic() - t0
     assert took < 30.0, took  # acquired by steal, not the 600s default
     assert not lock.exists()  # released cleanly by the new holder
+
+
+def test_stale_lock_steal_is_single_winner(tmp_path):
+    """r8 ADVICE: the bare stat+unlink steal let two waiters both observe
+    a stale mtime and the loser remove the winner's freshly re-created
+    lock. The rename-then-unlink steal is arbitrated by the filesystem:
+    for one stale lock, exactly one caller's steal returns True, and a
+    fresh lock is never stealable."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    lock = tmp_path / ".ptr.lock"
+    lock.touch()
+    # fresh lock: nobody may steal it
+    assert not VersionedWarehouse._steal_stale_lock(lock, horizon=60.0)
+    # age it past the horizon: first caller wins, second finds it gone
+    old = time.time() - 120.0
+    os.utime(lock, (old, old))
+    results = [
+        VersionedWarehouse._steal_stale_lock(lock, horizon=60.0)
+        for _ in range(2)
+    ]
+    assert results == [True, False]
+    assert not lock.exists()
+    assert not list(tmp_path.glob(".ptr.lock.stale.*")), "debris left behind"
+
+
+def test_publish_release_spares_successor_lock(tmp_path):
+    """The unconditional ``finally: lock.unlink`` could remove a lock a
+    stealer re-created (r8 ADVICE, second half). After a steal swaps the
+    lock file under a suspended publisher, the zombie's release must
+    leave the successor's lock in place (inode token mismatch)."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    wh = VersionedWarehouse(None, str(tmp_path))
+    base = wh.path("silver", "t")
+    base.mkdir(parents=True)
+    lock = base / ".ptr.lock"
+    lock.touch()
+    my_ino = lock.stat().st_ino
+    # pin the zombie's inode so the filesystem cannot hand the SAME inode
+    # number to the successor's lock (ext4 reuses freed inodes eagerly,
+    # which would make this test vacuously pass/fail on fs behavior)
+    os.link(lock, base / ".ino_keeper")
+    # a waiter steals (zombie suspended past the horizon) and re-creates
+    old = time.time() - 120.0
+    os.utime(lock, (old, old))
+    assert VersionedWarehouse._steal_stale_lock(lock, horizon=60.0)
+    lock.touch()  # successor's fresh lock, new inode
+    successor_ino = lock.stat().st_ino
+    assert successor_ino != my_ino
+    # the zombie's conditional release (the _publish finally clause)
+    try:
+        if lock.stat().st_ino == my_ino:
+            lock.unlink(missing_ok=True)
+    except OSError:
+        pass
+    assert lock.exists(), "zombie release removed the successor's lock"
