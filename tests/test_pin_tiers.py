@@ -100,3 +100,69 @@ def test_reliable_tier_upgrades_every_pin_site(tmp_path):
         timeout=300,
     )
     assert "RELIABLE_TIER_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_iterative_operator_reliable_checkpoints_cleaned(tmp_path):
+    """r9 (verdict item 7): a FULL iterative operator — connected
+    components, whose every round pins through engine.pin — run under a
+    configured checkpoint dir with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true must (a)
+    produce exact components on the reliable tier and (b) leave no
+    checkpoint files behind once the result frame is released: the
+    ContextCleaner removes each rdd-* directory when its RDD is GC'd,
+    so a multi-hour cluster run doesn't accrete one checkpoint per
+    round forever."""
+    script = textwrap.dedent(
+        f"""
+        import glob, sys, time
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession, functions as F
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+            .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.setCheckpointDir("{tmp_path}/ckpt")
+        from end_to_end_azure_data_engineering_spark.operators.dedup import (
+            connected_components,
+        )
+        # two path components (0-1-2-...-49) and (100-101-...-149) plus a
+        # singleton edge: long chains exercise the pointer-doubling rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(49)]
+            + [(100 + i, 101 + i) for i in range(49)]
+            + [(999, 999)],
+            ["src", "dst"],
+        )
+        labels = connected_components(edges)
+        got = {{r["node"]: r["label"] for r in labels.collect()}}
+        assert got[49] == 0 and got[149] == 100 and got[999] == 999, got
+        assert glob.glob("{tmp_path}/ckpt/*/rdd-*"), (
+            "iterative rounds wrote no reliable checkpoints")
+        # release the result and let the ContextCleaner reap the files
+        from end_to_end_azure_data_engineering_spark.operators.neardup import (
+            release_checkpoints,
+        )
+        release_checkpoints(labels)
+        del labels
+        import gc
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if not glob.glob("{tmp_path}/ckpt/*/rdd-*"):
+                break
+            time.sleep(1.0)
+        leftover = glob.glob("{tmp_path}/ckpt/*/rdd-*")
+        assert not leftover, f"checkpoints not cleaned: {{leftover}}"
+        print("RELIABLE_CLEANUP_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RELIABLE_CLEANUP_OK" in out.stdout, out.stderr[-3000:]
