@@ -722,6 +722,54 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_confidence_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN NULL ELSE lang END AS lang_grp,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, lang_grp, n_chars,
+           percent_rank() OVER (
+             PARTITION BY lang_grp ORDER BY n_chars, doc_id
+           ) AS pct_rank
+    FROM d
+    """,
+)
+def lang_confidence_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percent-ranks with a NULL language group:
+    short documents (< 200 chars) carry too little signal for reliable
+    language ID, so they pool under a NULL key and are quantile-ranked
+    against each other rather than polluting a language's distribution —
+    the standard curation shape wherever a group key is derived and can
+    legitimately be unknown. Exercises the r9 null-safe sharded-rank
+    path end-to-end against the SQL window's NULL-partition semantics
+    (the r8 version silently DROPPED every NULL-keyed row);
+    small_group_rows=0 pins the sharded construction so the oracle
+    verifies exactly the scale path."""
+    from ..operators.ranks import percent_rank_expr, sharded_row_number
+
+    d = spread(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang_grp"),
+        "n_chars",
+    )
+    ranked = sharded_row_number(
+        base, ["lang_grp"], ["n_chars", "doc_id"], small_group_rows=0
+    )
+    return ranked.select(
+        "doc_id",
+        "lang_grp",
+        "n_chars",
+        percent_rank_expr("rn", "n_g").alias("pct_rank"),
+    )
+
+
+@register(
     "corpus_datacard",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

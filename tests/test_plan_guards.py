@@ -218,6 +218,7 @@ WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
     "supplier_percentile_ranks": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded above (offsets cumsum over ≤num_buckets-row counts frame)",
     "part_size_tie_ranks": "adaptive: plain windows below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
     "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
+    "lang_confidence_quantiles": "sharded path pinned (small_group_rows=0): the lang_grp window is the offsets cumsum over the ≤num_buckets-row-per-language counts frame; the data sort shards on (lang_grp, _rbucket)",
 }
 
 _WIN_RE = re.compile(r"Window \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$")

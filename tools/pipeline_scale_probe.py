@@ -29,7 +29,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
-from scale_probe import SF1_DIR, build_sf1  # noqa: E402
+from scale_probe import SF1_DIR, SF10_DIR, build_sf1, build_sf10  # noqa: E402
 
 
 def run_once(spark, sf_dir: str) -> dict:
@@ -55,7 +55,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dirs = sys.argv[1:]
-    if not sf_dirs:
+    if sf_dirs == ["--sf10"]:
+        # r9 probe: one more decade (100x the bench fixture) to catch
+        # super-linear terms in SCD2 merge / anti-join append that 10x hides
+        build_sf1(spark)
+        build_sf10(spark)
+        sf_dirs = ["/root/testdata/sf0.1", SF1_DIR, SF10_DIR]
+    elif not sf_dirs:
         build_sf1(spark)
         sf_dirs = ["/root/testdata/sf0.1", SF1_DIR]
 
@@ -78,12 +84,11 @@ def main() -> int:
             print(f"   phase {phase:10s} {t:8.2f}s  overlap {speedup}")
         print("   slowest stages: " + ", ".join(f"{n}={t:.2f}s" for n, t in stages))
 
-    if len(results) == 2:
-        (d0, r0), (d1, r1) = results
+    for (d0, r0), (d1, r1) in zip(results, results[1:]):
         print(
             f"\n{d0} -> {d1}: pipeline_total {r0['pipeline_total']:.2f}s -> "
             f"{r1['pipeline_total']:.2f}s "
-            f"({r1['pipeline_total'] / max(r0['pipeline_total'], 1e-9):.2f}x for 10x input)"
+            f"({r1['pipeline_total'] / max(r0['pipeline_total'], 1e-9):.2f}x)"
         )
         common = set(r0["phases"]) & set(r1["phases"])
         for ph in sorted(common):

@@ -20,6 +20,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF1_DIR = "/tmp/end_to_end_azure_data_engineering_sf1"
+SF10_DIR = "/tmp/end_to_end_azure_data_engineering_sf10"
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
@@ -44,26 +45,39 @@ SHIFTS = {
 COPY_ONLY = ["region", "nation", "supplier", "part"]
 
 
-def build_sf1(spark) -> None:
+def build_scaled(spark, out_dir: str, replicas: int) -> None:
+    """Replicate sf0.1 ``replicas``× with per-replica key shifting into
+    ``out_dir`` (idempotent via a _READY marker). Shift steps exceed any
+    key range in the source, so replicas never collide at any count."""
     from pyspark.sql import functions as F
 
-    out = Path(SF1_DIR)
+    out = Path(out_dir)
     if (out / "_READY").exists():
         return
     out.mkdir(parents=True, exist_ok=True)
     for t in COPY_ONLY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{SF1_DIR}/{t}.parquet"
+            f"{out_dir}/{t}.parquet"
         )
     for t, shifts in SHIFTS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         # replicate via a literal replica-index array + explode (no driver loop
         # over unions: one narrow fan-out map, scales to any replica count)
-        rep = df.withColumn("_r", F.explode(F.lit(list(range(REPLICAS)))))
+        rep = df.withColumn("_r", F.explode(F.lit(list(range(replicas)))))
         for col, step in shifts.items():
             rep = rep.withColumn(col, F.col(col) + F.col("_r").cast("long") * step)
-        rep.drop("_r").write.mode("overwrite").parquet(f"{SF1_DIR}/{t}.parquet")
+        rep.drop("_r").write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     (out / "_READY").touch()
+
+
+def build_sf1(spark) -> None:
+    build_scaled(spark, SF1_DIR, REPLICAS)
+
+
+def build_sf10(spark) -> None:
+    """100× the bench fixture — the r9 pipeline probe scale (catches
+    super-linear terms in SCD2 merge / anti-join append that 10× hides)."""
+    build_scaled(spark, SF10_DIR, 100)
 
 
 def main() -> int:
