@@ -105,6 +105,29 @@ _COARSE, _FINE = "_rcoarse", "_rfine"
 # that measures it is one map-side-combinable aggregate pass.
 SMALL_GROUP_ROWS = 2_000_000
 
+# Zero-job tier of the adaptive switch: Catalyst's size-only plan
+# statistics (the same estimate the broadcast-join threshold trusts)
+# cost nothing to read, and for these upstreams they never UNDERestimate
+# — leaves carry real file sizes, Filter/Aggregate keep child size,
+# Project scales by width, joins multiply — so an estimate at or below
+# this bound PROVES the whole frame fits one sort task and the plain
+# window runs with no probe job at all (measured: the probe pass alone
+# cost the five rank queries ~1.5× their pre-rewrite times at sf0.1).
+# Overestimates (join products, LogicalRDD's unknown = Long.Max) just
+# fall through to the one-pass row probe — exactness never depends on
+# which tier decides.
+SMALL_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan, or
+    None when it cannot be read. Driver-side plan access only — no job."""
+    try:
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(s.toString() if hasattr(s, "toString") else s))
+    except Exception:  # noqa: BLE001 — estimate is advisory
+        return None
+
 # Skew-contract enforcement (r9 verdict item 3): a big group needs at
 # least FACTOR × num_buckets distinct bucketing values for the range
 # buckets to stay balanced (ties cannot split). Below that, clamp B to
@@ -284,6 +307,14 @@ def sharded_row_number(
     ~5.7 s of rank stages — the lazy twin in queries/lazy_stages.py
     keeps the checkpointed upstream visible to the plan audit, the same
     discipline as the mining stages)."""
+    if num_buckets is None and small_group_rows is None:
+        # zero-job tier: a provably-small frame (plan-stats estimate, see
+        # SMALL_INPUT_BYTES) goes straight to the plain window over the
+        # LAZY input — one downstream pass total, so pinning would be
+        # pure overhead even when the caller passed materialize=True
+        est = _plan_size_estimate(df)
+        if est is not None and est <= SMALL_INPUT_BYTES:
+            return _plain_row_number(df, group_cols, order_cols, rn, n)
     if materialize:
         df = df.transform(_pin)
     val = F.col(order_cols[0]).cast("double")
