@@ -52,11 +52,14 @@ All three closed forms require the caller to pass a TOTAL order (append
 a unique tiebreaker): with ties ``rank() != row_number`` and the closed
 forms would drift from the SQL rank functions.
 
-NULL group keys are first-class (r9, after the r8 ADVICE finding): all
-internal joins use null-safe equality, so a NULL-keyed group ranks
-exactly like the window version's NULL partition instead of silently
-vanishing. The FIRST order column must still be numeric and non-null
-(it is the range-bucketing value).
+NULL group keys are first-class (r9, after the r8 ADVICE finding): the
+group values travel through every internal groupBy/join inside one
+struct column, whose comparison treats NULL fields as equal — so a
+NULL-keyed group ranks exactly like the window version's NULL partition
+instead of silently vanishing, at zero plan cost (plain equi-joins; an
+eqNullSafe condition join was measured to double the exchange count and
+break the bounds broadcast). The FIRST order column must still be
+numeric and non-null (it is the range-bucketing value).
 
 At 100 TB: ``num_buckets`` is the sort-shard knob — per-task sort frames
 shrink by B×, chosen like ``spark.sql.shuffle.partitions`` (B ≈
@@ -79,10 +82,7 @@ caller decision either way: a higher-resolution first sort key.
 
 from __future__ import annotations
 
-import functools
-import itertools
 import math
-import operator
 import warnings
 
 from pyspark.sql import DataFrame
@@ -149,31 +149,18 @@ _SKEW_MIN_DISTINCT = 32
 # because (coarse, fine) is lexicographic in the sort value.
 _LEVEL_MAX = 128
 
-_JOIN_SEQ = itertools.count()
-
-
-def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
-    """Inner equi-join on ``keys`` with SQL ``<=>`` semantics: NULL keys
-    match NULL keys instead of silently dropping the row (the r8 ADVICE
-    finding — a plain ``df.join(other, keys)`` loses every NULL-keyed
-    group, where the window versions kept a NULL partition).
-    ``EqualNullSafe`` is still an equi-join predicate, so the plan stays
-    a hash-partitioned SortMergeJoin / BroadcastHashJoin — no BNLJ.
-    Output = all of ``left``'s columns then ``right``'s non-key columns,
-    the same shape as the name-list join it replaces."""
-    la, ra = f"_nsj{next(_JOIN_SEQ)}l", f"_nsj{next(_JOIN_SEQ)}r"
-    cond = functools.reduce(
-        operator.and_,
-        [F.col(f"{la}.{k}").eqNullSafe(F.col(f"{ra}.{k}")) for k in keys],
-    )
-    return (
-        left.alias(la)
-        .join(right.alias(ra), cond)
-        .select(
-            *[F.col(f"{la}.{c}") for c in left.columns],
-            *[F.col(f"{ra}.{c}") for c in right.columns if c not in keys],
-        )
-    )
+# NULL-safe grouping/join key (r8 ADVICE, mechanism revised in-round):
+# a plain name join drops NULL keys, and an eqNullSafe condition join —
+# the first fix attempted — wraps the hash-partitioning keys so no child
+# partitioning aligns: measured on the deciles twin, 6→12 exchanges and
+# the broadcast-able bounds join degraded to SortMergeJoin. Wrapping the
+# group columns in ONE struct column instead keeps every groupBy and
+# join a plain equi-join on a real column (exchanges align and reuse,
+# BHJ planning is unaffected) while struct comparison treats NULL fields
+# as equal — verified by test_null_group_keys_rank_like_window. The
+# original columns ride along untouched; the struct is dropped from the
+# output.
+_GSK, _TSK = "_gsk", "_tsk"
 
 
 def _balanced_sum(exprs):
@@ -219,9 +206,10 @@ def _assign_buckets(
 
     Empty ``keys`` = one boundary row on an explicit one-row broadcast
     crossJoin (a constant join key would constant-fold into a keyless
-    BNLJ); otherwise a null-safe keyed join (NULL groups rank too) that
-    AQE broadcasts on its own. When ``n`` is given the exact per-``keys``
-    row count rides along."""
+    BNLJ); otherwise a keyed join AQE broadcasts on its own (``keys`` are
+    the internal struct key / bucket columns — non-null by construction,
+    with NULL group values carried null-safely INSIDE the struct). When
+    ``n`` is given the exact per-``keys`` row count rides along."""
     fracs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
     aggs = [F.percentile_approx(val, fracs, F.lit(10_000)).alias(_BNDS)]
     if n is not None:
@@ -235,7 +223,7 @@ def _assign_buckets(
     )
     chain = _balanced_sum([(val > F.col(c)).cast("int") for c in bcols])
     joined = (
-        _nullsafe_join(df, bounds_wide, keys)
+        df.join(bounds_wide, keys)
         if keys
         else df.crossJoin(F.broadcast(bounds_wide))
     )
@@ -359,9 +347,15 @@ def sharded_row_number(
                 stacklevel=2,
             )
             num_buckets = clamped
+    # one struct key carries the (possibly NULL) group values null-safely
+    # through every groupBy/join below; the raw columns ride untouched
+    ikeys: list[str] = []
+    if group_cols:
+        df = df.withColumn(_GSK, F.struct(*group_cols))
+        ikeys = [_GSK]
     if num_buckets <= _LEVEL_MAX:
         bucketed = _assign_buckets(
-            df, group_cols, val, num_buckets, _BUCKET, n=n
+            df, ikeys, val, num_buckets, _BUCKET, n=n
         )
     else:
         # two-level assignment (see _LEVEL_MAX): coarse cell first, then
@@ -371,7 +365,7 @@ def sharded_row_number(
         # pays its one-row broadcast crossJoin only at the coarse level.
         coarse_n = math.isqrt(num_buckets - 1) + 1
         fine_n = -(-num_buckets // coarse_n)
-        step1 = _assign_buckets(df, group_cols, val, coarse_n, _COARSE, n=n)
+        step1 = _assign_buckets(df, ikeys, val, coarse_n, _COARSE, n=n)
         # The fine-boundary percentile_approx is an ObjectHashAggregate —
         # it breaks whole-stage codegen around the lazy coarse join it
         # consumes, and the fine join then re-evaluates that whole
@@ -384,34 +378,34 @@ def sharded_row_number(
         # flag applies to expensive inputs.
         step1 = step1.transform(_pin)
         step2 = _assign_buckets(
-            step1, [*group_cols, _COARSE], val, fine_n, _FINE
+            step1, [*ikeys, _COARSE], val, fine_n, _FINE
         )
         bucketed = step2.withColumn(
             _BUCKET, F.col(_COARSE) * fine_n + F.col(_FINE)
         ).drop(_COARSE, _FINE)
 
-    counts = bucketed.groupBy(*group_cols, _BUCKET).agg(
+    counts = bucketed.groupBy(*ikeys, _BUCKET).agg(
         F.count("*").alias(_BCNT)
     )
     # cumulative offset of all lower buckets: a window over the bounded
     # (≤num_buckets rows per group) counts frame — never the data frame
     w_off = (
-        W.partitionBy(*group_cols)
+        W.partitionBy(*ikeys)
         .orderBy(_BUCKET)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        *group_cols,
+        *ikeys,
         _BUCKET,
         F.coalesce(F.sum(_BCNT).over(w_off), F.lit(0)).alias(_BOFF),
     )
 
-    w_local = W.partitionBy(*group_cols, _BUCKET).orderBy(*order_cols)
+    w_local = W.partitionBy(*ikeys, _BUCKET).orderBy(*order_cols)
     return (
-        _nullsafe_join(bucketed, offsets, [*group_cols, _BUCKET])
+        bucketed.join(offsets, [*ikeys, _BUCKET])
         .withColumn(_LRN, F.row_number().over(w_local))
         .withColumn(rn, (F.col(_BOFF) + F.col(_LRN)).cast("bigint"))
-        .drop(_BUCKET, _BOFF, _LRN)
+        .drop(_BUCKET, _BOFF, _LRN, *ikeys)
     )
 
 
@@ -504,8 +498,16 @@ def with_tie_ranks(
     discipline as ``sharded_row_number``'s own flag)."""
     if materialize:
         ranked = ranked.transform(_pin)
-    classes = ranked.groupBy(*group_cols, *tie_cols).agg(
-        F.min(rn).alias(rank)
+    # one struct key = the tie class identity; NULL group/tie values
+    # compare equal inside it (see _GSK note above), so the class
+    # aggregate and the final join keep SQL's NULL-partition semantics
+    # on plain equi-joins
+    key_cols = [*group_cols, *tie_cols]
+    ranked = ranked.withColumn(_TSK, F.struct(*key_cols))
+    classes = ranked.groupBy(_TSK).agg(F.min(rn).alias(rank))
+    # the recursion needs the group columns as real columns again
+    classes = classes.select(
+        *[F.col(_TSK)[c].alias(c) for c in group_cols], _TSK, rank
     )
     classes = sharded_row_number(
         classes,
@@ -516,4 +518,6 @@ def with_tie_ranks(
         materialize=materialize,
         small_group_rows=small_group_rows,
     ).drop("_n_classes")
-    return _nullsafe_join(ranked, classes, [*group_cols, *tie_cols])
+    return ranked.join(
+        classes.select(_TSK, rank, dense_rank), _TSK
+    ).drop(_TSK)
