@@ -350,18 +350,29 @@ def test_null_group_keys_rank_like_window(spark):
         assert bad == 0, f"mismatches on {kwargs or 'adaptive'}"
 
 
-def test_adaptive_switch_is_size_gated(spark):
+def test_adaptive_switch_is_size_gated(spark, tmp_path):
     """The r9 adaptive entry: below the (pinnable) small-group threshold
     the plan is ONE plain window per group — no _rbucket stages; above
     it (threshold pinned to 10 rows) the sharded construction engages.
-    Both paths must agree exactly with Spark's own window."""
-    df = _frame(spark, 31, 300, 2, 10_000)
+    Both paths must agree exactly with Spark's own window. A
+    parquet-backed frame (known file-size stats) must decide via the
+    ZERO-JOB plan-stats tier — no probe job at plan-construction time
+    (the probe pass alone cost the rank queries ~1.5x their pre-rewrite
+    times at sf0.1); an RDD-backed frame (unknown stats) falls through
+    to the row probe and still lands on the plain path."""
+    _frame(spark, 31, 300, 2, 10_000).write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
     w = W.partitionBy("g").orderBy("v", "id")
     expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    expected.count()  # settle any file-listing jobs before counting
 
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
     small = sharded_row_number(df, ["g"], ["v", "id"])  # 300 rows << default
     plan_small = small._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup() or [])
     assert "_rbucket" not in plan_small, "plain path expected below threshold"
+    assert after == before, "zero-job tier ran a Spark job"
 
     big = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=10)
     plan_big = big._jdf.queryExecution().executedPlan().toString()
