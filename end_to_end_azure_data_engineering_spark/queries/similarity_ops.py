@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..engine.pin import pin as _pin
 from ..functions import similarity as V
 from . import load, register, spread
 
@@ -1041,7 +1042,12 @@ def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("m")
         )
-    ).persist()
+        # pin, not persist(): the d²-row moment matrix feeds three
+        # downstream references, and a persist here leaked its
+        # CacheManager entry per invocation (keyed by logical plan,
+        # survives GC — the bigram_lift leak class, r8 ADVICE);
+        # checkpoint blocks are reaped by the ContextCleaner instead
+    ).transform(_pin)
     v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
         F.col("i").alias("j"), F.col("v")
     )

@@ -419,3 +419,39 @@ def test_bigram_lift_leaves_no_cache_entries(spark):
     spark.catalog.clearCache()
     ent.queries()["bigram_lift"](spark, SF_DIR).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_persist_sites_balance_unpersist():
+    """Static fence for the bigram_lift leak class (r8 ADVICE, second
+    instance found in embedding_top_eigen_power r9): a .persist() whose
+    frame is returned lazily leaks its CacheManager entry per invocation
+    — entries are keyed by logical plan and survive object GC. Every
+    source file must pair its persist() calls with at least as many
+    unpersist() calls (eager use-then-release), use engine.pin (blocks
+    reaped by the ContextCleaner), or carry an allowlist entry naming
+    the caller contract that releases the frame."""
+    from pathlib import Path
+
+    pkg = Path("end_to_end_azure_data_engineering_spark")
+    # _candidate_pairs_with_shingles returns a persisted frame its caller
+    # must release (docstring contract); the callers' own unpersists keep
+    # neardup.py balanced today, so no entry is currently needed.
+    allowed: dict[str, str] = {}
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        n_p = src.count(".persist(")
+        n_u = src.count(".unpersist(")
+        if n_p > n_u and str(f) not in allowed:
+            offenders.append(f"{f}: persist={n_p} unpersist={n_u}")
+    assert not offenders, (
+        "persist() without a matching release — use engine.pin or "
+        f"unpersist after the final action: {offenders}"
+    )
+
+
+def test_eigen_power_leaves_no_cache_entries(spark):
+    """Runtime twin of the static fence for the second leak instance."""
+    spark.catalog.clearCache()
+    ent.queries()["embedding_top_eigen_power"](spark, SF_DIR).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
