@@ -432,7 +432,7 @@ def test_persist_sites_balance_unpersist():
     the caller contract that releases the frame."""
     from pathlib import Path
 
-    pkg = Path("end_to_end_azure_data_engineering_spark")
+    pkg = Path(__file__).resolve().parents[1] / "end_to_end_azure_data_engineering_spark"
     # _candidate_pairs_with_shingles returns a persisted frame its caller
     # must release (docstring contract); the callers' own unpersists keep
     # neardup.py balanced today, so no entry is currently needed.
