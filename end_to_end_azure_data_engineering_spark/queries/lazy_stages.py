@@ -148,6 +148,23 @@ def _pareto_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier_percentile_ranks' full lazy plan with the sharded
+    construction pinned on (r10 verdict item 4: previously its 100 TB
+    shape was audited only via the other :rank twins)."""
+    from .relational_ext import supplier_percentile_ranks_plan
+
+    return supplier_percentile_ranks_plan(spark, sf_dir, small_group_rows=0)
+
+
+def _quality_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_quantile_normalize's full lazy plan, sharded path pinned
+    (r10 verdict item 4 — same rationale as above)."""
+    from .training_ops import quality_quantile_normalize_plan
+
+    return quality_quantile_normalize_plan(spark, sf_dir, small_group_rows=0)
+
+
 def _tie_ranks_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part_size_tie_ranks' full lazy plan: the outer sharded rank, the
     tie-class min-rn aggregate, and the class frame's recursive sharded
@@ -171,4 +188,6 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_gini:rank": _gini_rank,
         "revenue_pareto_curve:rank": _pareto_rank,
         "part_size_tie_ranks:rank": _tie_ranks_rank,
+        "supplier_percentile_ranks:rank": _supplier_pct_rank,
+        "quality_quantile_normalize:rank": _quality_quantile_rank,
     }

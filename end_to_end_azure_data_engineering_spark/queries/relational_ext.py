@@ -1191,7 +1191,18 @@ def order_value_distribution_plan(
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = load(spark, sf_dir, "customer")
-    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+    # PK-enforced dim side (r10, verdict item 2): grouping the dim on its
+    # key makes "one row per c_custkey" a PLAN property, which (a) lets
+    # the rank router's zero-job tier bound the join output from the
+    # fact child's stats alone — no pin, no probe job at bench SF — and
+    # (b) defensively enforces the dim's PK contract before a fact join
+    # (a duplicated dim key would silently duplicate fact rows). One
+    # extra map-side-combinable exchange over the DIM only; c_custkey is
+    # unique in customer so the result — and the oracle — are unchanged.
+    cdim = c.groupBy("c_custkey").agg(
+        F.first("c_mktsegment").alias("c_mktsegment")
+    )
+    base = o.join(cdim, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_mktsegment", "o_totalprice"
     )
     ranked = sharded_row_number(
@@ -2805,7 +2816,17 @@ def supplier_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier list on one task (supplier count grows with the corpus; 25
     nations ⇒ 25 tasks forever). Under the (s_acctbal, s_suppkey) total
     order, percent_rank/cume_dist/ntile are closed forms of (rn, n) —
-    hash-verified by the unchanged SQL-rank-function oracle."""
+    hash-verified by the unchanged SQL-rank-function oracle. The lazy
+    twin `supplier_percentile_ranks:rank` pins the sharded 100 TB shape
+    for the plan audit (r10, verdict item 4)."""
+    return supplier_percentile_ranks_plan(spark, sf_dir)
+
+
+def supplier_percentile_ranks_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    small_group_rows: int | None = None,
+) -> DataFrame:
     from ..operators.ranks import (
         cume_dist_expr,
         ntile_expr,
@@ -2815,10 +2836,19 @@ def supplier_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    base = s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select(
+    # PK-enforced dim (see order_value_distribution_plan): one row per
+    # n_nationkey as a plan property ⇒ the zero-job tier bounds the join
+    # from the supplier child alone — no probe job (25-row aggregate).
+    ndim = n.groupBy("n_nationkey").agg(F.first("n_name").alias("n_name"))
+    base = s.join(F.broadcast(ndim), ndim.n_nationkey == s.s_nationkey).select(
         F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal"
     )
-    ranked = sharded_row_number(base, ["nation"], ["s_acctbal", "s_suppkey"])
+    ranked = sharded_row_number(
+        base,
+        ["nation"],
+        ["s_acctbal", "s_suppkey"],
+        small_group_rows=small_group_rows,
+    )
     return ranked.select(
         "nation",
         "s_suppkey",

@@ -203,19 +203,22 @@ SCALING_WINDOW_KEYS = {
     "_rbucket", "shard",
 }
 
-# r9: sharded_row_number is ADAPTIVE — at this audit's tiny SF the probe
-# proves every group under SMALL_GROUP_ROWS and the queries below plan a
-# PLAIN per-group window (provably one bounded task per group; the probe
-# is the proof). Their 100 TB shape — the sharded construction whose only
-# group-keyed window is the bounded offsets cumsum — is force-pinned and
-# audited via the lazy twins (small_group_rows=0), which this fence also
-# walks; tests/test_ranks.py::test_adaptive_switch_is_size_gated pins the
-# threshold behavior itself.
+# r9: sharded_row_number is ADAPTIVE — at this audit's tiny SF either the
+# zero-job proof walker (r10: leaf chains, unique-dim equi-joins; declines
+# Generate/Expand) or the row probe proves every group under
+# SMALL_GROUP_ROWS and the queries below plan a PLAIN per-group window
+# (provably one bounded task per group). Their 100 TB shape — the sharded
+# construction whose only group-keyed window is the bounded offsets
+# cumsum — is force-pinned and audited via the lazy twins
+# (small_group_rows=0), which this fence also walks — since r10 EVERY
+# distribution query below has its own :rank twin;
+# tests/test_ranks.py::test_adaptive_switch_is_size_gated and
+# ::test_zero_job_tier_bounds_unique_dim_join pin the tier behavior.
 WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
-    "customer_spend_deciles": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
-    "order_value_distribution": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
-    "quality_quantile_normalize": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded above (offsets cumsum over ≤num_buckets-row counts frame)",
-    "supplier_percentile_ranks": "adaptive: plain window below probed SMALL_GROUP_ROWS; sharded above (offsets cumsum over ≤num_buckets-row counts frame)",
+    "customer_spend_deciles": "adaptive: plain window on provably-small frames; sharded shape audited via :rank twin",
+    "order_value_distribution": "adaptive: zero-job unique-dim proof at small SF; sharded shape audited via :rank twin",
+    "quality_quantile_normalize": "adaptive: plain window on provably-small frames; sharded shape audited via :rank twin (r10)",
+    "supplier_percentile_ranks": "adaptive: zero-job unique-dim proof at small SF; sharded shape audited via :rank twin (r10)",
     "part_size_tie_ranks": "adaptive: plain windows below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
     "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
     "lang_confidence_quantiles": "sharded path pinned (small_group_rows=0): the lang_grp window is the offsets cumsum over the ≤num_buckets-row-per-language counts frame; the data sort shards on (lang_grp, _rbucket)",
@@ -339,6 +342,7 @@ BROADCAST_ALLOWED: dict[str, set[str]] = {
         "c.agg(F.count('*').alias('n_view_click'))",           # SCALAR
         "p.agg(F.count('*').alias('n_view_click_purchase'))",  # SCALAR
         "cn", "sn", "n",                                       # FIXED
+        "ndim",                                                # FIXED (25-nation PK aggregate)
         "days",                                                # TIME
         "q",                                                   # SCALAR (1-row quantiles)
         "tot", "total", "pr_tot", "yr_tot",                    # SCALAR

@@ -387,6 +387,89 @@ def test_adaptive_switch_is_size_gated(spark, tmp_path):
         assert bad == 0
 
 
+def test_zero_job_tier_bounds_unique_dim_join(spark, tmp_path):
+    """r10 (verdict item 2): a fact ⋈ dim equi-join whose dim side is an
+    Aggregate grouped on the join key is PROVABLY row-bounded by the
+    fact child, so the zero-job tier must route it to the plain window
+    with NO probe job — the order_value_distribution shape that used to
+    pay pin + probe at bench SF. The raw (non-aggregated) dim join stays
+    unprovable and must keep falling through to the probe."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _proven_small,
+    )
+
+    _frame(spark, 41, 400, 3, 10_000).write.parquet(str(tmp_path / "fact"))
+    dim_rows = [(f"g{i}", f"seg{i % 2}") for i in range(3)]
+    spark.createDataFrame(dim_rows, ["g", "seg"]).write.parquet(
+        str(tmp_path / "dim")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    raw = fact.join(dim, "g").select("seg", "v", "id")
+    assert not _proven_small(raw), "raw dim join must not be provable"
+
+    udim = dim.groupBy("g").agg(F.first("seg").alias("seg"))
+    base = fact.join(udim, "g").select("seg", "v", "id")
+    expected = base.select(
+        "seg",
+        "id",
+        F.row_number()
+        .over(W.partitionBy("seg").orderBy("v", "id"))
+        .alias("ern"),
+    )
+    expected.count()  # settle file-listing jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    got = sharded_row_number(base, ["seg"], ["v", "id"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert "_rbucket" not in plan, "plain path expected (provably small)"
+    assert after == before, "unique-dim bound must not run a probe job"
+    bad = (
+        expected.join(got.select("seg", "id", "rn"), ["seg", "id"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_zero_job_tier_distrusts_row_multipliers(spark, tmp_path):
+    """r9 ADVICE (medium): Generate (explode) and Expand (rollup) keep
+    roughly the child's BYTE estimate while multiplying rows, so a
+    small-looking estimate above one of them proves nothing. The proof
+    walker must decline both (the row probe decides); routing through
+    the probe must still produce exact ranks."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _proven_small,
+    )
+
+    _frame(spark, 42, 200, 2, 10_000).write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    assert _proven_small(df), "the bare scan itself must stay provable"
+
+    exploded = df.withColumn(
+        "part", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).withColumn("eid", F.col("id") * 2 + F.col("part"))
+    assert not _proven_small(exploded), "Generate must taint the proof"
+
+    expanded = df.rollup("g").agg(F.count("*").alias("cnt"))
+    assert not _proven_small(expanded), "Expand must taint the proof"
+
+    # end-to-end through the probe: still exact on the exploded frame
+    w = W.partitionBy("g").orderBy("v", "eid")
+    expected = exploded.select(
+        "g", "eid", F.row_number().over(w).alias("ern")
+    )
+    got = sharded_row_number(exploded, ["g"], ["v", "eid"])
+    bad = (
+        expected.join(got.select("g", "eid", "rn"), ["g", "eid"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_forced_sharded_path_skips_probe(spark):
     """small_group_rows=0 (the lazy-twin pin) must build the sharded plan
     WITHOUT running the probe action — the twins are plan-audit objects
@@ -405,27 +488,31 @@ def test_skew_guard_raises_on_boolean_like_key(spark):
     """r9 verdict item 3 — the tie-skew contract is ENFORCED: ranking a
     near-constant bucketing value in an above-threshold group must fail
     loudly (range buckets cannot split ties ⇒ the sort would collapse
-    back to ~one task), never silently degrade."""
+    back to ~one task), never silently degrade. The tiebreaker is a
+    STRING here so the r10 fold cannot rescue the key; the error message
+    must carry the EXACT distinct count (r9 ADVICE: the approx probe's
+    ~5% rsd alone must never refuse a production query)."""
     rng = random.Random(33)
-    rows = [("g0", rng.randrange(2), i) for i in range(500)]
+    rows = [("g0", rng.randrange(2), f"id{i:05d}") for i in range(500)]
     df = spark.createDataFrame(rows, ["g", "bool_like", "id"])
-    with pytest.raises(ValueError, match="distinct"):
+    with pytest.raises(ValueError, match=r"2 distinct values \(exact\)"):
         sharded_row_number(
             df, ["g"], ["bool_like", "id"], small_group_rows=10
         )
 
 
 def test_skew_guard_clamps_low_resolution_key(spark):
-    """A low- (but not boolean-) resolution bucketing value clamps the
-    bucket count to what the value resolution supports, warns loudly,
-    and stays EXACT: per-task frames are then bounded by the heaviest
-    duplicate run instead of collapsing to one task."""
+    """A low- (but not boolean-) resolution bucketing value with a
+    NON-FOLDABLE (string) tiebreaker clamps the bucket count to what the
+    value resolution supports, warns loudly, and stays EXACT: per-task
+    frames are then bounded by the heaviest duplicate run instead of
+    collapsing to one task."""
     import warnings as _warnings
 
     rng = random.Random(34)
     # 100 distinct values: above the boolean-like floor (32) but below
     # 4×num_buckets (4×32 with the session's default parallelism)
-    rows = [("g0", rng.randrange(100), i) for i in range(600)]
+    rows = [("g0", rng.randrange(100), f"id{i:05d}") for i in range(600)]
     df = spark.createDataFrame(rows, ["g", "v", "id"])
     w = W.partitionBy("g").orderBy("v", "id")
     expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
@@ -441,6 +528,172 @@ def test_skew_guard_clamps_low_resolution_key(spark):
     assert any("clamping" in str(c.message) for c in caught)
     assert "_rbucket" in plan, "must stay sharded, just coarser"
     assert bad == 0
+
+
+def test_skew_guard_never_raises_near_the_floor(spark):
+    """r9 ADVICE (low): a key with exactly _SKEW_MIN_DISTINCT true
+    distinct values may be approx-estimated a few percent BELOW the
+    floor — the guard must then confirm with an exact countDistinct and
+    CLAMP, never raise, regardless of which side the approximation
+    landed on. (String tiebreaker keeps the fold out of the way.)"""
+    import warnings as _warnings
+
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _SKEW_MIN_DISTINCT,
+    )
+
+    rng = random.Random(35)
+    rows = [
+        ("g0", rng.randrange(_SKEW_MIN_DISTINCT), f"id{i:05d}")
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=10)
+        bad = (
+            expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+            .where(~F.col("ern").eqNullSafe(F.col("rn")))
+            .count()
+        )
+    assert any("clamping" in str(c.message) for c in caught)
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# r10: tiebreaker fold — low-resolution sort keys keep FULL sharding when
+# the total order's second column is numeric (verdict item 3).
+# ---------------------------------------------------------------------------
+
+
+def test_skew_fold_keeps_full_sharding(spark):
+    """A 50-distinct integer bucketing value with a numeric unique
+    tiebreaker must NOT clamp (no warning): the fold spreads each tie
+    class across the tiebreaker sub-steps, the plan stays sharded, and
+    ranks stay exact vs Spark's own window."""
+    import warnings as _warnings
+
+    rng = random.Random(36)
+    rows = [("g0", rng.randrange(50), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=10)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        bad = (
+            expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+            .where(~F.col("ern").eqNullSafe(F.col("rn")))
+            .count()
+        )
+    assert not any("clamping" in str(c.message) for c in caught), [
+        str(c.message) for c in caught
+    ]
+    assert "_rbucket" in plan, "fold must keep the sharded construction"
+    assert bad == 0
+
+
+def test_fold_rescues_boolean_like_key(spark):
+    """Even a 2-value bucketing key is fully shardable when the numeric
+    tiebreaker can be folded below it — no raise, no clamp, exact."""
+    import warnings as _warnings
+
+    rng = random.Random(37)
+    rows = [("g0", rng.randrange(2), i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "bool_like", "id"])
+    w = W.partitionBy("g").orderBy("bool_like", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = sharded_row_number(
+            df, ["g"], ["bool_like", "id"], small_group_rows=10
+        )
+        bad = (
+            expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+            .where(~F.col("ern").eqNullSafe(F.col("rn")))
+            .count()
+        )
+    assert not any("clamping" in str(c.message) for c in caught)
+    assert bad == 0
+
+
+def test_fold_buckets_are_balanced(spark):
+    """The balance evidence behind the fold: assigning range buckets on
+    the folded value over a 50-distinct key must use every bucket with
+    near-uniform sizes (percentile boundaries adapt to the real folded
+    distribution), instead of the ~12 buckets the clamp used to leave."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _assign_buckets,
+        _folded_bucket_value,
+    )
+
+    rng = random.Random(38)
+    rows = [("g0", rng.randrange(50), i) for i in range(3200)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    fv = _folded_bucket_value("v", "id", 0, 49, 0, 3199, 32)
+    assert fv is not None
+    b = _assign_buckets(
+        df.withColumn("_gsk", F.struct("g")), ["_gsk"], fv, 32, "_rbucket"
+    )
+    sizes = sorted(
+        r["count"] for r in b.groupBy("_rbucket").count().collect()
+    )
+    assert len(sizes) == 32, f"only {len(sizes)} buckets used"
+    mean = sum(sizes) / len(sizes)
+    assert sizes[-1] <= 2 * mean, (sizes[0], sizes[-1], mean)
+
+
+def test_fold_value_is_order_consistent(spark):
+    """Monotonicity property of the fold (the exactness precondition —
+    bucketing only needs order consistency with the caller's total
+    order): over random integral values (negatives included) and float
+    tiebreakers with NULLs, the folded value must be non-decreasing
+    along the (v ASC, tb ASC NULLS FIRST) order."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _folded_bucket_value,
+    )
+
+    rng = random.Random(39)
+    rows = []
+    for i in range(1500):
+        v = rng.randrange(-40, 40)
+        tb = None if rng.random() < 0.05 else rng.uniform(-1e6, 1e6)
+        rows.append((v, tb, i))
+    df = spark.createDataFrame(rows, ["v", "tb", "i"])
+    tbs = [t for _, t, _ in rows if t is not None]
+    fv = _folded_bucket_value("v", "tb", -40, 39, min(tbs), max(tbs), 32)
+    assert fv is not None
+    got = df.select("v", "tb", fv.alias("fold")).collect()
+    ordered = sorted(
+        got, key=lambda r: (r["v"], r["tb"] is not None, r["tb"] or 0.0)
+    )
+    folds = [r["fold"] for r in ordered]
+    assert all(a <= b for a, b in zip(folds, folds[1:]))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_adaptive_low_resolution_fuzz(spark, seed):
+    """Adaptive-path fuzz over the fold regimes: tiny value spaces
+    (constant, boolean-like, low-resolution) with a numeric tiebreaker
+    must all route through the fold with exact results — the regime the
+    r9 clamp surrendered shards on."""
+    rng = random.Random(4000 + seed)
+    n_rows = rng.randrange(200, 900)
+    n_groups = rng.randrange(1, 6)
+    val_space = rng.choice([1, 2, 5, 30, 80])
+    df = _frame(spark, 5000 + seed, n_rows, n_groups, val_space)
+    w = W.partitionBy("g").orderBy("v", "id")
+    expected = df.select("g", "id", F.row_number().over(w).alias("ern"))
+    got = sharded_row_number(df, ["g"], ["v", "id"], small_group_rows=5)
+    bad = (
+        expected.join(got.select("g", "id", "rn"), ["g", "id"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0, (n_rows, n_groups, val_space)
 
 
 def test_ntile_integer_arithmetic_exact_past_double(spark):
