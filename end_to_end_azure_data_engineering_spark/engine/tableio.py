@@ -402,8 +402,8 @@ class VersionedWarehouse(Warehouse):
             )
         return self.path(namespace, table) / f"_v{v}"
 
-    @staticmethod
-    def _steal_stale_lock(lock: Path, horizon: float) -> bool:
+    @classmethod
+    def _steal_stale_lock(cls, lock: Path, horizon: float) -> bool:
         """Retire a crashed holder's lock by RENAME-then-unlink: rename of
         one source path succeeds for exactly ONE caller (the filesystem
         arbitrates), so two waiters can never both "steal" and then one
@@ -411,7 +411,30 @@ class VersionedWarehouse(Warehouse):
         a bare stat+unlink steal leaves open (r8 ADVICE). Returns True if
         THIS caller retired the lock; on any miss (not stale yet, already
         stolen, vanished) returns False and the caller just retries its
-        O_EXCL create."""
+        O_EXCL create.
+
+        Residual TOCTOU (r9 ADVICE, low — documented, narrowed, not fully
+        closable without fd-based locking): between our staleness stat
+        and the rename, the stale holder can release AND a fresh holder
+        recreate the lock at the same path — the rename then displaces
+        the FRESH lock. Mitigations, in order: (1) both lock families
+        heartbeat their mtime (the append lock since r4, the ptr lock
+        since r10), so a LIVE holder is never stale-looking to the
+        initial stat unless its whole process is suspended; (2) after
+        the rename we re-stat the renamed file and, if its mtime is
+        fresh — we displaced a live lock — put it back atomically with
+        os.link (link fails if yet another waiter re-created the path;
+        the displaced holder's own inode ownership checks then make it
+        re-acquire safely, losing liveness for one round trip but never
+        mutual exclusion: its heartbeat/release verify st_ino before
+        touching the path). The remaining window — holder releases, a
+        fresh holder creates AND ages past the horizon, all between one
+        stat and one rename — requires the suspend-resume scenario the
+        inode checks already bound.
+
+        Either way the renamed file is removed, and sibling debris from
+        stealers that crashed between their rename and unlink is swept
+        opportunistically (r9 ADVICE: nothing else ever removed those)."""
         try:
             if time.time() - lock.stat().st_mtime <= horizon:
                 return False
@@ -419,8 +442,48 @@ class VersionedWarehouse(Warehouse):
             os.rename(lock, stale)
         except OSError:
             return False
+        stole = True
+        try:
+            if time.time() - stale.stat().st_mtime <= horizon:
+                # fresh mtime ⇒ we displaced a LIVE holder's lock that was
+                # re-created in the stat→rename gap: put it back atomically
+                # (no-op if a waiter already claimed the path — O_EXCL and
+                # the displaced holder's st_ino checks arbitrate from here)
+                try:
+                    os.link(stale, lock)
+                except OSError:
+                    pass
+                stole = False
+        except OSError:
+            pass
         stale.unlink(missing_ok=True)
-        return True
+        cls._sweep_stale_debris(lock.parent, horizon)
+        return stole
+
+    @staticmethod
+    def _sweep_stale_debris(base: Path, horizon: float) -> int:
+        """Unlink ``*.stale.*`` rename leftovers older than the steal
+        horizon (a stealer that crashed between os.rename and unlink
+        leaves one behind — harmless to locking but permanent debris,
+        r9 ADVICE). Age-gated so an in-flight steal's just-renamed file
+        is never swept from under its freshness re-check. Called from
+        steals and from vacuum(). Returns the number removed."""
+        removed = 0
+        try:
+            entries = list(base.iterdir())
+        except OSError:
+            return 0
+        now = time.time()
+        for p in entries:
+            if ".stale." not in p.name:
+                continue
+            try:
+                if now - p.stat().st_mtime > horizon:
+                    p.unlink(missing_ok=True)
+                    removed += 1
+            except OSError:
+                continue
+        return removed
 
     @contextmanager
     def _append_lock(self, namespace: str, table: str):
@@ -822,6 +885,27 @@ class VersionedWarehouse(Warehouse):
                         f"pointer lock for {namespace}.{table} held too long"
                     )
                 time.sleep(0.01)
+        # Holder heartbeat (r9 ADVICE: _publish holders never heartbeated,
+        # so a publisher suspended/stalled past PTR_STEAL_AFTER was stolen
+        # and two publishers ran the read-compare-replace concurrently —
+        # the monotonicity check bounds the damage to a skipped publish,
+        # but the steal was avoidable). Same discipline as _append_lock:
+        # refresh OUR lock's mtime well inside the horizon; verify st_ino
+        # first so a zombie never refreshes a successor's lock. The
+        # critical section is microseconds when healthy — the thread
+        # exists purely for the stalled-holder case.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(min(self.LOCK_HEARTBEAT, self.PTR_STEAL_AFTER / 4)):
+                try:
+                    if my_ino is None or lock.stat().st_ino != my_ino:
+                        return
+                    os.utime(lock)
+                except OSError:
+                    return
+        hb = threading.Thread(target=_beat, daemon=True)
+        hb.start()
         try:
             cur = self.current_version(namespace, table)
             if cur is not None and cur >= nxt:
@@ -836,6 +920,7 @@ class VersionedWarehouse(Warehouse):
                 os.fsync(f.fileno())
             os.replace(tmp, self._pointer(namespace, table))
         finally:
+            stop.set()
             # unlink only OUR lock: an unconditional unlink here could
             # remove the lock a stealer re-created after deciding ours
             # was stale (the second half of the r8 ADVICE race)
@@ -1015,4 +1100,10 @@ class VersionedWarehouse(Warehouse):
             removable.append(v)
         for v in removable:
             shutil.rmtree(self.path(namespace, table) / f"_v{v}")
+        # rename leftovers from stealers that crashed between os.rename
+        # and unlink (r9 ADVICE): harmless to locking, but nothing else
+        # ever removed them — vacuum is the natural janitor
+        self._sweep_stale_debris(
+            self.path(namespace, table), self.PTR_STEAL_AFTER
+        )
         return removable

@@ -166,3 +166,97 @@ def test_publish_release_spares_successor_lock(tmp_path):
     except OSError:
         pass
     assert lock.exists(), "zombie release removed the successor's lock"
+
+
+def test_steal_puts_back_displaced_fresh_lock(tmp_path, monkeypatch):
+    """r9 ADVICE (low): between the staleness stat and the rename, the
+    stale holder can release and a FRESH holder recreate the lock — the
+    rename then displaces the fresh lock. The post-rename freshness
+    re-check must detect the displacement (the renamed file's mtime is
+    recent), atomically put the lock back with os.link, and report the
+    steal as a miss. Emulated by making the rename land on a
+    just-refreshed file — exactly what the race interleaving produces."""
+    from end_to_end_azure_data_engineering_spark.engine import tableio
+
+    lock = tmp_path / ".ptr.lock"
+    lock.touch()
+    old = time.time() - 120.0
+    os.utime(lock, (old, old))
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        real_rename(src, dst)
+        os.utime(dst)  # the file we renamed was really a fresh holder's
+
+    monkeypatch.setattr(tableio.os, "rename", racy_rename)
+    assert not tableio.VersionedWarehouse._steal_stale_lock(lock, horizon=60.0)
+    assert lock.exists(), "displaced fresh lock must be put back"
+    assert not list(tmp_path.glob(".ptr.lock.stale.*")), "debris left behind"
+
+
+def test_stale_lock_debris_is_swept_by_vacuum(tmp_path):
+    """r9 ADVICE (low): a stealer that crashes between os.rename and
+    unlink leaves a '.lock.stale.<uuid>' file forever — vacuum now
+    sweeps debris older than the steal horizon, and ONLY that old (an
+    in-flight steal's just-renamed file must survive its freshness
+    re-check)."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    wh = VersionedWarehouse(None, str(tmp_path))
+    base = wh.path("silver", "t")
+    base.mkdir(parents=True)
+    crashed = base / ".ptr.lock.stale.dead01"
+    crashed.touch()
+    os.utime(crashed, (time.time() - 7200, time.time() - 7200))
+    inflight = base / ".append.lock.stale.live01"
+    inflight.touch()
+    wh.vacuum("silver", "t", keep=2)
+    assert not crashed.exists(), "old debris must be swept"
+    assert inflight.exists(), "fresh (possibly in-flight) file must survive"
+
+
+def test_publish_heartbeat_keeps_stalled_holder_alive(tmp_path, monkeypatch):
+    """r9 ADVICE (low): _publish holders never heartbeated, so a
+    publisher stalled past PTR_STEAL_AFTER was stolen and two publishers
+    ran the read-compare-replace concurrently. With the heartbeat, a
+    prowler running the steal protocol for the whole stall must never
+    succeed, and the stalled publish must still complete."""
+    import threading
+
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    class W(VersionedWarehouse):
+        PTR_STEAL_AFTER = 1.0
+        LOCK_HEARTBEAT = 0.2
+
+    wh = W(None, str(tmp_path))
+    base = wh.path("silver", "t")
+    base.mkdir(parents=True)
+    real_cv = VersionedWarehouse.current_version
+
+    def slow_cv(self, ns, t):
+        time.sleep(2.5)  # stall the critical section past the horizon
+        return real_cv(self, ns, t)
+
+    monkeypatch.setattr(W, "current_version", slow_cv)
+    stolen: list[int] = []
+
+    def prowler() -> None:
+        end = time.monotonic() + 2.2
+        while time.monotonic() < end:
+            if W._steal_stale_lock(base / ".ptr.lock", horizon=1.0):
+                stolen.append(1)
+                return
+            time.sleep(0.1)
+
+    th = threading.Thread(target=prowler)
+    th.start()
+    wh._publish("silver", "t", 1)
+    th.join()
+    assert not stolen, "heartbeating live publisher was stolen"
+    assert (base / "_CURRENT").read_text().strip() == "1"
+    assert not (base / ".ptr.lock").exists(), "lock not released"
