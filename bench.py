@@ -175,6 +175,12 @@ HEADLINE = [
     "basket_size_value_matrix",
     "user_burstiness_fano",
     "embedding_top_eigen_power",
+    # round-10 additions: the two distribution queries the r9 verdict
+    # priced (probe tax / clamp trade) so BENCH_rN carries their numbers
+    # directly, plus the Generate-upstream rank query (r9 ADVICE medium)
+    "order_value_distribution",
+    "part_size_tie_ranks",
+    "token_length_quartiles",
 ]
 
 

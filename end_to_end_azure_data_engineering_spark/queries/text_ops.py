@@ -38,6 +38,70 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_length_quartiles",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, length(tok) AS tok_len,
+             ntile(4) OVER (
+               PARTITION BY source
+               ORDER BY length(tok), doc_id, pos
+             ) AS quartile
+      FROM toks
+    )
+    SELECT source, quartile,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(min(tok_len) AS BIGINT) AS min_len,
+           CAST(max(tok_len) AS BIGINT) AS max_len
+    FROM ranked GROUP BY source, quartile
+    """,
+)
+def token_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quartiles of whitespace-token length over the EXPLODED
+    token stream — the tokenizer-budget profile a curation pass reads
+    before choosing truncation lengths. r10, tied to the r9 ADVICE
+    (medium) finding: the rank input sits above a Generate (posexplode),
+    the one plan shape whose Catalyst size estimate under-counts rows,
+    so the adaptive router's zero-job proof walker must DECLINE it and
+    the row probe must route instead — this query pins that fallthrough
+    end-to-end under a DuckDB oracle (previously the hazard was latent:
+    no rank call site had an explode upstream). At scale the sharded
+    path folds the (doc_id, pos) tiebreakers below the ~15-distinct
+    token-length key, keeping full sharding where the r9 clamp would
+    have surrendered shards. Position is 1-based to match DuckDB's
+    generate_subscripts; Spark's split and DuckDB's str_split both keep
+    empty tokens from consecutive delimiters."""
+    from ..operators.ranks import ntile_expr, sharded_row_number
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    )
+    base = toks.select(
+        "source",
+        F.length("tok").alias("tok_len"),
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    ranked = sharded_row_number(base, ["source"], ["tok_len", "doc_id", "pos"])
+    q = ranked.select(
+        "source", "tok_len", ntile_expr("rn", "n_g", 4).alias("quartile")
+    )
+    return q.groupBy("source", "quartile").agg(
+        F.count("*").alias("n_toks"),
+        F.min("tok_len").cast("bigint").alias("min_len"),
+        F.max("tok_len").cast("bigint").alias("max_len"),
+    )
+
+
+@register(
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,

@@ -43,3 +43,72 @@ def test_override_cannot_cross_sf():
     the baseline — the SF check is absolute."""
     promote, _ = promotion_decision(0.01, load1=0.0, force=True)
     assert not promote
+
+
+def _compare(tmp_path, old, new, *extra):
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    a, b = tmp_path / "old.json", tmp_path / "new.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    return subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_compare.py"),
+         str(a), str(b), *extra],
+        capture_output=True, text=True,
+    )
+
+
+def test_bench_compare_refuses_cross_load(tmp_path):
+    """r10 (verdict item 8): a quiet-vs-loaded comparison must be
+    REFUSED (exit 3) — per-query ratios under cross-load measure host
+    contention, not plans; the r8/r9 footnote form got ignored."""
+    quiet = {
+        "queries": {"a": 1.0},
+        "load_avg": {"start": [0.3, 0, 0], "end": [0.3, 0, 0]},
+    }
+    loaded = {
+        "queries": {"a": 2.5},
+        "load_avg": {"start": [LOAD_GATE + 2.0, 0, 0], "end": [4.0, 0, 0]},
+    }
+    r = _compare(tmp_path, quiet, loaded)
+    assert r.returncode == 3, r.stdout
+    assert "REFUSED" in r.stdout
+    assert "REGRESSED" not in r.stdout, "refusal must precede any verdict"
+
+
+def test_bench_compare_force_is_advisory_only(tmp_path):
+    """--force runs the cross-load comparison but never issues a
+    regression verdict (exit 0, ADVISORY banner)."""
+    quiet = {
+        "queries": {"a": 1.0},
+        "load_avg": {"start": [0.3, 0, 0], "end": [0.3, 0, 0]},
+        "noise_band": {"p95_spread": 1.2},
+    }
+    loaded = {
+        "queries": {"a": 2.5},
+        "load_avg": {"start": [LOAD_GATE + 2.0, 0, 0], "end": [4.0, 0, 0]},
+    }
+    r = _compare(tmp_path, quiet, loaded, "--force")
+    assert r.returncode == 0, r.stdout
+    assert "ADVISORY-ONLY" in r.stdout
+
+
+def test_bench_compare_same_load_still_gates(tmp_path):
+    """Quiet-vs-quiet with a real out-of-envelope delta keeps the
+    regression exit code — the refusal must not weaken the gate."""
+    old = {
+        "queries": {"a": 1.0},
+        "load_avg": {"start": [0.3, 0, 0], "end": [0.3, 0, 0]},
+        "noise_band": {"p95_spread": 1.2},
+    }
+    new = {
+        "queries": {"a": 3.0},
+        "load_avg": {"start": [0.4, 0, 0], "end": [0.4, 0, 0]},
+    }
+    r = _compare(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout
+    assert "REGRESSED a" in r.stdout

@@ -10,8 +10,15 @@ round-over-round ratio exceeds BOTH the global p95 same-session spread and
 its own per-query spread (when recorded) by the slack factor — anything
 inside that envelope is noise by the bench's own measurement.
 
-Usage: python tools/bench_compare.py OLD.json NEW.json [slack]
+Usage: python tools/bench_compare.py OLD.json NEW.json [slack] [--force]
        (slack default 1.10; exit 1 iff regressions are found)
+
+Cross-load REFUSAL (r10, verdict item 8): when one artifact was swept on
+a quiet host and the other past bench.py's LOAD_GATE, per-query ratios
+measure the host, not the plans — the comparison is REFUSED (exit 3, no
+regression verdict) instead of footnoted, because the r8/r9 incidents
+showed the footnote gets ignored under time pressure. ``--force`` runs
+it anyway, clearly labeled advisory-only.
 
 A flag here is a TRIAGE list, not a verdict: the same-session spread
 understates cross-position variance in a 117-query sweep (block-manager
@@ -28,6 +35,14 @@ import json
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from bench import LOAD_GATE  # single source of truth for "quiet host"
+
+
+def _start_load(art: dict) -> float | None:
+    la = (art.get("load_avg") or {}).get("start")
+    return float(la[0]) if la else None
+
 
 def load(path: str) -> dict:
     data = json.loads(Path(path).read_text())
@@ -42,8 +57,34 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    slack = float(sys.argv[3]) if len(sys.argv) > 3 else 1.10
+    force = "--force" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    old, new = load(args[0]), load(args[1])
+    slack = float(args[2]) if len(args) > 2 else 1.10
+
+    # Cross-load refusal (see module docstring): quiet-vs-loaded sweeps
+    # compare hosts, not plans.
+    lo, ln = _start_load(old), _start_load(new)
+    if lo is not None and ln is not None:
+        quiet_old, quiet_new = lo <= LOAD_GATE, ln <= LOAD_GATE
+        if quiet_old != quiet_new and not force:
+            print(
+                f"REFUSED: cross-load comparison — old swept at 1-min load "
+                f"{lo:.2f}, new at {ln:.2f} (gate {LOAD_GATE}). Per-query "
+                "ratios would measure host contention, not plan changes. "
+                "Re-sweep the loaded side on a quiet host, or pass --force "
+                "for an advisory-only run."
+            )
+            return 3
+        advisory_only = quiet_old != quiet_new
+        if advisory_only:
+            print(
+                f"ADVISORY-ONLY (--force): cross-load comparison, old load "
+                f"{lo:.2f} vs new {ln:.2f} — flags below are NOT regressions "
+                "until re-timed on a quiet host."
+            )
+    else:
+        advisory_only = False
 
     band = new.get("noise_band") or old.get("noise_band") or {}
     p95 = float(band.get("p95_spread", 1.5))
@@ -89,6 +130,8 @@ def main() -> int:
         print(f"  improved  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
     if not regressions:
         print("  no per-query regression outside the measured noise band")
+    if advisory_only:
+        return 0  # forced cross-load run never issues a regression verdict
     return 1 if regressions else 0
 
 
