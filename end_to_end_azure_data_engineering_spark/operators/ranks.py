@@ -207,19 +207,34 @@ def _attr_ids(node) -> set[int]:
 def _unique_on(node, key_ids: set[int]) -> bool:
     """True when ``node`` provably emits at most one row per value of
     ``key_ids``: an Aggregate (Distinct/dropDuplicates optimize into
-    one) whose grouping expressions are plain attributes all contained
-    in the key set. Empty grouping = a single global row, unique on
+    one) whose grouping expressions are plain attributes that ALL
+    surface among the keys. Grouping attrs are matched through the
+    aggregate's own output aliases (``groupBy(col.alias("k"))`` emits
+    ``Aggregate [a#6], [a#6 AS k#11, ...]`` — the join references k#11,
+    not a#6). Empty grouping = a single global row, unique on
     anything."""
     if node.getClass().getSimpleName() != "Aggregate" or not key_ids:
         return False
+    gids: set[int] = set()
     gexprs = node.groupingExpressions()
     for i in range(gexprs.size()):
         e = gexprs.apply(i)
         if not e.getClass().getSimpleName().endswith("AttributeReference"):
             return False
-        if int(e.exprId().id()) not in key_ids:
-            return False
-    return True
+        gids.add(int(e.exprId().id()))
+    # child-attr id -> output-attr id, through pass-throughs and aliases
+    out_of: dict[int, int] = {}
+    aexprs = node.aggregateExpressions()
+    for i in range(aexprs.size()):
+        e = aexprs.apply(i)
+        nm = e.getClass().getSimpleName()
+        if nm.endswith("AttributeReference"):
+            out_of[int(e.exprId().id())] = int(e.exprId().id())
+        elif nm == "Alias":
+            ch = e.child()
+            if ch.getClass().getSimpleName().endswith("AttributeReference"):
+                out_of[int(ch.exprId().id())] = int(e.exprId().id())
+    return all(out_of.get(g) in key_ids for g in gids)
 
 
 def _join_bound(node, left, right) -> int | None:

@@ -239,7 +239,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib pattern: centers live on the driver. 100 TB layout: `assign` is the
     cell-partitioned vector table on disk; a probe touches nprobe cells
     (~nprobe/K of the corpus) and the only wide exchange is the per-probe
-    top-k."""
+    top-k. `tools/ivf_nprobe_probe.py` sweeps the nprobe knob at the sf10
+    fixture (r10, verdict item 6) — candidates and time scale with
+    nprobe/K, recall with the cells covered."""
+    return ivf_topk_plan(spark, sf_dir)
+
+
+def ivf_topk_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """ann_ivf_topk's plan with the IVF knobs exposed (the registered
+    query pins nprobe=2 / topk=3 — its oracle and audited plan shape are
+    unchanged by this refactor). nprobe is the accuracy/cost dial: a
+    probe scans ~nprobe/K of the corpus."""
+    assign, probe_cells = ivf_index_frames(spark, sf_dir, nprobe=nprobe)
+    return ivf_probe_topk(assign, probe_cells, topk=topk)
+
+
+def ivf_probe_topk(
+    assign: DataFrame, probe_cells: DataFrame, *, topk: int = 3
+) -> DataFrame:
+    """The probe-side read path over an IVF index: candidate join on the
+    cell id, cosine from the staged (vector, norm) columns, per-probe
+    top-k. At 100 TB ``assign`` is the cell-partitioned vector table on
+    disk and this — not the assignment map — is the per-query cost;
+    `tools/ivf_nprobe_probe.py` times exactly this function over a
+    pre-materialized index."""
+    scored = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+def ivf_index_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(assign, probe_cells): the IVF index build side (every vector's
+    nearest-centroid cell — the cell-partitioned table a 100 TB layout
+    materializes once) and the probe side (each probe's nprobe nearest
+    cells, carrying the staged probe vector/norm)."""
     e = load(spark, sf_dir, "embeddings")
     cent_rows = sorted(
         e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
@@ -303,26 +359,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_e_n").alias("_p_n"),
             F.explode(
                 F.transform(
-                    F.slice(F.array_sort(cells), 1, 2), lambda c: c["cid"]
+                    F.slice(F.array_sort(cells), 1, nprobe), lambda c: c["cid"]
                 )
             ).alias("cid"),
         )
     )
-    scored = (
-        assign.join(F.broadcast(probe_cells), "cid")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
-        )
-    )
-    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
-    )
+    return assign, probe_cells
 
 
 _KM_K = 16   # codebook size (seed = vec_id < _KM_K, like ann_ivf_topk)

@@ -409,8 +409,15 @@ def test_zero_job_tier_bounds_unique_dim_join(spark, tmp_path):
     raw = fact.join(dim, "g").select("seg", "v", "id")
     assert not _proven_small(raw), "raw dim join must not be provable"
 
-    udim = dim.groupBy("g").agg(F.first("seg").alias("seg"))
-    base = fact.join(udim, "g").select("seg", "v", "id")
+    # aliased grouping key: Aggregate [g#n], [g#n AS gk#m, ...] — the
+    # uniqueness check must follow the alias to the join key (the
+    # customer_spend_deciles shape, caught in-round by the plan audit)
+    udim = dim.groupBy(F.col("g").alias("gk")).agg(
+        F.first("seg").alias("seg")
+    )
+    base = (
+        fact.join(udim, fact.g == udim.gk).select("seg", "v", "id")
+    )
     expected = base.select(
         "seg",
         "id",

@@ -20,7 +20,16 @@ Measured per size (warm, 2nd of 2 runs):
   corpus — dedup_corpus  (pairs + connected components + anti-join)
 
 Usage: python tools/dedup_scale_probe.py [small_docs] [scale_factor]
-       (defaults: 50_000 docs, 10×)
+                                         [--members pairs,corpus,...]
+                                         [--runs N]
+       (defaults: 50_000 docs, 10×, all four members, min-of-3)
+
+--members / --runs exist for the DEEP decades (r10: 10M→100M docs),
+where a full min-of-3 four-member sweep would cost half a day on
+local[32]: scope to the core members and fewer timed runs, and say so
+next to the recorded numbers. Codegen/JIT warm-up still happens before
+any timed run (the smaller size's runs warm the code paths; each
+member also gets one untimed run at the small size).
 """
 
 from __future__ import annotations
@@ -66,7 +75,7 @@ def materialize(spark, n_docs: int) -> str:
     return str(path)
 
 
-def timed(spark, fn) -> tuple[float, int]:
+def timed(spark, fn, runs: int = 3) -> tuple[float, int]:
     # JVM GC first: released checkpoint/broadcast blocks from prior runs
     # otherwise linger and add run-to-run variance (the round-1 bench
     # outlier mechanism)
@@ -76,7 +85,7 @@ def timed(spark, fn) -> tuple[float, int]:
         pass
     last_n = 0
     best = None
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.perf_counter()
         last_n = fn()
         el = time.perf_counter() - t0
@@ -85,8 +94,19 @@ def timed(spark, fn) -> tuple[float, int]:
 
 
 def main() -> int:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    members = {"pairs", "corpus", "containment", "incremental"}
+    runs = 3
+    if "--members" in argv:
+        i = argv.index("--members")
+        members = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        del argv[i : i + 2]
+    small = int(argv[0]) if len(argv) > 0 else 50_000
+    factor = int(argv[1]) if len(argv) > 1 else 10
     sizes = [small, small * factor]
 
     from pyspark.sql import functions as F
@@ -103,40 +123,66 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    for n in sizes:
+    for si, n in enumerate(sizes):
         path = materialize(spark, n)
         docs = spark.read.parquet(path)
-        # untimed full-pipeline warm-up at THIS size so codegen/JIT cost
-        # lands outside the measurement at both sizes equally
-        dedup_corpus(docs, "doc_id", "text").count()
-        t_pairs, n_pairs = timed(spark, lambda: near_dup_pairs(docs, "doc_id", "text").count())
-        t_corpus, n_surv = timed(spark, lambda: dedup_corpus(docs, "doc_id", "text").count())
-        t_cont, n_cont = timed(
-            spark, lambda: containment_pairs(docs, "doc_id", "text", 0.5).count()
-        )
-        batch = docs.filter(F.col("doc_id") % 10 == 0)  # a 10% ingest batch
-        t_incr, n_incr = timed(
-            spark,
-            lambda: near_dup_pairs_against(batch, docs, "doc_id", "text").count(),
-        )
-        rows.append((n, t_pairs, n_pairs, t_corpus, n_surv, t_cont, t_incr))
+        # untimed pipeline warm-up so codegen/JIT cost lands outside the
+        # measurement; at the deep decades ONLY the small size pays it
+        # (code paths are size-independent once compiled)
+        if si == 0 or runs > 1:
+            if "corpus" in members or "pairs" in members:
+                dedup_corpus(docs, "doc_id", "text").count()
+        r = {"n": n}
+        if "pairs" in members:
+            r["t_pairs"], r["n_pairs"] = timed(
+                spark, lambda: near_dup_pairs(docs, "doc_id", "text").count(), runs
+            )
+        if "corpus" in members:
+            r["t_corpus"], r["n_surv"] = timed(
+                spark, lambda: dedup_corpus(docs, "doc_id", "text").count(), runs
+            )
+        if "containment" in members:
+            r["t_cont"], r["n_cont"] = timed(
+                spark,
+                lambda: containment_pairs(docs, "doc_id", "text", 0.5).count(),
+                runs,
+            )
+        if "incremental" in members:
+            batch = docs.filter(F.col("doc_id") % 10 == 0)  # a 10% ingest batch
+            r["t_incr"], r["n_incr"] = timed(
+                spark,
+                lambda: near_dup_pairs_against(batch, docs, "doc_id", "text").count(),
+                runs,
+            )
+        rows.append(r)
         print(
-            f"docs={n:>8d}  pairs: {t_pairs:6.2f}s ({n_pairs} found)   "
-            f"dedup_corpus: {t_corpus:6.2f}s ({n_surv} survivors)   "
-            f"containment: {t_cont:6.2f}s ({n_cont})   "
-            f"incremental(10% batch): {t_incr:6.2f}s ({n_incr})",
+            f"docs={n:>10d}  "
+            + "".join(
+                f"{lbl}: {r[t]:7.2f}s ({r.get(c, '-')})   "
+                for lbl, t, c in (
+                    ("pairs", "t_pairs", "n_pairs"),
+                    ("dedup_corpus", "t_corpus", "n_surv"),
+                    ("containment", "t_cont", "n_cont"),
+                    ("incremental(10% batch)", "t_incr", "n_incr"),
+                )
+                if t in r
+            ),
             flush=True,
         )
 
-    (n0, tp0, np0, tc0, _, tco0, ti0), (n1, tp1, np1, tc1, _, tco1, ti1) = (
-        rows[0],
-        rows[-1],
-    )
-    print(
-        f"\n{factor}x data -> pairs {tp1 / tp0:.1f}x time ({np1 / max(np0, 1):.1f}x output), "
-        f"dedup_corpus {tc1 / tc0:.1f}x, containment {tco1 / tco0:.1f}x, "
-        f"incremental {ti1 / ti0:.1f}x"
-    )
+    a, b = rows[0], rows[-1]
+    parts = []
+    for lbl, t in (
+        ("pairs", "t_pairs"),
+        ("dedup_corpus", "t_corpus"),
+        ("containment", "t_cont"),
+        ("incremental", "t_incr"),
+    ):
+        if t in a and t in b:
+            parts.append(f"{lbl} {b[t] / a[t]:.1f}x")
+    if "n_pairs" in a and "n_pairs" in b:
+        parts.append(f"(pair output {b['n_pairs'] / max(a['n_pairs'], 1):.1f}x)")
+    print(f"\n{factor}x data -> " + ", ".join(parts) + f"  [min-of-{runs}]")
     return 0
 
 

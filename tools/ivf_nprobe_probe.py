@@ -1,0 +1,163 @@
+"""IVF nprobe knob probe (r9 verdict item 6, run round 10).
+
+`ann_ivf_topk` is the most expensive bench query; its 100 TB story is
+"a probe touches nprobe cells ≈ nprobe/K of the corpus". This probe
+pins that constant factor empirically: sweep nprobe over the K=16-cell
+index at a fixture decade above bench SF and record, per setting,
+
+  candidates — scored (probe, vector) pairs, the real work driver;
+              must track Σ|probed cells| ≈ nprobe/K × corpus × probes
+  time       — warm min-of-2 full materialization
+  recall@3   — overlap with the brute-force cosine top-3 ground truth
+              (the quality the extra cells buy)
+
+Usage: python tools/ivf_nprobe_probe.py [sf_dir] [nprobe ...]
+       (defaults: /tmp/end_to_end_azure_data_engineering_sf10, nprobe 1 2 4 8 16; nprobe=K is
+       exhaustive — recall must be 1.0 there by construction, a
+       built-in correctness check on the probe itself)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+K_CELLS = 16  # ann_ivf_topk's codebook size (vec_id < 16 seed sample)
+TOPK = 3
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/end_to_end_azure_data_engineering_sf10"
+    nprobes = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8, 16]
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from end_to_end_azure_data_engineering_spark.engine import get_spark
+    from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.queries import load
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_topk_plan,
+    )
+
+    spark = get_spark("ivf_nprobe_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+
+    # brute-force ground truth for the 20 probes (one pass, untimed):
+    # same cosine, same (cos desc, vec_id asc) tiebreak as the query
+    e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
+    probes = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_e_v").alias("_p_v"),
+            F.col("_e_n").alias("_p_n"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    truth = {
+        (r["probe_id"], r["vec_id"])
+        for r in (
+            e.crossJoin(F.broadcast(probes))
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "vec_id",
+                V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOPK)
+            .collect()
+        )
+    }
+
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_index_frames,
+        ivf_probe_topk,
+    )
+
+    # Materialize the IVF index ONCE — the 100 TB layout: the assign
+    # frame written cell-partitioned to disk. Per-query cost is then the
+    # PROBE-SIDE read path: prune to the probed cells, score, top-k.
+    idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / Path(sf_dir).name
+    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1)
+    if not (idx_path / "_SUCCESS").exists():
+        assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
+    index = spark.read.parquet(str(idx_path))
+
+    print(f"corpus={n_vecs} vectors, K={K_CELLS} cells, top-{TOPK}, 20 probes")
+    print("\n[A] full query (fresh plan each run: build + assignment + probe)")
+    base_t = base_c = None
+    rows_by_np = {}
+    for np_ in nprobes:
+        ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK).write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm-up at this nprobe
+        best = None
+        for _ in range(2):
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            t0 = time.perf_counter()
+            rows = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK).collect()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        rows_by_np[np_] = rows
+        got = {(r["probe_id"], r["vec_id"]) for r in rows}
+        recall = len(got & truth) / max(len(truth), 1)
+        # candidate volume: Σ over probes of their probed cells' sizes
+        # (the scored-join row count BEFORE the top-k) — untimed pass
+        cand = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=10**9).count()
+        if base_t is None:
+            base_t, base_c = best, cand
+        print(
+            f"nprobe={np_:>2d}  candidates={cand:>9d} ({cand / max(base_c,1):4.1f}x)  "
+            f"time={best:6.2f}s ({best / base_t:4.2f}x)  recall@{TOPK}={recall:.3f}",
+            flush=True,
+        )
+
+    print("\n[B] probe-side read path over the materialized cell-partitioned index")
+    base_t = None
+    for np_ in nprobes:
+        _, probe_cells = ivf_index_frames(spark, sf_dir, nprobe=np_)
+        # static cell pruning: the probed cells are ≤ 20×nprobe ids known
+        # at plan time — exactly the partition-pruned read at 100 TB
+        cids = sorted({r["cid"] for r in probe_cells.select("cid").collect()})
+        pruned = index.filter(F.col("cid").isin(cids))
+        df = ivf_probe_topk(pruned, probe_cells, topk=TOPK)
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        best = None
+        for _ in range(2):
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            t0 = time.perf_counter()
+            rows = df.collect()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        got = {(r["probe_id"], r["vec_id"]) for r in rows}
+        agree = got == {
+            (r["probe_id"], r["vec_id"]) for r in rows_by_np[np_]
+        }
+        if base_t is None:
+            base_t = best
+        print(
+            f"nprobe={np_:>2d}  cells={len(cids):>2d}  time={best:6.2f}s "
+            f"({best / base_t:4.2f}x)  matches-full-query={agree}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
