@@ -176,6 +176,18 @@ def _tie_ranks_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_quartiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_length_quartiles' full lazy plan, sharded path pinned: the
+    rank input sits above a Generate (posexplode), so at real SF the
+    zero-job proof declines and the probe routes to the sharded
+    construction with the (doc_id, pos) tiebreaker FOLD engaged on the
+    ~15-distinct token-length key — this twin keeps that exact shape
+    under the window/broadcast/scan fences."""
+    from .text_ops import token_length_quartiles_plan
+
+    return token_length_quartiles_plan(spark, sf_dir, small_group_rows=0)
+
+
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh:mine": _minhash_mine,
@@ -190,4 +202,5 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_size_tie_ranks:rank": _tie_ranks_rank,
         "supplier_percentile_ranks:rank": _supplier_pct_rank,
         "quality_quantile_normalize:rank": _quality_quantile_rank,
+        "token_length_quartiles:rank": _token_quartiles_rank,
     }

@@ -222,6 +222,7 @@ WINDOW_LOWCARD_ALLOWED: dict[str, str] = {
     "part_size_tie_ranks": "adaptive: plain windows below probed SMALL_GROUP_ROWS; sharded shape audited via :rank twin",
     "dedup_token_audit": "partition key is md5(text) (prints as _w0): distinct-document cardinality, scales with corpus",
     "lang_confidence_quantiles": "sharded path pinned (small_group_rows=0): the lang_grp window is the offsets cumsum over the ≤num_buckets-row-per-language counts frame; the data sort shards on (lang_grp, _rbucket)",
+    "token_length_quartiles": "adaptive: Generate upstream forces the row probe (zero-job proof declines), plain window only below SMALL_GROUP_ROWS; sharded shape (tiebreaker fold on the ~15-distinct tok_len key) audited via :rank twin (r10)",
 }
 
 _WIN_RE = re.compile(r"Window \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$")
