@@ -15,6 +15,20 @@ Usage: python tools/ivf_nprobe_probe.py [sf_dir] [nprobe ...]
        (defaults: /tmp/end_to_end_azure_data_engineering_sf10, nprobe 1 2 4 8 16; nprobe=K is
        exhaustive — recall must be 1.0 there by construction, a
        built-in correctness check on the probe itself)
+
+       python tools/ivf_nprobe_probe.py --recall [sf_dir] [nprobe ...]
+       runs section [C] only: the recall-vs-nprobe curve on UNIQUE
+       vectors. The replicated fixture's recall is trivially 1.0 at
+       every nprobe (each probe's true top-k are its own exact
+       duplicates, and identical vectors share a cell — the [A] caveat),
+       so [C] derives a same-size unique corpus by perturbing every
+       vector with deterministic per-(vec_id, dim) hash noise at two
+       scales anchored to the BASE corpus's median nearest-neighbor
+       distance: 0.5×NN (near-dup regime survives; neighbors rarely
+       cross cell borders) and 2×NN (neighbors genuinely contested
+       across cells). Candidates still track nprobe/K × corpus; recall
+       is measured against the brute-force cosine top-k over the SAME
+       perturbed corpus and must be exactly 1.0 at nprobe=K.
 """
 
 from __future__ import annotations
@@ -28,11 +42,151 @@ sys.path.insert(0, str(REPO))
 
 K_CELLS = 16  # ann_ivf_topk's codebook size (vec_id < 16 seed sample)
 TOPK = 3
+_NOISE_SEED = 0xC0FFEE  # fixed: the unique corpus is reproducible run-to-run
+
+
+def _base_nn_median(spark, sf_dir: str) -> float:
+    """Median nearest-neighbor euclidean distance over the fixture's
+    BASE vectors (vec_id < 2000 — replica 0; the key-shift replicas are
+    exact copies whose NN distance is 0 and would poison the anchor).
+    2000×64 fits the driver; one numpy pass."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 2000")
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sq = (x * x).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    np.fill_diagonal(d2, np.inf)
+    return float(np.sqrt(np.median(d2.min(axis=1).clip(min=0.0))))
+
+
+def _build_unique(spark, sf_dir: str, eps: float, tag: str) -> str:
+    """Derive a same-size UNIQUE-vector corpus: every element shifted by
+    eps × uniform[-1, 1] noise keyed on (vec_id, dim, seed) — fully
+    deterministic, JVM-side (one transform map, no Python UDF). Returns
+    a directory `load()` can read (embeddings.parquet only — the IVF
+    plans touch nothing else). Idempotent via _SUCCESS."""
+    from pyspark.sql import functions as F
+
+    out = Path(f"/tmp/end_to_end_azure_data_engineering_ivf_unique_{tag}")
+    dest = out / "embeddings.parquet"
+    if not (dest / "_SUCCESS").exists():
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pert = e.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + F.lit(eps)
+                    * (
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), i, F.lit(_NOISE_SEED)),
+                                F.lit(2001),
+                            )
+                            - F.lit(1000)
+                        ).cast("double")
+                        / F.lit(1000.0)
+                    )
+                ).cast("float"),
+            ),
+        )
+        pert.write.mode("overwrite").parquet(str(dest))
+    return str(out)
+
+
+def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
+    """Section [C]: recall-vs-nprobe on unique vectors (see module doc)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.queries import load
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_index_frames,
+        ivf_probe_topk,
+    )
+
+    d_nn = _base_nn_median(spark, sf_dir)
+    dim = len(
+        load(spark, sf_dir, "embeddings").select("embedding").first()["embedding"]
+    )
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    print(
+        f"[C] recall on UNIQUE vectors: corpus={n_vecs}, dim={dim}, "
+        f"base NN median distance={d_nn:.4f}"
+    )
+    for mult, tag in ((0.5, "halfnn"), (2.0, "2xnn")):
+        # perturbation-vector norm target p = mult × d_nn; per-dim
+        # uniform[-1,1] noise has E[norm²] = eps²·dim/3 ⇒ eps = p·√(3/dim)
+        eps = mult * d_nn * math.sqrt(3.0 / dim)
+        udir = _build_unique(spark, sf_dir, eps, tag)
+        idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / f"unique_{tag}"
+        assign, _ = ivf_index_frames(spark, udir, nprobe=1)
+        if not (idx_path / "_SUCCESS").exists():
+            assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
+        index = spark.read.parquet(str(idx_path))
+
+        e = V.staged(load(spark, udir, "embeddings"), "embedding", "_e")
+        probes = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_e_v").alias("_p_v"),
+            F.col("_e_n").alias("_p_n"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+        truth = {
+            (r["probe_id"], r["vec_id"])
+            for r in (
+                e.crossJoin(F.broadcast(probes))
+                .filter(F.col("vec_id") != F.col("probe_id"))
+                .select(
+                    "probe_id",
+                    "vec_id",
+                    V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= TOPK)
+                .collect()
+            )
+        }
+        print(f"  perturbation {mult}×NN (eps={eps:.5f}, corpus {udir}):")
+        for np_ in nprobes:
+            _, probe_cells = ivf_index_frames(spark, udir, nprobe=np_)
+            got = {
+                (r["probe_id"], r["vec_id"])
+                for r in ivf_probe_topk(index, probe_cells, topk=TOPK).collect()
+            }
+            cand = ivf_probe_topk(index, probe_cells, topk=10**9).count()
+            recall = len(got & truth) / max(len(truth), 1)
+            print(
+                f"    nprobe={np_:>2d}  candidates={cand:>9d}  "
+                f"recall@{TOPK}={recall:.3f}",
+                flush=True,
+            )
+    return 0
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/end_to_end_azure_data_engineering_sf10"
-    nprobes = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8, 16]
+    args = [a for a in sys.argv[1:] if a != "--recall"]
+    recall_only = "--recall" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/end_to_end_azure_data_engineering_sf10"
+    nprobes = [int(a) for a in args[1:]] or [1, 2, 4, 8, 16]
+    if recall_only:
+        from end_to_end_azure_data_engineering_spark.engine import get_spark
+
+        spark = get_spark("ivf_nprobe_probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        return _recall_sweep(spark, sf_dir, nprobes)
 
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
