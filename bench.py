@@ -27,10 +27,16 @@ CANONICAL_SF = 0.1
 #: numbers were fine as a smoke check but poisoned round-over-round
 #: comparison. A quiet local[32] host idles well under 2.
 LOAD_GATE = 2.0
+#: 5-min load gate (r10): a host that just FINISHED heavy work shows a
+#: low 1-min load while caches/IO/cgroup pressure are still settling —
+#: an r10 sweep started at load1 1.87 / load5 6.36 promoted itself and
+#: came out a uniform 1.4× slow across 120 queries. Quiet means quiet
+#: for a while: both the 1-min and the 5-min load must be settled.
+LOAD_GATE_5MIN = 2.5
 
 
 def promotion_decision(
-    sf: float, load1: float, force: bool = False
+    sf: float, load1: float, force: bool = False, load5: float | None = None
 ) -> tuple[bool, str]:
     """Should this sweep overwrite the committed canonical artifact
     (BENCH_LOCAL.json)? Two r8 artifact-clobber incidents motivated the
@@ -50,7 +56,18 @@ def promotion_decision(
             "sweep kept in the SF-stamped file only; promote deliberately "
             "with SPARK_GRAFT_BENCH_PROMOTE=1"
         )
-    return True, f"canonical sf, quiet host (load {load1:.2f})"
+    if load5 is not None and load5 > LOAD_GATE_5MIN:
+        return False, (
+            f"host 5-min load {load5:.2f} > gate {LOAD_GATE_5MIN} (1-min "
+            f"{load1:.2f} is quiet, but the host is still settling from "
+            "recent work): sweep kept in the SF-stamped file only; promote "
+            "deliberately with SPARK_GRAFT_BENCH_PROMOTE=1"
+        )
+    return True, (
+        f"canonical sf, quiet host (load {load1:.2f}"
+        + (f"/{load5:.2f}" if load5 is not None else "")
+        + ")"
+    )
 
 
 HEADLINE = [
@@ -350,6 +367,7 @@ def main() -> None:
         sf,
         load_start[0],
         force=os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1",
+        load5=load_start[1],
     )
     out["promoted_to_baseline"] = promote
     out["promotion_reason"] = promote_reason

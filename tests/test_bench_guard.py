@@ -10,7 +10,25 @@ BENCH_LOCAL.json. Pure-python — no Spark session."""
 
 from __future__ import annotations
 
-from bench import CANONICAL_SF, LOAD_GATE, promotion_decision
+from bench import CANONICAL_SF, LOAD_GATE, LOAD_GATE_5MIN, promotion_decision
+
+
+def test_settling_host_refused_on_5min_load():
+    """r10 incident: a sweep started 3 minutes after a heavy oracle sweep
+    finished saw 1-min load 1.87 (under the gate) but 5-min load 6.36,
+    promoted itself, and came out a uniform 1.4x slow across 120
+    queries. Quiet means quiet for a while — the 5-min load must be
+    settled too."""
+    promote, reason = promotion_decision(
+        CANONICAL_SF, load1=LOAD_GATE - 0.2, load5=LOAD_GATE_5MIN + 3.0
+    )
+    assert not promote
+    assert "5-min" in reason and "PROMOTE" in reason
+
+
+def test_settled_5min_load_promotes():
+    promote, reason = promotion_decision(CANONICAL_SF, load1=0.3, load5=1.1)
+    assert promote, reason
 
 
 def test_non_canonical_sf_refused():

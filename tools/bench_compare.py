@@ -36,12 +36,25 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-from bench import LOAD_GATE  # single source of truth for "quiet host"
+from bench import (  # single source of truth for "quiet host"
+    LOAD_GATE,
+    LOAD_GATE_5MIN,
+)
 
 
-def _start_load(art: dict) -> float | None:
+def _start_load(art: dict) -> tuple[float, float | None] | None:
+    """(1-min, 5-min) start load, matching the promotion gate's inputs."""
     la = (art.get("load_avg") or {}).get("start")
-    return float(la[0]) if la else None
+    if not la:
+        return None
+    return float(la[0]), (float(la[1]) if len(la) > 1 else None)
+
+
+def _is_quiet(l1: float, l5: float | None) -> bool:
+    """Same definition as bench.promotion_decision (r10: the 5-min load
+    must be settled too — a just-finished heavy job leaves load1 low
+    while the host is still slow)."""
+    return l1 <= LOAD_GATE and (l5 is None or l5 <= LOAD_GATE_5MIN)
 
 
 def load(path: str) -> dict:
@@ -66,21 +79,22 @@ def main() -> int:
     # compare hosts, not plans.
     lo, ln = _start_load(old), _start_load(new)
     if lo is not None and ln is not None:
-        quiet_old, quiet_new = lo <= LOAD_GATE, ln <= LOAD_GATE
+        quiet_old, quiet_new = _is_quiet(*lo), _is_quiet(*ln)
         if quiet_old != quiet_new and not force:
             print(
-                f"REFUSED: cross-load comparison — old swept at 1-min load "
-                f"{lo:.2f}, new at {ln:.2f} (gate {LOAD_GATE}). Per-query "
-                "ratios would measure host contention, not plan changes. "
-                "Re-sweep the loaded side on a quiet host, or pass --force "
-                "for an advisory-only run."
+                f"REFUSED: cross-load comparison — old swept at start load "
+                f"{lo}, new at {ln} (gates {LOAD_GATE} 1-min / "
+                f"{LOAD_GATE_5MIN} 5-min). Per-query ratios would measure "
+                "host contention, not plan changes. Re-sweep the loaded "
+                "side on a quiet host, or pass --force for an "
+                "advisory-only run."
             )
             return 3
         advisory_only = quiet_old != quiet_new
         if advisory_only:
             print(
                 f"ADVISORY-ONLY (--force): cross-load comparison, old load "
-                f"{lo:.2f} vs new {ln:.2f} — flags below are NOT regressions "
+                f"{lo} vs new {ln} — flags below are NOT regressions "
                 "until re-timed on a quiet host."
             )
     else:
