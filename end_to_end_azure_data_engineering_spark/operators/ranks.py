@@ -174,8 +174,6 @@ _ROW_PRESERVING = frozenset({
     "SubqueryAlias", "Tail", "Deduplicate", "RebalancePartitions",
 })
 
-_EQ_PAIR = None  # compiled lazily (re import kept local to the walker)
-
 
 def _node_est(node) -> int | None:
     """Catalyst's sizeInBytes for one logical node (driver-side, no job)."""
@@ -212,8 +210,16 @@ def _unique_on(node, key_ids: set[int]) -> bool:
     aggregate's own output aliases (``groupBy(col.alias("k"))`` emits
     ``Aggregate [a#6], [a#6 AS k#11, ...]`` — the join references k#11,
     not a#6). Empty grouping = a single global row, unique on
-    anything."""
-    if node.getClass().getSimpleName() != "Aggregate" or not key_ids:
+    anything. Filter/SubqueryAlias wrappers are looked through: they
+    drop rows / rename nothing, so uniqueness (and output attr ids)
+    survive them — a non-pushable filter on an aggregated column (e.g.
+    isnotnull(first(x))) otherwise sits between the Join and the
+    Aggregate and hides a provable shape."""
+    if not key_ids:
+        return False
+    while node.getClass().getSimpleName() in ("Filter", "SubqueryAlias"):
+        node = node.children().apply(0)
+    if node.getClass().getSimpleName() != "Aggregate":
         return False
     gids: set[int] = set()
     gexprs = node.groupingExpressions()
@@ -237,29 +243,48 @@ def _unique_on(node, key_ids: set[int]) -> bool:
     return all(out_of.get(g) in key_ids for g in gids)
 
 
+def _conjuncts(expr):
+    """Flatten a condition expression into its top-level AND conjuncts
+    (the JVM expression tree, not its string form)."""
+    if expr.getClass().getSimpleName() == "And":
+        yield from _conjuncts(expr.left())
+        yield from _conjuncts(expr.right())
+    else:
+        yield expr
+
+
 def _join_bound(node, left, right) -> int | None:
     """Provable byte bound for an equi-join with a unique side, from
-    child bounds only (r9 verdict item 2). Conditions with OR / NOT are
-    rejected outright — extra AND conjuncts only filter further, but a
-    disjunction voids the equi-key row bound."""
-    import re
-
-    global _EQ_PAIR
-    if _EQ_PAIR is None:
-        _EQ_PAIR = re.compile(
-            r"\(([A-Za-z0-9_]+)#(\d+)[A-Za-z]* = ([A-Za-z0-9_]+)#(\d+)[A-Za-z]*\)"
-        )
+    child bounds only (r9 verdict item 2). Keys are harvested by walking
+    the condition's expression TREE: only top-level AND conjuncts of the
+    form attr = attr (or attr <=> attr — the null-safe form matches at
+    most one row of a unique side too, since an Aggregate emits at most
+    one NULL-keyed row) count as equi-keys. Every other conjunct shape —
+    CASE WHEN, OR, NOT, casts, arbitrary boolean expressions — is
+    IGNORED, which is sound in exactly one direction: an extra ANDed
+    predicate can only filter the equi-join's output further, never
+    widen it. (The first cut regexed the condition's toString for
+    '(a#1 = b#2)' substrings, which also matched equalities nested
+    inside a conjunct such as CASE WHEN (a=b) THEN ... END — a false
+    uniqueness proof that could route a fact×dim-sized frame to the
+    single-task window. Nested equalities never reach the harvest now:
+    they are not top-level conjuncts.)"""
     cond_opt = node.condition()
     if not cond_opt.isDefined():
-        return None
-    cond = cond_opt.get().toString()
-    if " OR " in cond or "NOT " in cond:
         return None
     lids, rids = _attr_ids(left), _attr_ids(right)
     lkeys: set[int] = set()
     rkeys: set[int] = set()
-    for _, a, _, b in _EQ_PAIR.findall(cond):
-        a, b = int(a), int(b)
+    for c in _conjuncts(cond_opt.get()):
+        if c.getClass().getSimpleName() not in ("EqualTo", "EqualNullSafe"):
+            continue
+        cl, cr = c.left(), c.right()
+        if not (
+            cl.getClass().getSimpleName().endswith("AttributeReference")
+            and cr.getClass().getSimpleName().endswith("AttributeReference")
+        ):
+            continue
+        a, b = int(cl.exprId().id()), int(cr.exprId().id())
         if a in lids and b in rids:
             lkeys.add(a)
             rkeys.add(b)

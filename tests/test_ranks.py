@@ -441,6 +441,48 @@ def test_zero_job_tier_bounds_unique_dim_join(spark, tmp_path):
     assert bad == 0
 
 
+def test_join_bound_harvests_only_top_level_equi_conjuncts(spark, tmp_path):
+    """r10 code-review finding: the first proof-walker cut regexed the
+    join condition's STRING for '(a#1 = b#2)' substrings, which also
+    matched an equality nested inside a CASE WHEN — a false uniqueness
+    proof that could send a fact×dim-sized frame to the single-task
+    window. The tree walk must (a) refuse a condition whose only
+    equality is nested inside a non-conjunct expression, and (b) still
+    prove a top-level equi-key joined with an extra non-equi conjunct
+    (ANDed predicates only filter further)."""
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _proven_small,
+    )
+
+    _frame(spark, 43, 400, 3, 10_000).write.parquet(str(tmp_path / "fact"))
+    dim_rows = [(f"g{i}", f"seg{i % 2}", i) for i in range(3)]
+    spark.createDataFrame(dim_rows, ["g", "seg", "lim"]).write.parquet(
+        str(tmp_path / "dim")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    udim = dim.groupBy(F.col("g").alias("gk")).agg(
+        F.first("seg").alias("seg"), F.first("lim").alias("lim")
+    )
+
+    # (a) the equality exists only INSIDE a CaseWhen conjunct — not an
+    # equi-join on gk at all (every fact row can match every dim row)
+    nested = fact.join(
+        udim,
+        F.when(fact.g == udim.gk, fact.v > 0).otherwise(fact.v < 10_000),
+    ).select("seg", "v", "id")
+    cond = nested._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in cond, "optimizer folded the fixture's CaseWhen"
+    assert not _proven_small(nested), "nested equality must not be a key"
+
+    # (b) real equi-key plus a cross-side non-equi conjunct (it cannot
+    # be pushed down, so it stays in the join condition) — still provable
+    mixed = fact.join(
+        udim, (fact.g == udim.gk) & (fact.v >= udim.lim)
+    ).select("seg", "v", "id")
+    assert _proven_small(mixed), "extra AND conjunct must not void the bound"
+
+
 def test_zero_job_tier_distrusts_row_multipliers(spark, tmp_path):
     """r9 ADVICE (medium): Generate (explode) and Expand (rollup) keep
     roughly the child's BYTE estimate while multiplying rows, so a
