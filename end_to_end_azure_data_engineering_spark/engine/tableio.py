@@ -423,14 +423,27 @@ class VersionedWarehouse(Warehouse):
         initial stat unless its whole process is suspended; (2) after
         the rename we re-stat the renamed file and, if its mtime is
         fresh — we displaced a live lock — put it back atomically with
-        os.link (link fails if yet another waiter re-created the path;
-        the displaced holder's own inode ownership checks then make it
-        re-acquire safely, losing liveness for one round trip but never
-        mutual exclusion: its heartbeat/release verify st_ino before
-        touching the path). The remaining window — holder releases, a
-        fresh holder creates AND ages past the horizon, all between one
-        stat and one rename — requires the suspend-resume scenario the
-        inode checks already bound.
+        os.link, which preserves the inode, so the displaced holder's
+        st_ino-checked heartbeat and release keep working as if nothing
+        happened (heartbeats treat a transient stat failure during the
+        rename-away window as retryable for exactly this reason).
+
+        HONESTY (r10 review): the put-back is best-effort, not a mutual-
+        exclusion proof. If yet another waiter O_EXCL-creates the path in
+        the rename→link gap, os.link fails and the displaced live holder
+        runs on WITHOUT a lock alongside the new one — exclusion is
+        broken for that overlap. Reaching it takes two independent
+        microsecond-window coincidences on top of a stale-looking lock
+        (release+recreate inside one stat→rename gap, then a third
+        party's create inside the rename→link gap); the damage is
+        bounded by the publish monotonicity check (pointer never goes
+        backwards; worst case a skipped publish) and, for the append
+        family, by the horizon itself (both overlapping appends publish,
+        one lost update — the pre-lock failure mode, now behind a
+        ~10⁻¹²-scale interleaving instead of every concurrent append).
+        fd-based flock would close it entirely at the cost of holding an
+        open descriptor across the whole write; revisit if the window is
+        ever observed.
 
         Either way the renamed file is removed, and sibling debris from
         stealers that crashed between their rename and unlink is swept
@@ -457,25 +470,36 @@ class VersionedWarehouse(Warehouse):
         except OSError:
             pass
         stale.unlink(missing_ok=True)
-        cls._sweep_stale_debris(lock.parent, horizon)
+        cls._sweep_stale_debris(lock.parent, horizon, family=lock.name)
         return stole
 
     @staticmethod
-    def _sweep_stale_debris(base: Path, horizon: float) -> int:
+    def _sweep_stale_debris(
+        base: Path, horizon: float, family: str | None = None
+    ) -> int:
         """Unlink ``*.stale.*`` rename leftovers older than the steal
         horizon (a stealer that crashed between os.rename and unlink
         leaves one behind — harmless to locking but permanent debris,
         r9 ADVICE). Age-gated so an in-flight steal's just-renamed file
-        is never swept from under its freshness re-check. Called from
-        steals and from vacuum(). Returns the number removed."""
+        is never swept from under its freshness re-check — which is why
+        ``family`` matters (r10 review): the ptr and append locks share
+        a directory but have different horizons (60 s vs 600 s), and a
+        ptr-horizon sweep of APPEND debris could unlink a just-displaced
+        append lock (heartbeat mtime up to ~60 s old) before its
+        stealer's re-stat, turning the put-back into a silent miss.
+        Steals sweep only their own family at their own horizon; vacuum
+        sweeps each family at its horizon. Returns the number removed."""
         removed = 0
         try:
             entries = list(base.iterdir())
         except OSError:
             return 0
         now = time.time()
+        prefix = f"{family}.stale." if family else None
         for p in entries:
             if ".stale." not in p.name:
+                continue
+            if prefix is not None and not p.name.startswith(prefix):
                 continue
             try:
                 if now - p.stat().st_mtime > horizon:
@@ -564,7 +588,16 @@ class VersionedWarehouse(Warehouse):
                         return  # stolen — the file is the new holder's
                     os.utime(lock)
                 except OSError:
-                    return  # lock gone (stolen/released) — stop beating
+                    # Path momentarily missing: truly stolen (the next
+                    # tick sees the successor's inode and exits), being
+                    # released by us (stop fires), or renamed away by a
+                    # prowling stealer mid-freshness-check and about to
+                    # be put back via os.link, which PRESERVES our inode.
+                    # Keep beating — exiting here left a put-back lock
+                    # permanently unrefreshed, so it aged past the
+                    # horizon and was legitimately stolen mid-write
+                    # (r10 review).
+                    continue
         hb = threading.Thread(target=_beat, daemon=True)
         hb.start()
         try:
@@ -903,7 +936,9 @@ class VersionedWarehouse(Warehouse):
                         return
                     os.utime(lock)
                 except OSError:
-                    return
+                    # transient rename-away window (see _append_lock's
+                    # _beat): the put-back preserves our inode — retry
+                    continue
         hb = threading.Thread(target=_beat, daemon=True)
         hb.start()
         try:
@@ -1102,8 +1137,16 @@ class VersionedWarehouse(Warehouse):
             shutil.rmtree(self.path(namespace, table) / f"_v{v}")
         # rename leftovers from stealers that crashed between os.rename
         # and unlink (r9 ADVICE): harmless to locking, but nothing else
-        # ever removed them — vacuum is the natural janitor
+        # ever removed them — vacuum is the natural janitor. Each lock
+        # family is swept at ITS OWN horizon (r10 review: a ptr-horizon
+        # sweep of append debris could race an in-flight append steal's
+        # freshness re-check).
         self._sweep_stale_debris(
-            self.path(namespace, table), self.PTR_STEAL_AFTER
+            self.path(namespace, table), self.PTR_STEAL_AFTER,
+            family=".ptr.lock",
+        )
+        self._sweep_stale_debris(
+            self.path(namespace, table), self.LOCK_STEAL_AFTER,
+            family=".append.lock",
         )
         return removable

@@ -212,9 +212,95 @@ def test_stale_lock_debris_is_swept_by_vacuum(tmp_path):
     os.utime(crashed, (time.time() - 7200, time.time() - 7200))
     inflight = base / ".append.lock.stale.live01"
     inflight.touch()
+    # r10 review: the two lock families share the directory but have
+    # different horizons (ptr 60 s, append 600 s) — an append-family
+    # renamed file whose heartbeat mtime is minutes old may still be
+    # inside an in-flight steal's freshness re-check, so only the PTR
+    # horizon may not be applied to it
+    mid_append = base / ".append.lock.stale.mid01"
+    mid_append.touch()
+    os.utime(mid_append, (time.time() - 120, time.time() - 120))
+    mid_ptr = base / ".ptr.lock.stale.mid02"
+    mid_ptr.touch()
+    os.utime(mid_ptr, (time.time() - 120, time.time() - 120))
     wh.vacuum("silver", "t", keep=2)
     assert not crashed.exists(), "old debris must be swept"
     assert inflight.exists(), "fresh (possibly in-flight) file must survive"
+    assert mid_append.exists(), "append debris under ITS horizon must survive"
+    assert not mid_ptr.exists(), "ptr debris past its horizon must be swept"
+
+
+def test_steal_sweeps_only_its_own_lock_family(tmp_path):
+    """r10 review: _steal_stale_lock used the CALLER's horizon on every
+    family's debris, so a ptr-lock steal (60 s horizon) could unlink an
+    append-family renamed file (600 s family) from under a concurrent
+    append steal's freshness re-check. A steal must sweep only its own
+    family."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    other = tmp_path / ".append.lock.stale.live01"
+    other.touch()
+    os.utime(other, (time.time() - 120, time.time() - 120))
+    mine = tmp_path / ".ptr.lock.stale.dead01"
+    mine.touch()
+    os.utime(mine, (time.time() - 120, time.time() - 120))
+    lock = tmp_path / ".ptr.lock"
+    lock.touch()
+    os.utime(lock, (time.time() - 120, time.time() - 120))
+    assert VersionedWarehouse._steal_stale_lock(lock, horizon=60.0)
+    assert not mine.exists(), "own-family debris past the horizon is swept"
+    assert other.exists(), "other family's debris must be left alone"
+
+
+def test_heartbeat_survives_transient_rename_away(tmp_path):
+    """r10 review: a holder's heartbeat that fired during a prowling
+    stealer's rename-away window saw the path missing and exited
+    permanently — the put-back lock (same inode: os.link) was then never
+    refreshed again and aged into a legitimate steal mid-write. The
+    heartbeat must treat a transient stat failure as retryable and
+    resume refreshing once the lock is back."""
+    import threading
+
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    class W(VersionedWarehouse):
+        LOCK_STEAL_AFTER = 30.0
+        LOCK_HEARTBEAT = 0.1
+
+    wh = W(None, str(tmp_path))
+    entered = threading.Event()
+    release = threading.Event()
+
+    def hold() -> None:
+        with wh._append_lock("silver", "t"):
+            entered.set()
+            release.wait(10.0)
+
+    th = threading.Thread(target=hold, daemon=True)
+    th.start()
+    assert entered.wait(5.0)
+    lock = wh.path("silver", "t") / ".append.lock"
+    # simulate the displacement window: rename away, hold it across
+    # several heartbeat intervals, then put back with os.link (preserving
+    # the inode, as _steal_stale_lock's put-back does)
+    stale = lock.with_name(".append.lock.stale.test")
+    os.rename(lock, stale)
+    time.sleep(0.5)  # heartbeat fires into the missing path repeatedly
+    os.link(stale, lock)
+    stale.unlink()
+    old = time.time() - 7.0
+    os.utime(lock, (old, old))  # age it; only a LIVE heartbeat refreshes
+    time.sleep(0.5)
+    assert time.time() - lock.stat().st_mtime < 5.0, (
+        "heartbeat died during the rename-away window and never refreshed "
+        "the put-back lock"
+    )
+    release.set()
+    th.join(5.0)
 
 
 def test_publish_heartbeat_keeps_stalled_holder_alive(tmp_path, monkeypatch):
