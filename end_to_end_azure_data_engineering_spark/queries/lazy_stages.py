@@ -180,12 +180,22 @@ def _token_quartiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_length_quartiles' full lazy plan, sharded path pinned: the
     rank input sits above a Generate (posexplode), so at real SF the
     zero-job proof declines and the probe routes to the sharded
-    construction with the (doc_id, pos) tiebreaker FOLD engaged on the
+    construction with the doc_id tiebreaker FOLD engaged on the
     ~15-distinct token-length key — this twin keeps that exact shape
-    under the window/broadcast/scan fences."""
+    under the window/broadcast/scan fences.
+
+    small_group_rows=1 rather than 0 (r10 review): =0 skips the probe
+    entirely, and without the probe's (val, tiebreaker) bounds the fold
+    can never engage — the audited plan would bucket on the RAW tok_len,
+    a different shape from the one production takes at real SF. =1 runs
+    the probe (every group is bigger than one row, so the sharded path
+    is still forced) and the folded bucketing value is what the fences
+    walk. Twin construction therefore runs the probe's aggregate job —
+    the only lazy twin that isn't construction-job-free, accepted for
+    shape fidelity."""
     from .text_ops import token_length_quartiles_plan
 
-    return token_length_quartiles_plan(spark, sf_dir, small_group_rows=0)
+    return token_length_quartiles_plan(spark, sf_dir, small_group_rows=1)
 
 
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
