@@ -67,11 +67,15 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
-        print(__doc__)
-        return 2
     force = "--force" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--force"]
+    # guard on the POSITIONAL count after stripping flags (r10 review:
+    # 'OLD.json --force' passed a raw-argv guard and crashed with
+    # IndexError — an unhandled exit 1, which the documented contract
+    # reserves for "regressions found")
+    if len(args) < 2:
+        print(__doc__)
+        return 2
     old, new = load(args[0]), load(args[1])
     slack = float(args[2]) if len(args) > 2 else 1.10
 

@@ -128,10 +128,20 @@ def main() -> int:
         docs = spark.read.parquet(path)
         # untimed pipeline warm-up so codegen/JIT cost lands outside the
         # measurement; at the deep decades ONLY the small size pays it
-        # (code paths are size-independent once compiled)
+        # (code paths are size-independent once compiled). EVERY selected
+        # member warms up (r10 review: only dedup_corpus did, so
+        # '--members containment --runs 1' reported the 50-80x cold
+        # first-run outlier this warm-up exists to exclude)
         if si == 0 or runs > 1:
             if "corpus" in members or "pairs" in members:
                 dedup_corpus(docs, "doc_id", "text").count()
+            if "containment" in members:
+                containment_pairs(docs, "doc_id", "text", 0.5).count()
+            if "incremental" in members:
+                near_dup_pairs_against(
+                    docs.filter(F.col("doc_id") % 10 == 0),
+                    docs, "doc_id", "text",
+                ).count()
         r = {"n": n}
         if "pairs" in members:
             r["t_pairs"], r["n_pairs"] = timed(

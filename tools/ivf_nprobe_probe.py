@@ -70,10 +70,15 @@ def _build_unique(spark, sf_dir: str, eps: float, tag: str) -> str:
     eps × uniform[-1, 1] noise keyed on (vec_id, dim, seed) — fully
     deterministic, JVM-side (one transform map, no Python UDF). Returns
     a directory `load()` can read (embeddings.parquet only — the IVF
-    plans touch nothing else). Idempotent via _SUCCESS."""
+    plans touch nothing else). Idempotent via _SUCCESS; the cache path
+    carries the SOURCE fixture name and the eps value (r10 review: a
+    tag-only key silently reused another fixture's perturbed corpus
+    while the header reported stats computed from the new sf_dir)."""
     from pyspark.sql import functions as F
 
-    out = Path(f"/tmp/end_to_end_azure_data_engineering_ivf_unique_{tag}")
+    out = Path(
+        f"/tmp/end_to_end_azure_data_engineering_ivf_unique_{Path(sf_dir).name}_{tag}_eps{eps:.5f}"
+    )
     dest = out / "embeddings.parquet"
     if not (dest / "_SUCCESS").exists():
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -101,14 +106,69 @@ def _build_unique(spark, sf_dir: str, eps: float, tag: str) -> str:
     return str(out)
 
 
-def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
-    """Section [C]: recall-vs-nprobe on unique vectors (see module doc)."""
-    import math
+def _probe_frame(e):
+    """The 20 staged probe vectors (same filter/columns as the query)."""
+    from pyspark.sql import functions as F
 
+    return e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("_e_v").alias("_p_v"),
+        F.col("_e_n").alias("_p_n"),
+    )
+
+
+def _brute_truth(spark, sf_dir: str, topk: int = TOPK) -> set:
+    """Brute-force cosine top-k ground truth for the 20 probes over the
+    corpus at ``sf_dir`` — one untimed pass, same cosine and
+    (cos desc, vec_id asc) tiebreak as the query. Shared by [A] and [C]
+    (r10 review: two hand-synced copies drifted apart structurally)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
+    probes = _probe_frame(e)
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return {
+        (r["probe_id"], r["vec_id"])
+        for r in (
+            e.crossJoin(F.broadcast(probes))
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "vec_id",
+                V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .collect()
+        )
+    }
+
+
+def _materialized_index(spark, sf_dir: str):
+    """The IVF index materialized ONCE as the 100 TB layout (the assign
+    frame written cell-partitioned to disk), keyed by the corpus
+    directory name so two corpora never share a cache entry."""
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_index_frames,
+    )
+
+    idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / Path(sf_dir).name
+    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1)
+    if not (idx_path / "_SUCCESS").exists():
+        assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
+    return spark.read.parquet(str(idx_path))
+
+
+def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
+    """Section [C]: recall-vs-nprobe on unique vectors (see module doc)."""
+    import math
+
     from end_to_end_azure_data_engineering_spark.queries import load
     from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
         ivf_index_frames,
@@ -129,36 +189,8 @@ def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
         # uniform[-1,1] noise has E[norm²] = eps²·dim/3 ⇒ eps = p·√(3/dim)
         eps = mult * d_nn * math.sqrt(3.0 / dim)
         udir = _build_unique(spark, sf_dir, eps, tag)
-        idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / f"unique_{tag}"
-        assign, _ = ivf_index_frames(spark, udir, nprobe=1)
-        if not (idx_path / "_SUCCESS").exists():
-            assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
-        index = spark.read.parquet(str(idx_path))
-
-        e = V.staged(load(spark, udir, "embeddings"), "embedding", "_e")
-        probes = e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("_e_v").alias("_p_v"),
-            F.col("_e_n").alias("_p_n"),
-        )
-        w = W.partitionBy("probe_id").orderBy(
-            F.col("cos").desc(), F.col("vec_id").asc()
-        )
-        truth = {
-            (r["probe_id"], r["vec_id"])
-            for r in (
-                e.crossJoin(F.broadcast(probes))
-                .filter(F.col("vec_id") != F.col("probe_id"))
-                .select(
-                    "probe_id",
-                    "vec_id",
-                    V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
-                )
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= TOPK)
-                .collect()
-            )
-        }
+        index = _materialized_index(spark, udir)
+        truth = _brute_truth(spark, udir)
         print(f"  perturbation {mult}×NN (eps={eps:.5f}, corpus {udir}):")
         for np_ in nprobes:
             _, probe_cells = ivf_index_frames(spark, udir, nprobe=np_)
@@ -189,12 +221,12 @@ def main() -> int:
         return _recall_sweep(spark, sf_dir, nprobes)
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
 
     from end_to_end_azure_data_engineering_spark.engine import get_spark
-    from end_to_end_azure_data_engineering_spark.functions import similarity as V
     from end_to_end_azure_data_engineering_spark.queries import load
     from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_index_frames,
+        ivf_probe_topk,
         ivf_topk_plan,
     )
 
@@ -202,50 +234,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_vecs = load(spark, sf_dir, "embeddings").count()
-
-    # brute-force ground truth for the 20 probes (one pass, untimed):
-    # same cosine, same (cos desc, vec_id asc) tiebreak as the query
-    e = V.staged(load(spark, sf_dir, "embeddings"), "embedding", "_e")
-    probes = (
-        e.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("_e_v").alias("_p_v"),
-            F.col("_e_n").alias("_p_n"),
-        )
-    )
-    w = W.partitionBy("probe_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    truth = {
-        (r["probe_id"], r["vec_id"])
-        for r in (
-            e.crossJoin(F.broadcast(probes))
-            .filter(F.col("vec_id") != F.col("probe_id"))
-            .select(
-                "probe_id",
-                "vec_id",
-                V.cosine_pre("_p_v", "_p_n", "_e_v", "_e_n").alias("cos"),
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOPK)
-            .collect()
-        )
-    }
-
-    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
-        ivf_index_frames,
-        ivf_probe_topk,
-    )
-
-    # Materialize the IVF index ONCE — the 100 TB layout: the assign
+    # brute-force ground truth for the 20 probes (one pass, untimed) and
+    # the IVF index materialized ONCE — the 100 TB layout: the assign
     # frame written cell-partitioned to disk. Per-query cost is then the
     # PROBE-SIDE read path: prune to the probed cells, score, top-k.
-    idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / Path(sf_dir).name
-    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1)
-    if not (idx_path / "_SUCCESS").exists():
-        assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
-    index = spark.read.parquet(str(idx_path))
+    truth = _brute_truth(spark, sf_dir)
+    index = _materialized_index(spark, sf_dir)
 
     print(f"corpus={n_vecs} vectors, K={K_CELLS} cells, top-{TOPK}, 20 probes")
     print("\n[A] full query (fresh plan each run: build + assignment + probe)")
