@@ -510,6 +510,36 @@ class VersionedWarehouse(Warehouse):
         return removed
 
     @contextmanager
+    def _lock_heartbeat(self, lock: Path, my_ino: int | None, interval: float):
+        """Daemon-thread mtime refresh for a HELD lock file — the one
+        copy of the beat loop both lock families use (r10 review: three
+        hand-rolled copies meant the rename-away retry fix had to land
+        twice). Semantics: verify the path still resolves to OUR inode
+        before each utime (a zombie must never refresh a successor's
+        lock, r5); treat a transient stat failure as retryable — the
+        path may be renamed away by a prowling stealer mid-freshness-
+        check and put back via os.link, which preserves the inode; a
+        real steal surfaces as an inode mismatch on the next tick and
+        exits the thread. Daemon thread: a crashed driver kills it, the
+        lock ages normally, and a waiter's steal is legitimate."""
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    if my_ino is None or lock.stat().st_ino != my_ino:
+                        return  # stolen — the file is the new holder's
+                    os.utime(lock)
+                except OSError:
+                    continue  # transient rename-away window — retry
+
+        threading.Thread(target=_beat, daemon=True).start()
+        try:
+            yield
+        finally:
+            stop.set()
+
+    @contextmanager
     def _append_lock(self, namespace: str, table: str):
         """Serialize link-forward appends per table: two concurrent appends
         that both link from the same base version would each publish a
@@ -575,35 +605,12 @@ class VersionedWarehouse(Warehouse):
                     )
                 time.sleep(0.01)
         # Holder heartbeat: refresh the lock's mtime well inside the steal
-        # horizon for as long as the protected write runs. Daemon thread so
-        # a crashed driver kills the heartbeat with it — the lock then ages
-        # normally and a waiter's steal is legitimate.
-        stop = threading.Event()
-        interval = self.LOCK_HEARTBEAT
-
-        def _beat() -> None:
-            while not stop.wait(interval):
-                try:
-                    if lock.stat().st_ino != my_ino:
-                        return  # stolen — the file is the new holder's
-                    os.utime(lock)
-                except OSError:
-                    # Path momentarily missing: truly stolen (the next
-                    # tick sees the successor's inode and exits), being
-                    # released by us (stop fires), or renamed away by a
-                    # prowling stealer mid-freshness-check and about to
-                    # be put back via os.link, which PRESERVES our inode.
-                    # Keep beating — exiting here left a put-back lock
-                    # permanently unrefreshed, so it aged past the
-                    # horizon and was legitimately stolen mid-write
-                    # (r10 review).
-                    continue
-        hb = threading.Thread(target=_beat, daemon=True)
-        hb.start()
+        # horizon for as long as the protected write runs (see
+        # _lock_heartbeat for the retry/ownership semantics).
         try:
-            yield
+            with self._lock_heartbeat(lock, my_ino, self.LOCK_HEARTBEAT):
+                yield
         finally:
-            stop.set()
             try:
                 # unlink only OUR lock: after a suspend+steal the path
                 # holds the new holder's file, and removing it would
@@ -922,25 +929,13 @@ class VersionedWarehouse(Warehouse):
         # so a publisher suspended/stalled past PTR_STEAL_AFTER was stolen
         # and two publishers ran the read-compare-replace concurrently —
         # the monotonicity check bounds the damage to a skipped publish,
-        # but the steal was avoidable). Same discipline as _append_lock:
-        # refresh OUR lock's mtime well inside the horizon; verify st_ino
-        # first so a zombie never refreshes a successor's lock. The
-        # critical section is microseconds when healthy — the thread
-        # exists purely for the stalled-holder case.
-        stop = threading.Event()
-
-        def _beat() -> None:
-            while not stop.wait(min(self.LOCK_HEARTBEAT, self.PTR_STEAL_AFTER / 4)):
-                try:
-                    if my_ino is None or lock.stat().st_ino != my_ino:
-                        return
-                    os.utime(lock)
-                except OSError:
-                    # transient rename-away window (see _append_lock's
-                    # _beat): the put-back preserves our inode — retry
-                    continue
-        hb = threading.Thread(target=_beat, daemon=True)
-        hb.start()
+        # but the steal was avoidable). Shared beat loop — see
+        # _lock_heartbeat. The critical section is microseconds when
+        # healthy; the thread exists purely for the stalled-holder case.
+        hb = self._lock_heartbeat(
+            lock, my_ino, min(self.LOCK_HEARTBEAT, self.PTR_STEAL_AFTER / 4)
+        )
+        hb.__enter__()
         try:
             cur = self.current_version(namespace, table)
             if cur is not None and cur >= nxt:
@@ -955,7 +950,7 @@ class VersionedWarehouse(Warehouse):
                 os.fsync(f.fileno())
             os.replace(tmp, self._pointer(namespace, table))
         finally:
-            stop.set()
+            hb.__exit__(None, None, None)
             # unlink only OUR lock: an unconditional unlink here could
             # remove the lock a stealer re-created after deciding ours
             # was stale (the second half of the r8 ADVICE race)
