@@ -35,8 +35,85 @@ LOAD_GATE = 2.0
 LOAD_GATE_5MIN = 2.5
 
 
+def host_canary(spark=None, runs: int = 3) -> dict:
+    """Fixed-size host-speed canary stamped into every bench artifact
+    (r11, verdict item 1). The r10 baseline hand-off (72.3 s -> 92.7 s)
+    rested on a uniformity argument — plans unchanged, every query ~1.25x,
+    therefore host drift. Sound, but it shouldn't need an argument: these
+    three pinned workloads measure the host directly, so bench_compare
+    can NORMALIZE cross-era comparisons instead of refusing or
+    hand-waving. All values are seconds (lower = faster host); sizes are
+    constants so the numbers are comparable across rounds forever.
+
+    - ``py_sha256_s``: 256 MiB of sha256 over a fixed buffer — single-
+      thread OpenSSL throughput (memory-bandwidth + crypto units).
+    - ``py_sort_s``: sort of a pinned 1M-int seeded-LCG list — single-
+      thread Python/allocator/branch speed.
+    - ``spark_hashagg_s``: xxhash64+sum over a fixed 32M-row range, 32
+      partitions — JVM whole-stage-codegen throughput on all cores
+      (only stamped when a live session is passed).
+
+    min-of-``runs`` per component: the canary wants the host's *ceiling*
+    (its era), not its instantaneous contention — the load gates already
+    measure that.
+    """
+    import hashlib
+
+    out: dict[str, float] = {}
+    buf = bytes(range(256)) * (4 * 1024 * 1024 // 256)  # 4 MiB pattern
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(64):  # 64 x 4 MiB = 256 MiB
+            h.update(buf)
+        h.digest()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["py_sha256_s"] = round(best, 4)
+
+    # pinned LCG (numerical-recipes constants) — deterministic, no RNG
+    # module state, identical list every round
+    best = None
+    for _ in range(runs):
+        x, data = 12345, []
+        append = data.append
+        for _ in range(1_000_000):
+            x = (1664525 * x + 1013904223) & 0xFFFFFFFF
+            append(x)
+        t0 = time.perf_counter()
+        data.sort()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["py_sort_s"] = round(best, 4)
+
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        # modulo before the sum: summing raw xxhash64 overflows long under
+        # ANSI mode (32M draws over the full int64 range)
+        q = lambda: (
+            spark.range(0, 32_000_000, 1, 32)
+            .select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h"))
+            .collect()
+        )
+        q()  # untimed codegen/JIT warm-up, same as every benched query
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out["spark_hashagg_s"] = round(best, 4)
+    return out
+
+
 def promotion_decision(
-    sf: float, load1: float, force: bool = False, load5: float | None = None
+    sf: float,
+    load1: float,
+    force: bool = False,
+    load5: float | None = None,
+    canary: dict | None = None,
 ) -> tuple[bool, str]:
     """Should this sweep overwrite the committed canonical artifact
     (BENCH_LOCAL.json)? Two r8 artifact-clobber incidents motivated the
@@ -62,6 +139,16 @@ def promotion_decision(
             f"{load1:.2f} is quiet, but the host is still settling from "
             "recent work): sweep kept in the SF-stamped file only; promote "
             "deliberately with SPARK_GRAFT_BENCH_PROMOTE=1"
+        )
+    # r11 (verdict item 1): a baseline without a host-speed stamp can't be
+    # drift-normalized by future rounds — the exact hole the r10 hand-off
+    # fell into. Every promoted artifact must carry the canary.
+    if not canary:
+        return False, (
+            "sweep lacks a host_canary stamp: a baseline without one cannot "
+            "be drift-normalized cross-era; re-sweep (bench.py stamps it "
+            "automatically) or promote deliberately with "
+            "SPARK_GRAFT_BENCH_PROMOTE=1"
         )
     return True, (
         f"canonical sf, quiet host (load {load1:.2f}"
@@ -223,6 +310,11 @@ def main() -> None:
     # both ends lets bench_compare and the driver separate machine noise
     # from plan regressions.
     load_start = os.getloadavg()
+    # Host-speed canary (r11 verdict item 1): stamped AFTER the load read
+    # (its own ~3 s of pinned work must not pollute the gate's input) and
+    # BEFORE the sweep (the stamp should describe the host the queries are
+    # about to run on).
+    canary = host_canary(spark)
 
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
@@ -302,6 +394,7 @@ def main() -> None:
         "spread": spreads,
         "noise_band": noise,
         "sf": sf,
+        "host_canary": canary,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
@@ -368,6 +461,7 @@ def main() -> None:
         load_start[0],
         force=os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1",
         load5=load_start[1],
+        canary=canary,
     )
     out["promoted_to_baseline"] = promote
     out["promotion_reason"] = promote_reason
@@ -391,6 +485,7 @@ def main() -> None:
         "noise_band": noise,
         "sf": sf,
         "pipeline_total": out.get("pipeline_total"),
+        "host_canary": canary,
         "load_avg": out["load_avg"],
         "full_results": str(full_path),
         "promoted_to_baseline": promote,

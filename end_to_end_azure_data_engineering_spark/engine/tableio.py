@@ -441,9 +441,10 @@ class VersionedWarehouse(Warehouse):
         family, by the horizon itself (both overlapping appends publish,
         one lost update — the pre-lock failure mode, now behind a
         ~10⁻¹²-scale interleaving instead of every concurrent append).
-        fd-based flock would close it entirely at the cost of holding an
-        open descriptor across the whole write; revisit if the window is
-        ever observed.
+        fd-based flock closes it entirely — and is now the DEFAULT where
+        the filesystem supports it (r11: see _use_flock; this rename
+        scheme remains the fallback for filesystems that reject flock,
+        and everything documented here applies only to that fallback).
 
         Either way the renamed file is removed, and sibling debris from
         stealers that crashed between their rename and unlink is swept
@@ -526,18 +527,106 @@ class VersionedWarehouse(Warehouse):
 
         def _beat() -> None:
             while not stop.wait(interval):
+                # fd-pinned refresh (r10 ADVICE: a path-based stat→utime
+                # pair had a gap — a steal completing between them let the
+                # zombie refresh the successor's lock mtime once). The
+                # descriptor pins the inode across check and utime, so a
+                # mid-tick steal means we refresh OUR (renamed-away) file,
+                # which is harmless, never the successor's.
                 try:
-                    if my_ino is None or lock.stat().st_ino != my_ino:
-                        return  # stolen — the file is the new holder's
-                    os.utime(lock)
+                    fd = os.open(lock, os.O_RDONLY)
                 except OSError:
                     continue  # transient rename-away window — retry
+                try:
+                    if my_ino is None or os.fstat(fd).st_ino != my_ino:
+                        return  # stolen — the file is the new holder's
+                    os.utime(fd)
+                except OSError:
+                    continue
+                finally:
+                    os.close(fd)
 
         threading.Thread(target=_beat, daemon=True).start()
         try:
             yield
         finally:
             stop.set()
+
+    def _use_flock(self) -> bool:
+        """Lock-mode capability probe (r10 verdict item 6). fd-based
+        ``flock`` retires the rename→link TOCTOU class entirely: the
+        kernel releases a crashed holder's lock the instant its last
+        descriptor closes, so there is no staleness horizon, no
+        heartbeat, no steal — and therefore no stat/rename/link windows
+        to coincide in. Not every filesystem honours it (some NFS mounts
+        fake or reject it), so the mode is probed ONCE per warehouse
+        instance by taking and releasing a real flock on a probe file
+        under the root; any failure falls back to the proven
+        rename-steal scheme. ``SPARK_GRAFT_LOCK_MODE=flock|rename``
+        overrides the probe (the test matrix pins each mode; an operator
+        on a known-bad NFS export can force rename). The two modes use
+        DIFFERENT lock file names (``.append.flock`` vs ``.append.lock``)
+        so a mixed-mode fleet degrades to two independent lock domains
+        rather than silently half-excluding — pin the env var fleet-wide
+        if processes with different probe results share a root."""
+        env = os.environ.get("SPARK_GRAFT_LOCK_MODE", "").lower()
+        if env == "flock":
+            return True
+        if env == "rename":
+            return False
+        cached = getattr(self, "_flock_ok", None)
+        if cached is None:
+            cached = False
+            try:
+                import fcntl
+
+                probe = self.root / ".flock_probe"
+                fd = os.open(probe, os.O_CREAT | os.O_RDWR)
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                    cached = True
+                finally:
+                    os.close(fd)
+            except OSError:
+                cached = False
+            self._flock_ok = cached
+        return cached
+
+    @contextmanager
+    def _flock_lock(self, lock: Path, what: str, patience: float):
+        """Exclusive fd lock on a PERSISTENT lock file (never unlinked —
+        unlinking a flock file reopens the classic race where a late
+        opener locks the unlinked inode while a fresh opener locks the
+        new one, and both 'hold the lock'). Crash release is the
+        kernel's job; a LIVE holder past ``patience`` surfaces as the
+        waiter's TimeoutError, mirroring the rename scheme's deadline —
+        flock never steals from a merely-slow holder, which is strictly
+        safer than the horizon heuristic. flock excludes per open file
+        description, so two threads of one process exclude each other
+        exactly like two processes."""
+        import fcntl
+
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            deadline = time.monotonic() + patience
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"{what} held too long")
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                except OSError:
+                    pass
+        finally:
+            os.close(fd)
 
     @contextmanager
     def _append_lock(self, namespace: str, table: str):
@@ -558,6 +647,17 @@ class VersionedWarehouse(Warehouse):
         horizon)."""
         base = self.path(namespace, table)
         base.mkdir(parents=True, exist_ok=True)
+        # flock mode (r10 verdict item 6): kernel-released on crash — no
+        # horizon, no heartbeat, no steal windows. Same waiter patience
+        # as the rename scheme's deadline.
+        if self._use_flock():
+            with self._flock_lock(
+                base / ".append.flock",
+                f"append lock for {namespace}.{table}",
+                self.LOCK_STEAL_AFTER + 60.0,
+            ):
+                yield
+            return
         lock = base / ".append.lock"
         # Steal threshold sized for a CRASHED holder: live holders
         # heartbeat (below) so even a multi-hour write never ages past it.
@@ -894,6 +994,21 @@ class VersionedWarehouse(Warehouse):
         a crashed holder and stolen. A skipped publish is still a durable
         commit: the version directory exists and time-travel reads it."""
         base = self.path(namespace, table)
+        # flock mode (r10 verdict item 6): see _use_flock — the kernel
+        # arbitrates the read-compare-replace, no steal protocol needed.
+        if self._use_flock():
+            with self._flock_lock(
+                base / ".ptr.flock",
+                f"pointer lock for {namespace}.{table}",
+                self.PTR_STEAL_AFTER + 10.0,
+            ):
+                published = self._replace_pointer(base, namespace, table, nxt)
+            if not published:
+                return
+            keep = self._retention(namespace, table)
+            if keep is not None:
+                self.vacuum(namespace, table, keep=keep)
+            return
         lock = base / ".ptr.lock"
         deadline = time.monotonic() + self.PTR_STEAL_AFTER + 10.0
         my_ino: int | None = None
@@ -932,25 +1047,16 @@ class VersionedWarehouse(Warehouse):
         # but the steal was avoidable). Shared beat loop — see
         # _lock_heartbeat. The critical section is microseconds when
         # healthy; the thread exists purely for the stalled-holder case.
-        hb = self._lock_heartbeat(
-            lock, my_ino, min(self.LOCK_HEARTBEAT, self.PTR_STEAL_AFTER / 4)
-        )
-        hb.__enter__()
         try:
-            cur = self.current_version(namespace, table)
-            if cur is not None and cur >= nxt:
-                return  # a newer commit already published — never go backwards
-            tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
-            # fsync before the rename: os.replace is atomic in the
-            # namespace, but without flushing the data blocks first a crash
-            # can publish a pointer file whose CONTENT never reached disk.
-            with open(tmp, "w") as f:
-                f.write(str(nxt))
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._pointer(namespace, table))
+            # `with` drives the heartbeat CM (r10 ADVICE: the manual
+            # __enter__/__exit__(None, None, None) pair discarded real
+            # exception info at exit — harmless while the CM has no
+            # exception handling, fragile the day it grows any)
+            with self._lock_heartbeat(
+                lock, my_ino, min(self.LOCK_HEARTBEAT, self.PTR_STEAL_AFTER / 4)
+            ):
+                published = self._replace_pointer(base, namespace, table, nxt)
         finally:
-            hb.__exit__(None, None, None)
             # unlink only OUR lock: an unconditional unlink here could
             # remove the lock a stealer re-created after deciding ours
             # was stale (the second half of the r8 ADVICE race)
@@ -959,9 +1065,31 @@ class VersionedWarehouse(Warehouse):
                     lock.unlink(missing_ok=True)
             except OSError:
                 pass
+        if not published:
+            return  # a newer commit already published — never go backwards
         keep = self._retention(namespace, table)
         if keep is not None:
             self.vacuum(namespace, table, keep=keep)
+
+    def _replace_pointer(
+        self, base: Path, namespace: str, table: str, nxt: int
+    ) -> bool:
+        """The pointer read-compare-replace — callers hold the pointer
+        lock (either mode). False = skipped because a newer commit is
+        already published (the pointer never goes backwards)."""
+        cur = self.current_version(namespace, table)
+        if cur is not None and cur >= nxt:
+            return False
+        tmp = base / f".ptr.{uuid.uuid4().hex[:8]}"
+        # fsync before the rename: os.replace is atomic in the
+        # namespace, but without flushing the data blocks first a crash
+        # can publish a pointer file whose CONTENT never reached disk.
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer(namespace, table))
+        return True
 
     def read(
         self,

@@ -10,7 +10,16 @@ BENCH_LOCAL.json. Pure-python — no Spark session."""
 
 from __future__ import annotations
 
-from bench import CANONICAL_SF, LOAD_GATE, LOAD_GATE_5MIN, promotion_decision
+from bench import (
+    CANONICAL_SF,
+    LOAD_GATE,
+    LOAD_GATE_5MIN,
+    host_canary,
+    promotion_decision,
+)
+
+#: a plausible canary stamp — promotion requires its presence (r11)
+CANARY = {"py_sha256_s": 0.2, "py_sort_s": 0.15, "spark_hashagg_s": 0.5}
 
 
 def test_settling_host_refused_on_5min_load():
@@ -27,7 +36,9 @@ def test_settling_host_refused_on_5min_load():
 
 
 def test_settled_5min_load_promotes():
-    promote, reason = promotion_decision(CANONICAL_SF, load1=0.3, load5=1.1)
+    promote, reason = promotion_decision(
+        CANONICAL_SF, load1=0.3, load5=1.1, canary=CANARY
+    )
     assert promote, reason
 
 
@@ -44,8 +55,30 @@ def test_loaded_host_refused():
 
 
 def test_quiet_canonical_promotes():
-    promote, reason = promotion_decision(CANONICAL_SF, load1=0.3)
+    promote, reason = promotion_decision(CANONICAL_SF, load1=0.3, canary=CANARY)
     assert promote, reason
+
+
+def test_missing_canary_refused():
+    """r11 (verdict item 1): a quiet canonical sweep WITHOUT a host_canary
+    stamp must not become the baseline — future rounds could not
+    drift-normalize against it (the exact hole the r10 72.3->92.7s
+    hand-off fell into)."""
+    promote, reason = promotion_decision(CANONICAL_SF, load1=0.3, load5=0.5)
+    assert not promote
+    assert "canary" in reason and "PROMOTE" in reason
+    # empty dict is as unusable as None
+    promote, _ = promotion_decision(CANONICAL_SF, load1=0.3, canary={})
+    assert not promote
+
+
+def test_host_canary_shape():
+    """The canary's python components run anywhere (no Spark session) and
+    stamp positive seconds under stable key names — the names are the
+    cross-era contract bench_compare joins on."""
+    c = host_canary(runs=1)
+    assert set(c) == {"py_sha256_s", "py_sort_s"}
+    assert all(v > 0 for v in c.values())
 
 
 def test_explicit_override_beats_load_gate():
@@ -113,6 +146,71 @@ def test_bench_compare_force_is_advisory_only(tmp_path):
     r = _compare(tmp_path, quiet, loaded, "--force")
     assert r.returncode == 0, r.stdout
     assert "ADVISORY-ONLY" in r.stdout
+
+
+def test_bench_compare_refusal_names_loads_and_canary(tmp_path):
+    """r10 verdict item 8 + ADVICE: the refusal must print explicitly
+    formatted 1-min/5-min loads (not raw tuples) and the canary ratio."""
+    quiet = {
+        "queries": {"a": 1.0},
+        "load_avg": {"start": [0.3, 0.5, 0], "end": [0.3, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.2, "py_sort_s": 0.2},
+    }
+    loaded = {
+        "queries": {"a": 2.5},
+        "load_avg": {"start": [LOAD_GATE + 2.0, 6.4, 0], "end": [4.0, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.25, "py_sort_s": 0.25},
+    }
+    r = _compare(tmp_path, quiet, loaded)
+    assert r.returncode == 3, r.stdout
+    assert "0.30/0.50" in r.stdout and "4.00/6.40" in r.stdout, r.stdout
+    assert "(" not in r.stdout.split("gates")[0].split("load")[1], (
+        "raw tuple leaked into the load formatting: " + r.stdout
+    )
+    assert "canary drift 1.25x" in r.stdout, r.stdout
+
+
+def test_bench_compare_normalizes_uniform_drift(tmp_path):
+    """r11 (verdict item 1): a uniformly 1.25x-slower host era with a
+    matching canary ratio is NOT a regression — normalization replaces
+    the r10 uniformity argument."""
+    old = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 0.5},
+        "load_avg": {"start": [0.3, 0.5, 0], "end": [0.3, 0, 0]},
+        "noise_band": {"p95_spread": 1.15},
+        "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16, "spark_hashagg_s": 0.4},
+    }
+    new = {
+        "queries": {"a": 1.25, "b": 2.5, "c": 0.625},
+        "load_avg": {"start": [0.4, 0.4, 0], "end": [0.4, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.25, "py_sort_s": 0.20, "spark_hashagg_s": 0.5},
+    }
+    r = _compare(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout
+    assert "drift: 1.25x" in r.stdout, r.stdout
+    assert "1.00x drift-normalized" in r.stdout, r.stdout
+    assert "no per-query regression" in r.stdout
+
+
+def test_bench_compare_real_regression_survives_normalization(tmp_path):
+    """A genuine 3x plan regression on a 1.25x-slower host must STILL be
+    flagged after normalization — the canary must not become a blanket
+    excuse."""
+    old = {
+        "queries": {"a": 1.0, "b": 2.0},
+        "load_avg": {"start": [0.3, 0.5, 0], "end": [0.3, 0, 0]},
+        "noise_band": {"p95_spread": 1.15},
+        "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16},
+    }
+    new = {
+        "queries": {"a": 3.0, "b": 2.5},
+        "load_avg": {"start": [0.4, 0.4, 0], "end": [0.4, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.25, "py_sort_s": 0.20},
+    }
+    r = _compare(tmp_path, old, new)
+    assert r.returncode == 1, r.stdout
+    assert "REGRESSED a" in r.stdout
+    assert "REGRESSED b" not in r.stdout, "the drift-only query must not flag"
 
 
 def test_bench_compare_same_load_still_gates(tmp_path):

@@ -143,11 +143,14 @@ def test_sigkill_mid_commit_preserves_acknowledged_inserts(tmp_path):
         VersionedWarehouse.PHANTOM_SWEEP_AFTER = orig
 
 
-def test_sigkill_while_holding_pointer_lock_recovers(tmp_path):
+def test_sigkill_while_holding_pointer_lock_recovers(tmp_path, monkeypatch):
     """A writer killed while HOLDING .ptr.lock must not wedge successors:
     the next publisher waits out PTR_STEAL_AFTER, steals, and publishes
     (the r8 fix — with the old fixed 10 s deadline under a 60 s horizon
-    this raised TimeoutError instead)."""
+    this raised TimeoutError instead). (rename-mode internals — pinned;
+    in flock mode the kernel releases a killed holder's lock itself,
+    covered by test_cross_process_locks.)"""
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_MODE", "rename")
     from end_to_end_azure_data_engineering_spark.engine.tableio import (
         VersionedWarehouse,
     )

@@ -402,7 +402,9 @@ def test_corrupt_retention_marker_raises(spark, vwh):
 def test_append_lock_heartbeat_keeps_lock_fresh(spark, tmp_path, monkeypatch):
     """r4 advice (medium): the append-lock holder heartbeats the lock so a
     legitimate long write is never stolen mid-write; only a CRASHED
-    holder's lock ages past the steal horizon."""
+    holder's lock ages past the steal horizon. (rename-mode internals —
+    pinned; flock mode has no heartbeat.)"""
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_MODE", "rename")
     vw = VersionedWarehouse(spark, str(tmp_path / "hb"))
     monkeypatch.setattr(VersionedWarehouse, "LOCK_HEARTBEAT", 0.05)
     lock = vw.path("gold", "t")
