@@ -243,6 +243,73 @@ def _unique_on(node, key_ids: set[int]) -> bool:
     return all(out_of.get(g) in key_ids for g in gids)
 
 
+def _pk_scan_unique(node, key_ids: set[int]) -> bool:
+    """True when ``node`` is (a Filter/Project/SubqueryAlias chain over) a
+    V1 file scan whose path carries a DECLARED primary key covered by
+    ``key_ids`` (r11, verdict item 2 — see engine/pkregistry). This is
+    the metadata twin of ``_unique_on``'s Aggregate proof: a dim table
+    loaded through the registry loader no longer needs a
+    ``groupBy(pk).agg(first(...))`` exchange just to make its uniqueness
+    a plan property.
+
+    The walk is deliberately conservative: Filter/SubqueryAlias drop rows
+    or rename nothing; a Project remaps each key id through plain
+    attribute pass-throughs and Alias-of-attribute only — any key that is
+    a COMPUTED column breaks the trace (uniqueness of f(pk) does not
+    follow from uniqueness of pk unless f is injective, which we don't
+    prove). At the leaf, the scan must be a LogicalRelation with exactly
+    one root path, and the traced key names must cover the declared PK
+    (extra equi-keys only narrow the match). Any unrecognized shape —
+    DSv2 relations, multi-path scans, non-attribute projections — returns
+    False and the caller falls back to the probe tier, never to a guess."""
+    from ..engine.pkregistry import pk_for
+
+    if not key_ids:
+        return False
+    ids = set(key_ids)
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in ("Filter", "SubqueryAlias"):
+            node = node.children().apply(0)
+            continue
+        if name == "Project":
+            out_to_child: dict[int, int] = {}
+            pl = node.projectList()
+            for i in range(pl.size()):
+                e = pl.apply(i)
+                nm = e.getClass().getSimpleName()
+                if nm.endswith("AttributeReference"):
+                    out_to_child[int(e.exprId().id())] = int(e.exprId().id())
+                elif nm == "Alias":
+                    ch = e.child()
+                    if ch.getClass().getSimpleName().endswith("AttributeReference"):
+                        out_to_child[int(e.exprId().id())] = int(ch.exprId().id())
+            if not ids <= out_to_child.keys():
+                return False
+            ids = {out_to_child[i] for i in ids}
+            node = node.children().apply(0)
+            continue
+        break
+    if name != "LogicalRelation":
+        return False
+    try:
+        roots = node.relation().location().rootPaths()
+        if roots.size() != 1:
+            return False
+        pk = pk_for(roots.apply(0).toString())
+    except Exception:  # noqa: BLE001 — non-file relations have no location()
+        return False
+    if not pk:
+        return False
+    out = node.output()
+    id_to_name = {
+        int(out.apply(i).exprId().id()): out.apply(i).name()
+        for i in range(out.size())
+    }
+    key_names = {id_to_name.get(i) for i in ids}
+    return None not in key_names and set(pk) <= key_names
+
+
 def _conjuncts(expr):
     """Flatten a condition expression into its top-level AND conjuncts
     (the JVM expression tree, not its string form)."""
@@ -297,11 +364,15 @@ def _join_bound(node, left, right) -> int | None:
     # unique right ⇒ every left row matches ≤ 1 right row. A Generate
     # BELOW the unique side cannot break this (uniqueness holds whatever
     # feeds the aggregate), so only the fact side's bound is consulted.
-    if jt in ("Inner", "LeftOuter") and _unique_on(right, rkeys):
+    if jt in ("Inner", "LeftOuter") and (
+        _unique_on(right, rkeys) or _pk_scan_unique(right, rkeys)
+    ):
         fb = _proof_bound(left)
         if fb is not None:
             best = fb * w_out // max(1, _row_width(left)) + 1
-    if jt in ("Inner", "RightOuter") and _unique_on(left, lkeys):
+    if jt in ("Inner", "RightOuter") and (
+        _unique_on(left, lkeys) or _pk_scan_unique(left, lkeys)
+    ):
         fb = _proof_bound(right)
         if fb is not None:
             b2 = fb * w_out // max(1, _row_width(right)) + 1

@@ -32,6 +32,23 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Primary keys of the testdata tables, declared at load time (r11,
+#: verdict item 2). lineitem is deliberately ABSENT: the classic
+#: (l_orderkey, l_linenumber) key is not unique in this synthetic
+#: generation (sf0.001: 6,000 rows, 4,599 distinct pairs), and events is
+#: an append log with no key — declaring either would be a false proof.
+DECLARED_PKS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet scan; pushdown-friendly).
 
@@ -49,7 +66,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    pk = DECLARED_PKS.get(name)
+    if pk:
+        # scan-level uniqueness metadata for the rank proof walker (r11,
+        # verdict item 2): lets equi-joins against this table's PK be
+        # bounded from the fact side with zero probe jobs and zero
+        # PK-enforcing exchanges. Validated once per fixture in
+        # test_ranks.py::test_declared_pks_hold_on_fixture.
+        from ..engine.pkregistry import declare_pk
+
+        declare_pk(path, pk)
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -1191,18 +1191,13 @@ def order_value_distribution_plan(
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = load(spark, sf_dir, "customer")
-    # PK-enforced dim side (r10, verdict item 2): grouping the dim on its
-    # key makes "one row per c_custkey" a PLAN property, which (a) lets
-    # the rank router's zero-job tier bound the join output from the
-    # fact child's stats alone — no pin, no probe job at bench SF — and
-    # (b) defensively enforces the dim's PK contract before a fact join
-    # (a duplicated dim key would silently duplicate fact rows). One
-    # extra map-side-combinable exchange over the DIM only; c_custkey is
-    # unique in customer so the result — and the oracle — are unchanged.
-    cdim = c.groupBy("c_custkey").agg(
-        F.first("c_mktsegment").alias("c_mktsegment")
-    )
-    base = o.join(cdim, F.col("o_custkey") == F.col("c_custkey")).select(
+    # Dim uniqueness is a DECLARED property (r11, verdict item 2): the
+    # loader registers customer's PK (engine/pkregistry), and the rank
+    # router's proof walker trusts the PK scan side directly
+    # (_pk_scan_unique) — the r10 groupBy(c_custkey).agg(first(...))
+    # rewrite and its dim-sized exchange are gone, while the zero-job
+    # bound (join output <= fact child) still holds with no probe job.
+    base = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_mktsegment", "o_totalprice"
     )
     ranked = sharded_row_number(
@@ -2836,11 +2831,11 @@ def supplier_percentile_ranks_plan(
 
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    # PK-enforced dim (see order_value_distribution_plan): one row per
-    # n_nationkey as a plan property ⇒ the zero-job tier bounds the join
-    # from the supplier child alone — no probe job (25-row aggregate).
-    ndim = n.groupBy("n_nationkey").agg(F.first("n_name").alias("n_name"))
-    base = s.join(F.broadcast(ndim), ndim.n_nationkey == s.s_nationkey).select(
+    # Dim uniqueness via declared PK (see order_value_distribution_plan):
+    # the proof walker trusts nation's registered n_nationkey scan, so
+    # the r10 groupBy(n_nationkey).agg(first(...)) pre-aggregate — one
+    # 25-row but plan-widening exchange — is gone; zero probe jobs.
+    base = s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select(
         F.col("n_name").alias("nation"), "s_suppkey", "s_acctbal"
     )
     ranked = sharded_row_number(

@@ -441,6 +441,98 @@ def test_zero_job_tier_bounds_unique_dim_join(spark, tmp_path):
     assert bad == 0
 
 
+def test_declared_pk_side_proves_unique(spark, tmp_path):
+    """r11 (verdict item 2): a fact ⋈ dim equi-join whose dim side is a
+    RAW scan of a path with a DECLARED primary key is provably
+    row-bounded by the fact child — zero probe jobs, no
+    groupBy(pk).agg(first) exchange. The proof must trace join keys
+    through Project renames, must NOT transfer to a computed key or a
+    partial composite key, and an undeclared path stays unprovable."""
+    from end_to_end_azure_data_engineering_spark.engine.pkregistry import (
+        declare_pk,
+    )
+    from end_to_end_azure_data_engineering_spark.operators.ranks import (
+        _proven_small,
+    )
+
+    _frame(spark, 43, 400, 3, 10_000).write.parquet(str(tmp_path / "fact"))
+    dim_rows = [(f"g{i}", i, f"seg{i % 2}") for i in range(3)]
+    spark.createDataFrame(dim_rows, ["gk", "gnum", "seg"]).write.parquet(
+        str(tmp_path / "dim")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    join = lambda d: fact.join(d, fact.g == d.gk).select("seg", "v", "id")
+    assert not _proven_small(join(dim)), "undeclared path must not prove"
+
+    declare_pk(str(tmp_path / "dim"), ("gk",))
+    base = join(dim)
+    assert _proven_small(base), "declared-PK scan side must prove uniqueness"
+
+    # through a Project rename (Alias of attribute): still provable
+    renamed = dim.select(F.col("gk").alias("k2"), "seg")
+    assert _proven_small(
+        fact.join(renamed, fact.g == renamed.k2).select("seg", "v", "id")
+    ), "Alias-of-attribute rename must keep the PK trace"
+
+    # computed key: uniqueness of f(pk) is NOT proven (f may collide)
+    computed = dim.select(F.concat(F.col("gk"), F.lit("")).alias("k3"), "seg")
+    assert not _proven_small(
+        fact.join(computed, fact.g == computed.k3).select("seg", "v", "id")
+    ), "computed dim key must break the trace"
+
+    # composite PK joined on a PREFIX only: not covered, not provable
+    declare_pk(str(tmp_path / "dim"), ("gk", "gnum"))
+    assert not _proven_small(join(dim)), "partial composite key must not prove"
+    declare_pk(str(tmp_path / "dim"), ("gk",))  # restore for the run below
+
+    # end to end: the rank router takes the zero-job plain path
+    expected = base.select(
+        "seg",
+        "id",
+        F.row_number()
+        .over(W.partitionBy("seg").orderBy("v", "id"))
+        .alias("ern"),
+    )
+    expected.count()  # settle file-listing jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    got = sharded_row_number(base, ["seg"], ["v", "id"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert "_rbucket" not in plan, "plain path expected (provably small)"
+    assert after == before, "declared-PK bound must not run a probe job"
+    bad = (
+        expected.join(got.select("seg", "id", "rn"), ["seg", "id"], "full")
+        .where(~F.col("ern").eqNullSafe(F.col("rn")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_declared_pks_hold_on_fixture(spark):
+    """The pkregistry trust model's fixture-side validation (r11): every
+    PK the loader declares must actually be unique in the testdata — a
+    false declaration would route oversized frames to the single-task
+    rank tier. Checked per table at sf0.001 (schema and generator are
+    SF-invariant)."""
+    from end_to_end_azure_data_engineering_spark.queries import (
+        DECLARED_PKS,
+        load,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for table, pk in DECLARED_PKS.items():
+        df = load(spark, sf_dir, table)
+        total = df.count()
+        distinct = df.select(*pk).distinct().count()
+        assert total == distinct, (
+            f"{table}: declared PK {pk} is not unique "
+            f"({total} rows, {distinct} distinct)"
+        )
+
+
 def test_join_bound_harvests_only_top_level_equi_conjuncts(spark, tmp_path):
     """r10 code-review finding: the first proof-walker cut regexed the
     join condition's STRING for '(a#1 = b#2)' substrings, which also
