@@ -604,20 +604,39 @@ class VersionedWarehouse(Warehouse):
         flock never steals from a merely-slow holder, which is strictly
         safer than the horizon heuristic. flock excludes per open file
         description, so two threads of one process exclude each other
-        exactly like two processes."""
+        exactly like two processes.
+
+        Healthy queueing never times out (parity with the rename
+        scheme's inode-change deadline reset): every holder touches the
+        file's mtime at acquire, and a waiter that observes the mtime
+        move — the lock changed hands, the queue is draining — resets
+        its patience. Only a single holder sitting on the lock past
+        ``patience`` without crashing fires the TimeoutError."""
         import fcntl
 
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
             deadline = time.monotonic() + patience
+            last_mtime = None
             while True:
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
                 except OSError:
+                    try:
+                        m = os.fstat(fd).st_mtime_ns
+                        if m != last_mtime:
+                            last_mtime = m
+                            deadline = time.monotonic() + patience
+                    except OSError:
+                        pass
                     if time.monotonic() > deadline:
                         raise TimeoutError(f"{what} held too long")
                     time.sleep(0.01)
+            try:
+                os.utime(fd)  # hand-off beacon for queued waiters
+            except OSError:
+                pass
             try:
                 yield
             finally:

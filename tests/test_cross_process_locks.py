@@ -193,6 +193,48 @@ def test_flock_live_holder_times_out_waiter(tmp_path, monkeypatch):
     th.join(5.0)
 
 
+def test_flock_queue_drain_resets_patience(tmp_path, monkeypatch):
+    """Parity with the rename scheme's inode-change deadline reset: a
+    waiter behind a DRAINING queue of holders must never time out, even
+    when the queue's total duration exceeds its per-holder patience —
+    each hand-off touches the lock mtime and the waiter resets. Three
+    0.3 s holders against a 0.5 s patience: the last waiter waits ~0.9 s
+    total and must still acquire."""
+    import threading
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_MODE", "flock")
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    wh = VersionedWarehouse(None, str(tmp_path))
+    lock = wh.path("silver", "t")
+    lock.mkdir(parents=True, exist_ok=True)
+    lockfile = lock / ".append.flock"
+    errors: list[BaseException] = []
+    order: list[int] = []
+
+    def hold(i: int, dwell: float) -> None:
+        try:
+            with wh._flock_lock(lockfile, "append lock", 0.5):
+                order.append(i)
+                time.sleep(dwell)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=hold, args=(i, 0.3), daemon=True)
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+        time.sleep(0.02)  # establish a queue, holder 0 first
+    for t in threads:
+        t.join(10.0)
+    assert not errors, f"queued waiter timed out during a draining queue: {errors}"
+    assert len(order) == 4
+
+
 def test_lock_mode_probe_and_override(tmp_path, monkeypatch):
     """The capability probe takes a real flock on a probe file under the
     root (True on any POSIX-local fs, like this one) and caches per

@@ -45,19 +45,38 @@ TOPK = 3
 _NOISE_SEED = 0xC0FFEE  # fixed: the unique corpus is reproducible run-to-run
 
 
+#: driver-side cap for the NN-anchor matrix (4096² float64 ≈ 134 MB)
+_NN_CAP = 4096
+
+
 def _base_nn_median(spark, sf_dir: str) -> float:
     """Median nearest-neighbor euclidean distance over the fixture's
-    BASE vectors (vec_id < 2000 — replica 0; the key-shift replicas are
-    exact copies whose NN distance is 0 and would poison the anchor).
-    2000×64 fits the driver; one numpy pass."""
+    DISTINCT vectors. r10 ADVICE: the previous 'vec_id < 2000' literal
+    encoded ONE fixture's replica-0 size — on any other corpus the
+    anchor silently included exact replicas (NN distance 0) or covered
+    only part of the base, skewing the eps scales. Deduplicating the
+    vectors themselves needs no knowledge of the replication scheme:
+    exact copies collapse, and the pairwise-distinct set is exactly what
+    an NN anchor means. Above _NN_CAP distinct vectors a deterministic
+    hash-thinned subset keeps the driver-side matrix bounded (stated in
+    the output header via the [C] corpus line)."""
     import numpy as np
+    from pyspark.sql import functions as F
 
-    rows = (
+    e = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter("vec_id < 2000")
         .select("embedding")
-        .collect()
+        .distinct()
     )
+    n = e.count()
+    if n < 2:
+        raise SystemExit(f"{sf_dir}: {n} distinct vectors — no NN anchor")
+    if n > _NN_CAP:
+        # keep ~_NN_CAP rows: deterministic per-vector hash, no RNG state
+        stride = -(-n // _NN_CAP)  # ceil
+        e = e.filter(F.pmod(F.xxhash64("embedding"), F.lit(stride)) == 0)
+        print(f"  (NN anchor thinned: {n} distinct vectors -> ~{_NN_CAP})")
+    rows = e.collect()
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     sq = (x * x).sum(axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
@@ -150,23 +169,34 @@ def _brute_truth(spark, sf_dir: str, topk: int = TOPK) -> set:
     }
 
 
-def _materialized_index(spark, sf_dir: str):
+def _materialized_index(spark, sf_dir: str, k_cells: int = K_CELLS):
     """The IVF index materialized ONCE as the 100 TB layout (the assign
     frame written cell-partitioned to disk), keyed by the corpus
-    directory name so two corpora never share a cache entry."""
+    directory name AND the codebook size so two corpora or two K's never
+    share a cache entry."""
     from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
         ivf_index_frames,
     )
 
-    idx_path = Path("/tmp/end_to_end_azure_data_engineering_ivf_index") / Path(sf_dir).name
-    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1)
+    idx_path = (
+        Path("/tmp/end_to_end_azure_data_engineering_ivf_index")
+        / f"{Path(sf_dir).name}_k{k_cells}"
+    )
+    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1, k_cells=k_cells)
     if not (idx_path / "_SUCCESS").exists():
         assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
     return spark.read.parquet(str(idx_path))
 
 
-def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
-    """Section [C]: recall-vs-nprobe on unique vectors (see module doc)."""
+def _recall_sweep(
+    spark, sf_dir: str, nprobes: list[int], k_cells: int = K_CELLS
+) -> int:
+    """Section [C]: recall-vs-nprobe on unique vectors (see module doc).
+    With ``--kcells`` this doubles as section [D] (r10 verdict item 4):
+    the same sweep at a production-shaped codebook (K=1024) pins the
+    claim that per-probe cost stays ≈ nprobe/K × corpus when K reaches
+    the thousands — candidates must track that ratio and recall must
+    still hit 1.0 at the exhaustive setting."""
     import math
 
     from end_to_end_azure_data_engineering_spark.queries import load
@@ -182,26 +212,30 @@ def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
     n_vecs = load(spark, sf_dir, "embeddings").count()
     print(
         f"[C] recall on UNIQUE vectors: corpus={n_vecs}, dim={dim}, "
-        f"base NN median distance={d_nn:.4f}"
+        f"K={k_cells}, base NN median distance={d_nn:.4f}"
     )
     for mult, tag in ((0.5, "halfnn"), (2.0, "2xnn")):
         # perturbation-vector norm target p = mult × d_nn; per-dim
         # uniform[-1,1] noise has E[norm²] = eps²·dim/3 ⇒ eps = p·√(3/dim)
         eps = mult * d_nn * math.sqrt(3.0 / dim)
         udir = _build_unique(spark, sf_dir, eps, tag)
-        index = _materialized_index(spark, udir)
+        index = _materialized_index(spark, udir, k_cells)
         truth = _brute_truth(spark, udir)
         print(f"  perturbation {mult}×NN (eps={eps:.5f}, corpus {udir}):")
         for np_ in nprobes:
-            _, probe_cells = ivf_index_frames(spark, udir, nprobe=np_)
+            _, probe_cells = ivf_index_frames(
+                spark, udir, nprobe=np_, k_cells=k_cells
+            )
             got = {
                 (r["probe_id"], r["vec_id"])
                 for r in ivf_probe_topk(index, probe_cells, topk=TOPK).collect()
             }
             cand = ivf_probe_topk(index, probe_cells, topk=10**9).count()
             recall = len(got & truth) / max(len(truth), 1)
+            frac = cand / max(n_vecs * 20, 1)  # of corpus × probes
             print(
-                f"    nprobe={np_:>2d}  candidates={cand:>9d}  "
+                f"    nprobe={np_:>4d}  candidates={cand:>9d} "
+                f"({frac:.5f} of corpus×probes; nprobe/K={np_ / k_cells:.5f})  "
                 f"recall@{TOPK}={recall:.3f}",
                 flush=True,
             )
@@ -209,16 +243,26 @@ def _recall_sweep(spark, sf_dir: str, nprobes: list[int]) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--recall"]
-    recall_only = "--recall" in sys.argv[1:]
+    argv = list(sys.argv[1:])
+    k_cells = K_CELLS
+    if "--kcells" in argv:
+        i = argv.index("--kcells")
+        k_cells = int(argv[i + 1])
+        del argv[i : i + 2]
+    recall_only = "--recall" in argv
+    args = [a for a in argv if a != "--recall"]
     sf_dir = args[0] if args else "/tmp/end_to_end_azure_data_engineering_sf10"
-    nprobes = [int(a) for a in args[1:]] or [1, 2, 4, 8, 16]
+    nprobes = [int(a) for a in args[1:]] or (
+        [1, 2, 4, 8, 16] if k_cells == K_CELLS else
+        # shifted-right default at big K: same nprobe/K coverage ratios
+        [max(1, k_cells * f // 16) for f in (1, 2, 4, 8, 16)]
+    )
     if recall_only:
         from end_to_end_azure_data_engineering_spark.engine import get_spark
 
         spark = get_spark("ivf_nprobe_probe")
         spark.sparkContext.setLogLevel("ERROR")
-        return _recall_sweep(spark, sf_dir, nprobes)
+        return _recall_sweep(spark, sf_dir, nprobes, k_cells)
 
     from pyspark.sql import functions as F
 
@@ -239,14 +283,14 @@ def main() -> int:
     # frame written cell-partitioned to disk. Per-query cost is then the
     # PROBE-SIDE read path: prune to the probed cells, score, top-k.
     truth = _brute_truth(spark, sf_dir)
-    index = _materialized_index(spark, sf_dir)
+    index = _materialized_index(spark, sf_dir, k_cells)
 
-    print(f"corpus={n_vecs} vectors, K={K_CELLS} cells, top-{TOPK}, 20 probes")
+    print(f"corpus={n_vecs} vectors, K={k_cells} cells, top-{TOPK}, 20 probes")
     print("\n[A] full query (fresh plan each run: build + assignment + probe)")
     base_t = base_c = None
     rows_by_np = {}
     for np_ in nprobes:
-        ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK).write.format(
+        ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK, k_cells=k_cells).write.format(
             "noop"
         ).mode("overwrite").save()  # warm-up at this nprobe
         best = None
@@ -256,7 +300,7 @@ def main() -> int:
             except Exception:
                 pass
             t0 = time.perf_counter()
-            rows = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK).collect()
+            rows = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=TOPK, k_cells=k_cells).collect()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         rows_by_np[np_] = rows
@@ -264,7 +308,7 @@ def main() -> int:
         recall = len(got & truth) / max(len(truth), 1)
         # candidate volume: Σ over probes of their probed cells' sizes
         # (the scored-join row count BEFORE the top-k) — untimed pass
-        cand = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=10**9).count()
+        cand = ivf_topk_plan(spark, sf_dir, nprobe=np_, topk=10**9, k_cells=k_cells).count()
         if base_t is None:
             base_t, base_c = best, cand
         print(
@@ -276,7 +320,9 @@ def main() -> int:
     print("\n[B] probe-side read path over the materialized cell-partitioned index")
     base_t = None
     for np_ in nprobes:
-        _, probe_cells = ivf_index_frames(spark, sf_dir, nprobe=np_)
+        _, probe_cells = ivf_index_frames(
+            spark, sf_dir, nprobe=np_, k_cells=k_cells
+        )
         # static cell pruning: the probed cells are ≤ 20×nprobe ids known
         # at plan time — exactly the partition-pruned read at 100 TB
         cids = sorted({r["cid"] for r in probe_cells.select("cid").collect()})
