@@ -192,6 +192,21 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Queries whose PLAN changed this round (r11: the declared-PK rewrite
+#: dropped the dim pre-aggregates; the IVF knob threading touched the
+#: shared plan builder). A recent green round describes the OLD plan, so
+#: these are forced to the front of the driver's 50-query window for
+#: re-verification. Emptied (or replaced) each round as part of the
+#: closing sweep.
+RECHECK_THIS_ROUND: frozenset = frozenset(
+    {
+        "order_value_distribution",
+        "supplier_percentile_ranks",
+        "ann_ivf_topk",
+    }
+)
+
+
 def _verification_order(names: list[str], root=None) -> list[str]:
     """Self-rotating registration order from the driver's own record.
 
@@ -232,6 +247,8 @@ def _verification_order(names: list[str], root=None) -> list[str]:
             tgt[name] = max(rnd, tgt.get(name, 0))
 
     def key(name: str) -> tuple[int, int]:
+        if name in RECHECK_THIS_ROUND:
+            return (0, 0)  # plan changed this round — green row is stale
         green = green_round.get(name)
         if green is None or bad_round.get(name, -1) >= green:
             return (0, 0)  # needs (re-)verification
