@@ -79,7 +79,10 @@ def _canary_drift(old: dict, new: dict) -> tuple[float | None, str]:
     keys = sorted(
         k
         for k in set(co) & set(cn)
-        if isinstance(co[k], (int, float)) and isinstance(cn[k], (int, float)) and co[k] > 0
+        if isinstance(co[k], (int, float))
+        and isinstance(cn[k], (int, float))
+        and co[k] > 0
+        and cn[k] > 0  # a zero on EITHER side would poison the geomean
     )
     if not keys:
         missing = [tag for tag, c in (("old", co), ("new", cn)) if not c]
