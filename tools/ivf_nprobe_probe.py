@@ -188,8 +188,16 @@ def _materialized_index(spark, sf_dir: str, k_cells: int = K_CELLS):
     return spark.read.parquet(str(idx_path))
 
 
+#: perturbation regimes for the unique-vector recall sweep
+_SCALES = {"halfnn": 0.5, "2xnn": 2.0}
+
+
 def _recall_sweep(
-    spark, sf_dir: str, nprobes: list[int], k_cells: int = K_CELLS
+    spark,
+    sf_dir: str,
+    nprobes: list[int],
+    k_cells: int = K_CELLS,
+    scales: tuple[str, ...] = ("halfnn", "2xnn"),
 ) -> int:
     """Section [C]: recall-vs-nprobe on unique vectors (see module doc).
     With ``--kcells`` this doubles as section [D] (r10 verdict item 4):
@@ -214,7 +222,8 @@ def _recall_sweep(
         f"[C] recall on UNIQUE vectors: corpus={n_vecs}, dim={dim}, "
         f"K={k_cells}, base NN median distance={d_nn:.4f}"
     )
-    for mult, tag in ((0.5, "halfnn"), (2.0, "2xnn")):
+    for tag in scales:
+        mult = _SCALES[tag]
         # perturbation-vector norm target p = mult × d_nn; per-dim
         # uniform[-1,1] noise has E[norm²] = eps²·dim/3 ⇒ eps = p·√(3/dim)
         eps = mult * d_nn * math.sqrt(3.0 / dim)
@@ -249,6 +258,11 @@ def main() -> int:
         i = argv.index("--kcells")
         k_cells = int(argv[i + 1])
         del argv[i : i + 2]
+    scales = tuple(_SCALES)
+    if "--scales" in argv:
+        i = argv.index("--scales")
+        scales = tuple(s for s in argv[i + 1].split(",") if s in _SCALES)
+        del argv[i : i + 2]
     recall_only = "--recall" in argv
     args = [a for a in argv if a != "--recall"]
     sf_dir = args[0] if args else "/tmp/end_to_end_azure_data_engineering_sf10"
@@ -262,7 +276,7 @@ def main() -> int:
 
         spark = get_spark("ivf_nprobe_probe")
         spark.sparkContext.setLogLevel("ERROR")
-        return _recall_sweep(spark, sf_dir, nprobes, k_cells)
+        return _recall_sweep(spark, sf_dir, nprobes, k_cells, scales)
 
     from pyspark.sql import functions as F
 
