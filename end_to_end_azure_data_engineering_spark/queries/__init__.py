@@ -196,8 +196,9 @@ PRIORITY: tuple[str, ...] = (
 #: dropped the dim pre-aggregates; the IVF knob threading touched the
 #: shared plan builder). A recent green round describes the OLD plan, so
 #: these are forced to the front of the driver's 50-query window for
-#: re-verification. Emptied (or replaced) each round as part of the
-#: closing sweep.
+#: re-verification. NOTE: must stay populated through the DRIVER's
+#: r11 correctness run (it executes after this round closes); round 12
+#: replaces it with its own changed set (or empties it).
 RECHECK_THIS_ROUND: frozenset = frozenset(
     {
         "order_value_distribution",

@@ -342,8 +342,9 @@ BROADCAST_ALLOWED: dict[str, set[str]] = {
         "bands",                                               # BAND
         "c.agg(F.count('*').alias('n_view_click'))",           # SCALAR
         "p.agg(F.count('*').alias('n_view_click_purchase'))",  # SCALAR
+        # r11: the 25-nation PK aggregate 'ndim' became the raw declared-PK
+        # nation scan 'n' (already FIXED-classified above)
         "cn", "sn", "n",                                       # FIXED
-        "ndim",                                                # FIXED (25-nation PK aggregate)
         "days",                                                # TIME
         "q",                                                   # SCALAR (1-row quantiles)
         "tot", "total", "pr_tot", "yr_tot",                    # SCALAR
