@@ -192,20 +192,18 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
-#: Queries whose PLAN changed this round (r11: the declared-PK rewrite
-#: dropped the dim pre-aggregates; the IVF knob threading touched the
-#: shared plan builder). A recent green round describes the OLD plan, so
-#: these are forced to the front of the driver's 50-query window for
-#: re-verification. NOTE: must stay populated through the DRIVER's
-#: r11 correctness run (it executes after this round closes); round 12
-#: replaces it with its own changed set (or empties it).
-RECHECK_THIS_ROUND: frozenset = frozenset(
-    {
-        "order_value_distribution",
-        "supplier_percentile_ranks",
-        "ann_ivf_topk",
-    }
-)
+#: Queries whose PLAN changed this round. A recent green round describes
+#: the OLD plan, so entries here are forced to the front of the driver's
+#: 50-query window for re-verification. r12: EMPTY — the r11 set (the
+#: declared-PK rewrite + IVF knob threading) got its green driver rows in
+#: CORRECTNESS_r11.json, and no registered query's plan changed this
+#: round (the sharded near-dup miner is a new operator path; the
+#: oracle-gated `dedup_minhash_lsh` form is untouched), so the window is
+#: freed for the r6-vintage tail (embedding_cosine_histogram etc. at
+#: positions 3–8). NOTE: repopulate on the first commit that changes any
+#: registered query's plan; a NEW query needs no entry (no green row ever
+#: → it already sorts to the front).
+RECHECK_THIS_ROUND: frozenset = frozenset()
 
 
 def _verification_order(names: list[str], root=None) -> list[str]:
