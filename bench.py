@@ -35,6 +35,57 @@ LOAD_GATE = 2.0
 LOAD_GATE_5MIN = 2.5
 
 
+#: pinned Spark canary workload size — the SAME workload host_canary
+#: stamps, so segment/retime stamps are directly comparable to the
+#: start-of-sweep stamp and to other artifacts' stamps forever
+_CANARY_ROWS = 32_000_000
+#: stamp a mid-sweep spark canary after every this-many queries (r12,
+#: verdict item 1a): the start-of-sweep canary describes the host the
+#:  sweep BEGAN on; the segment series proves (or disproves) that the
+#: host stayed that fast THROUGH the sweep — the r11 driver artifact
+#: could only be exonerated by out-of-band reruns
+SEGMENT_EVERY = 20
+#: how many worst-vs-baseline queries get an automatic isolated re-time
+#: at sweep end (r12, verdict item 1b)
+RETIME_N = 8
+
+
+def _spark_hashagg(spark) -> float:
+    """One timed run of the pinned hashagg canary workload (seconds).
+    xxhash64+sum over a fixed 32M-row range, 32 partitions — JVM
+    whole-stage-codegen throughput on all cores. Modulo before the sum:
+    summing raw xxhash64 overflows long under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, _CANARY_ROWS, 1, 32)
+        .select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h"))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def select_retimes(
+    timings: dict[str, float],
+    baseline_queries: dict[str, float] | None,
+    n: int = RETIME_N,
+) -> list[str]:
+    """Which queries to re-time in isolation at sweep end: the N worst
+    sweep/baseline ratios when a comparable baseline exists (those are the
+    ones a reader would call regressions), else the N slowest outright
+    (still the ones whose isolated number is most informative). Pure —
+    unit-tested without a session."""
+    if baseline_queries:
+        common = [q for q in timings if q in baseline_queries]
+        if common:
+            return sorted(
+                common,
+                key=lambda q: -(timings[q] / max(baseline_queries[q], 1e-9)),
+            )[:n]
+    return sorted(timings, key=lambda q: -timings[q])[:n]
+
+
 def host_canary(spark=None, runs: int = 3) -> dict:
     """Fixed-size host-speed canary stamped into every bench artifact
     (r11, verdict item 1). The r10 baseline hand-off (72.3 s -> 92.7 s)
@@ -88,21 +139,10 @@ def host_canary(spark=None, runs: int = 3) -> dict:
     out["py_sort_s"] = round(best, 4)
 
     if spark is not None:
-        from pyspark.sql import functions as F
-
-        # modulo before the sum: summing raw xxhash64 overflows long under
-        # ANSI mode (32M draws over the full int64 range)
-        q = lambda: (
-            spark.range(0, 32_000_000, 1, 32)
-            .select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))).alias("h"))
-            .collect()
-        )
-        q()  # untimed codegen/JIT warm-up, same as every benched query
+        _spark_hashagg(spark)  # untimed codegen/JIT warm-up
         best = None
         for _ in range(runs):
-            t0 = time.perf_counter()
-            q()
-            el = time.perf_counter() - t0
+            el = _spark_hashagg(spark)
             best = el if best is None else min(best, el)
         out["spark_hashagg_s"] = round(best, 4)
     return out
@@ -323,7 +363,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    # Mid-sweep host-speed series (r12, verdict item 1a): one timed run of
+    # the SAME pinned hashagg workload host_canary stamps, every
+    # SEGMENT_EVERY queries — single-run on purpose (instantaneous
+    # contention is the signal here; the start canary's min-of-3 already
+    # measures the ceiling). A segment reading far above the start stamp
+    # proves contention arrived DURING the sweep, which the r11 driver
+    # artifact could only establish with out-of-band isolated reruns.
+    segment_canaries: list[dict] = []
+    for done, name in enumerate(names):
+        if done and done % SEGMENT_EVERY == 0:
+            segment_canaries.append(
+                {"after": done, "spark_hashagg_s": round(_spark_hashagg(spark), 4)}
+            )
         # run 1 (untimed): absorbs codegen compilation, JIT, broadcast
         # build, and any first-execution interpreted fallback at the
         # actual measured SF
@@ -371,6 +423,57 @@ def main() -> None:
         except Exception:
             pass
 
+    segment_canaries.append(
+        {"after": len(names), "spark_hashagg_s": round(_spark_hashagg(spark), 4)}
+    )
+
+    # Automatic isolated re-times (r12, verdict item 1b): the r11 driver
+    # sweep ran on a loaded host and produced 8 queries at 3-10x baseline
+    # that all re-timed at baseline order in LATER out-of-band isolation —
+    # evidence the artifact itself should have carried. At sweep end,
+    # re-time the RETIME_N worst queries vs the committed baseline (worst
+    # sweep/baseline ratio when the baseline's SF matches, else slowest
+    # outright) after a GC settle: 1 untimed + min-of-2 timed runs each,
+    # with a fresh spark-canary stamp taken immediately before so the
+    # retimes are drift-normalizable on their own (the host may have
+    # quieted — or not — since the sweep). Stamped regardless of host
+    # state so every artifact is self-certifying, not just suspect ones.
+    baseline_q: dict[str, float] | None = None
+    baseline_canary: dict | None = None
+    try:
+        base = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+        if abs(float(base.get("sf", -1)) - sf) < 1e-9:
+            baseline_q = base.get("queries")
+            baseline_canary = base.get("host_canary")
+    except (OSError, ValueError):
+        pass
+    retime_names = select_retimes(timings, baseline_q)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    retime_canary = {"spark_hashagg_s": round(_spark_hashagg(spark), 4)}
+    isolated_retimes: dict[str, dict] = {}
+    for name in retime_names:
+        samples = []
+        try:
+            for i in range(3):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                release_checkpoints(df)
+                if i > 0:  # run 0 re-absorbs post-GC cache state, untimed
+                    samples.append(el)
+        except Exception:  # noqa: BLE001 — sweep already recorded the error
+            continue
+        if samples:
+            isolated_retimes[name] = {
+                "sweep_s": timings.get(name),
+                "isolated_s": round(min(samples), 3),
+                "baseline_s": (baseline_q or {}).get(name),
+            }
+
     total = round(sum(timings.values()), 3)
     # same-session noise band: distribution of per-query max/min ratios
     # across the N timed runs — a round-over-round per-query delta inside
@@ -395,6 +498,10 @@ def main() -> None:
         "noise_band": noise,
         "sf": sf,
         "host_canary": canary,
+        "segment_canaries": segment_canaries,
+        "retime_canary": retime_canary,
+        "isolated_retimes": isolated_retimes,
+        "baseline_canary_at_sweep": baseline_canary,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
@@ -486,6 +593,16 @@ def main() -> None:
         "sf": sf,
         "pipeline_total": out.get("pipeline_total"),
         "host_canary": canary,
+        # compact forms: the full per-segment dicts live in the SF-stamped
+        # file; the stdout line keeps the series as floats (comparable to
+        # host_canary.spark_hashagg_s) and the complete retime map — the
+        # two stamps that make a loaded-host artifact self-certifying
+        "segment_canaries": {
+            "every": SEGMENT_EVERY,
+            "spark_hashagg_s": [s["spark_hashagg_s"] for s in segment_canaries],
+        },
+        "retime_canary": retime_canary,
+        "isolated_retimes": isolated_retimes,
         "load_avg": out["load_avg"],
         "full_results": str(full_path),
         "promoted_to_baseline": promote,

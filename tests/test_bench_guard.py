@@ -132,8 +132,10 @@ def test_bench_compare_refuses_cross_load(tmp_path):
 
 
 def test_bench_compare_force_is_advisory_only(tmp_path):
-    """--force runs the cross-load comparison but never issues a
-    regression verdict (exit 0, ADVISORY banner)."""
+    """--force runs the cross-load comparison and never issues a
+    REGRESSION verdict; out-of-envelope queries nothing cleared print as
+    UNCLEARED and exit 4 (r11 ADVICE: the old exit-0-with-warning form
+    let a loaded sweep read clean under time pressure)."""
     quiet = {
         "queries": {"a": 1.0},
         "load_avg": {"start": [0.3, 0, 0], "end": [0.3, 0, 0]},
@@ -144,8 +146,10 @@ def test_bench_compare_force_is_advisory_only(tmp_path):
         "load_avg": {"start": [LOAD_GATE + 2.0, 0, 0], "end": [4.0, 0, 0]},
     }
     r = _compare(tmp_path, quiet, loaded, "--force")
-    assert r.returncode == 0, r.stdout
+    assert r.returncode == 4, r.stdout
     assert "ADVISORY-ONLY" in r.stdout
+    assert "UNCLEARED a" in r.stdout
+    assert "REGRESSED" not in r.stdout, "cross-load must never say REGRESSED"
 
 
 def test_bench_compare_refusal_names_loads_and_canary(tmp_path):
@@ -228,3 +232,167 @@ def test_bench_compare_same_load_still_gates(tmp_path):
     r = _compare(tmp_path, old, new)
     assert r.returncode == 1, r.stdout
     assert "REGRESSED a" in r.stdout
+
+
+# --- r12 self-certification: segment canaries + automatic isolated ---
+# --- re-times make a loaded-host sweep diagnosable from its own stamps ---
+
+#: the r11 incident shape: a quiet committed baseline...
+_R11_BASELINE = {
+    "queries": {"a": 1.0, "b": 2.0, "c": 0.5},
+    "load_avg": {"start": [0.3, 0.5, 0], "end": [0.3, 0, 0]},
+    "noise_band": {"p95_spread": 1.15},
+    "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16, "spark_hashagg_s": 0.25},
+}
+
+
+def test_loaded_sweep_self_certifies_zero_false_flags(tmp_path):
+    """r12 verdict item 1 (Done criterion): injected contention must
+    yield ZERO false flags. The simulated sweep reproduces r11's SHAPE —
+    NON-uniform inflation (3x to 10x per query) on a loaded host whose
+    spark canary reads 3.3x while py canaries barely move. Spark-side
+    normalization absorbs the uniform part; the queries contention hit
+    HARDER than the canary (a at 10x) survive normalization and must be
+    cleared by the artifact's own isolated re-times. The comparison
+    proceeds without --force (self-certified), reports the mid-sweep
+    canary series, and exits 0 with no REGRESSED/UNCLEARED line."""
+    loaded = {
+        "queries": {"a": 10.0, "b": 6.3, "c": 1.6},
+        "load_avg": {"start": [7.3, 10.2, 0], "end": [5.0, 8.0, 0]},
+        "host_canary": {"py_sha256_s": 0.21, "py_sort_s": 0.16, "spark_hashagg_s": 0.83},
+        "segment_canaries": [
+            {"after": 1, "spark_hashagg_s": 0.80},
+            {"after": 2, "spark_hashagg_s": 0.85},
+        ],
+        # host quieted by retime time: retime canary back at baseline
+        "retime_canary": {"spark_hashagg_s": 0.26},
+        "isolated_retimes": {
+            "a": {"sweep_s": 10.0, "isolated_s": 1.02, "baseline_s": 1.0},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, loaded)
+    assert r.returncode == 0, r.stdout
+    assert "REFUSED" not in r.stdout
+    assert "REGRESSED" not in r.stdout and "UNCLEARED" not in r.stdout
+    assert "CONTENTION a" in r.stdout, r.stdout
+    assert "self-certified stamps" in r.stdout
+    # the segment series is reported against the old baseline's canary
+    assert "mid-sweep canary" in r.stdout
+
+
+def test_loaded_sweep_still_loaded_retimes_clear_via_retime_canary(tmp_path):
+    """If the host is STILL loaded during the re-times, the isolated
+    numbers are inflated too — but the retime-moment canary stamp is
+    equally inflated, so retime-canary normalization still clears the
+    query whose sweep inflation exceeded the sweep-level canary."""
+    loaded = {
+        "queries": {"a": 10.0, "b": 6.3, "c": 1.6},
+        "load_avg": {"start": [7.3, 10.2, 0], "end": [6.0, 9.0, 0]},
+        "host_canary": {"py_sha256_s": 0.21, "py_sort_s": 0.16, "spark_hashagg_s": 0.83},
+        "retime_canary": {"spark_hashagg_s": 0.78},
+        "isolated_retimes": {
+            "a": {"sweep_s": 10.0, "isolated_s": 3.0, "baseline_s": 1.0},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, loaded)
+    assert r.returncode == 0, r.stdout
+    assert "CONTENTION a" in r.stdout, r.stdout
+
+
+def test_loaded_sweep_real_regression_stays_uncleared_exit_4(tmp_path):
+    """A query whose isolated re-time does NOT come back to baseline on
+    a loaded sweep is not silently passed: UNCLEARED label, exit 4 —
+    needs a quiet-host confirmation, distinct from both clean (0) and a
+    quiet-host regression verdict (1)."""
+    loaded = {
+        "queries": {"a": 16.0, "b": 6.3, "c": 1.6},
+        "load_avg": {"start": [7.3, 10.2, 0], "end": [5.0, 8.0, 0]},
+        "host_canary": {"py_sha256_s": 0.21, "py_sort_s": 0.16, "spark_hashagg_s": 0.83},
+        "retime_canary": {"spark_hashagg_s": 0.26},
+        "isolated_retimes": {
+            "a": {"sweep_s": 16.0, "isolated_s": 4.8, "baseline_s": 1.0},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, loaded)
+    assert r.returncode == 4, r.stdout
+    assert "UNCLEARED a" in r.stdout
+    assert "did NOT clear" in r.stdout
+    assert "REGRESSED" not in r.stdout
+
+
+def test_quiet_engine_regression_not_masked_by_spark_canary(tmp_path):
+    """r11 ADVICE (medium, the verified attack): a uniform 1.8x ENGINE
+    slowdown also slows the spark canary 1.8x (it runs through the
+    session under test) while the py canaries stay flat. Quiet-vs-quiet
+    normalization must use the py-only components, so the regression
+    stays in the ratios and exits 1 — the old geomean form exited 0."""
+    new = {
+        "queries": {"a": 1.8, "b": 3.6, "c": 0.9},
+        "load_avg": {"start": [0.4, 0.4, 0], "end": [0.4, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16, "spark_hashagg_s": 0.45},
+    }
+    r = _compare(tmp_path, _R11_BASELINE, new)
+    assert r.returncode == 1, r.stdout
+    assert r.stdout.count("REGRESSED") == 3, r.stdout
+    assert "py-only" in r.stdout
+    assert "may be the engine itself" in r.stdout
+
+
+def test_quiet_flag_cleared_by_isolated_retime(tmp_path):
+    """Quiet-vs-quiet, one query inflated by in-sweep state (the r7
+    block-manager-pressure mechanism) whose own isolated re-time lands
+    at baseline: cleared as CONTENTION, exit 0 — the artifact now does
+    automatically what the module docstring told the operator to do by
+    hand."""
+    new = {
+        "queries": {"a": 3.0, "b": 2.05, "c": 0.51},
+        "load_avg": {"start": [0.4, 0.4, 0], "end": [0.4, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16, "spark_hashagg_s": 0.25},
+        "retime_canary": {"spark_hashagg_s": 0.25},
+        "isolated_retimes": {
+            "a": {"sweep_s": 3.0, "isolated_s": 1.01, "baseline_s": 1.0},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, new)
+    assert r.returncode == 0, r.stdout
+    assert "CONTENTION a" in r.stdout
+    assert "REGRESSED" not in r.stdout
+
+
+def test_compact_segment_series_shape_parses(tmp_path):
+    """bench.py's compact stdout line carries segment canaries as
+    {'every': k, 'spark_hashagg_s': [floats]}; the comparison must read
+    that shape too (the full file uses a list of dicts)."""
+    loaded = {
+        "queries": {"a": 3.1, "b": 6.3, "c": 1.6},
+        "load_avg": {"start": [7.3, 10.2, 0], "end": [5.0, 8.0, 0]},
+        "host_canary": {"py_sha256_s": 0.21, "py_sort_s": 0.16, "spark_hashagg_s": 0.83},
+        "segment_canaries": {"every": 20, "spark_hashagg_s": [0.80, 0.85]},
+        "retime_canary": {"spark_hashagg_s": 0.26},
+        "isolated_retimes": {
+            "a": {"sweep_s": 3.1, "isolated_s": 1.02, "baseline_s": 1.0},
+            "b": {"sweep_s": 6.3, "isolated_s": 2.05, "baseline_s": 2.0},
+            "c": {"sweep_s": 1.6, "isolated_s": 0.51, "baseline_s": 0.5},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, loaded)
+    assert r.returncode == 0, r.stdout
+    assert "mid-sweep canary" in r.stdout
+    assert "3.20x" in r.stdout or "3.40x" in r.stdout, r.stdout
+
+
+def test_select_retimes_prefers_worst_vs_baseline():
+    from bench import select_retimes
+
+    timings = {"a": 2.0, "b": 9.0, "c": 0.9}
+    baseline = {"a": 1.0, "b": 8.0, "c": 0.2}  # ratios: 2.0, 1.125, 4.5
+    assert select_retimes(timings, baseline, n=2) == ["c", "a"]
+
+
+def test_select_retimes_falls_back_to_slowest_without_baseline():
+    from bench import select_retimes
+
+    timings = {"a": 2.0, "b": 9.0, "c": 0.9}
+    assert select_retimes(timings, None, n=2) == ["b", "a"]
+    # baseline with zero overlap also falls back
+    assert select_retimes(timings, {"z": 1.0}, n=1) == ["b"]

@@ -11,30 +11,44 @@ its own per-query spread (when recorded) by the slack factor — anything
 inside that envelope is noise by the bench's own measurement.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [slack] [--force]
-       (slack default 1.10; exit 1 iff regressions are found)
 
-Drift normalization (r11 verdict item 1): when both artifacts carry the
-``host_canary`` stamp bench.py writes (pinned sha256 / list-sort /
-Spark hash-agg workloads), per-query ratios are divided by the
-geometric-mean canary ratio before the envelope test, and the header
-reports raw AND normalized totals — a uniformly slower host era (the
-r10 hand-off: every query ~1.25x) normalizes away instead of needing a
-uniformity argument, while a genuine plan regression still exceeds the
-normalized envelope.
+Exit codes: 0 clean / advisory-clean, 1 regressions (quiet-vs-quiet
+verdict), 2 usage, 3 refused (cross-load, nothing to self-certify with),
+4 cross-load flags NOT cleared by the artifact's own isolated re-times —
+confirm on a quiet host before calling them regressions.
 
-Cross-load REFUSAL (r10, verdict item 8): when one artifact was swept on
-a quiet host and the other past bench.py's LOAD_GATE, per-query ratios
-measure the host, not the plans — the comparison is REFUSED (exit 3, no
-regression verdict) instead of footnoted, because the r8/r9 incidents
-showed the footnote gets ignored under time pressure. ``--force`` runs
-it anyway, clearly labeled advisory-only.
+Drift normalization — WHICH canary component divides the ratios (r12,
+verdict item 1c + r11 ADVICE, which pull in opposite directions):
 
-A flag here is a TRIAGE list, not a verdict: the same-session spread
-understates cross-position variance in a 117-query sweep (block-manager
-pressure accumulates, so late-list queries inflate together — the r7
-check found 6 flagged queries that all re-timed at-or-below their prior
-values in isolation). Confirm any flag by re-timing the query alone
-(4 runs, discard the first) before calling it a regression; a real one
+- CROSS-LOAD comparisons (one side quiet, the other past bench.py's
+  LOAD_GATE): the SPARK-side canary (``spark_hashagg_s``) is the
+  denominator. Contention hits the executor pool hardest; the python
+  canaries describe the single-threaded driver process and understated
+  the r11 incident 3.4x (py 0.98-1.05x while Spark throughput was 3.31x
+  degraded).
+- QUIET-vs-quiet comparisons: the PYTHON-only components are the
+  denominator. They are host-pure — an engine/session-config regression
+  cannot move them — whereas the spark canary runs through the engine
+  under test, so normalizing by it lets an engine regression exonerate
+  itself (the verified ADVICE attack: a uniform 1.8x engine slowdown
+  with matching spark-canary drift exited 0). On a quiet host, era
+  drift moves ALL components together; a spark-only drift is evidence
+  about the engine and must stay IN the measured ratios.
+
+Self-certification (r12, verdict item 1): bench.py now stamps
+``segment_canaries`` (the pinned hashagg workload re-timed mid-sweep
+every ~20 queries), ``isolated_retimes`` (the worst-vs-baseline queries
+automatically re-timed after a GC settle at sweep end) and
+``retime_canary`` (host speed at the moment of those re-times) into
+every artifact. A flagged query whose isolated re-time lands back inside
+the envelope — normalized by the retime-moment canary under the same
+basis policy above — is reported as CONTENTION, not REGRESSED, and does
+not affect the exit code. A cross-load sweep carrying these stamps is
+evaluated in self-certified advisory mode instead of being refused.
+
+A surviving flag here is a TRIAGE list, not a verdict: the same-session
+spread understates cross-position variance in a 120-query sweep. Confirm
+any flag by re-timing the query alone on a quiet host; a real regression
 also shows a changed row in PLANS.md's audit snapshot.
 """
 
@@ -49,6 +63,13 @@ from bench import (  # single source of truth for "quiet host"
     LOAD_GATE,
     LOAD_GATE_5MIN,
 )
+
+#: canary components that cannot be moved by an engine regression
+PY_COMPONENTS = ("py_sha256_s", "py_sort_s")
+SPARK_COMPONENT = "spark_hashagg_s"
+#: components disagreeing beyond this are a non-uniform drift — the
+#: basis choice (not a geomean smear) decides what it means
+LOPSIDED = 1.5
 
 
 def _start_load(art: dict) -> tuple[float, float | None] | None:
@@ -67,37 +88,69 @@ def _fmt_load(lo: tuple[float, float | None] | None) -> str:
     return f"{lo[0]:.2f}/{lo[1]:.2f}" if lo[1] is not None else f"{lo[0]:.2f}/n/a"
 
 
-def _canary_drift(old: dict, new: dict) -> tuple[float | None, str]:
-    """Geometric-mean host-speed ratio new/old over the canary components
-    both artifacts stamped (>1 = new host slower), or (None, why-not).
-    The geomean weights the single-thread and all-core components
-    equally — uniform era drift (the r10 case: CPU ~1.25x slower across
-    the board) moves them together, which is exactly what the
-    normalization is for; a LOPSIDED drift (one component >2x the
-    others') is reported but not silently trusted by the caller."""
+def _canary_ratios(old: dict, new: dict) -> dict[str, float]:
+    """Per-component host-speed ratios new/old (>1 = new host slower)
+    over the canary components both artifacts stamped. Returned as a
+    dict (r11 ADVICE: the lopsided-drift check used to re-parse the
+    formatted detail string to recover these numbers)."""
     co, cn = old.get("host_canary") or {}, new.get("host_canary") or {}
-    keys = sorted(
-        k
-        for k in set(co) & set(cn)
+    return {
+        k: cn[k] / co[k]
+        for k in sorted(set(co) & set(cn))
         if isinstance(co[k], (int, float))
         and isinstance(cn[k], (int, float))
         and co[k] > 0
-        and cn[k] > 0  # a zero on EITHER side would poison the geomean
-    )
-    if not keys:
-        missing = [tag for tag, c in (("old", co), ("new", cn)) if not c]
-        return None, (
-            f"no host_canary in {'+'.join(missing)} artifact"
-            if missing
-            else "no shared canary components"
-        )
-    ratios = [cn[k] / co[k] for k in keys]
+        and cn[k] > 0  # a zero on EITHER side would poison every ratio
+    }
+
+
+def _geomean(vals: list[float]) -> float:
     prod = 1.0
-    for r in ratios:
-        prod *= r
-    drift = prod ** (1.0 / len(ratios))
-    detail = ", ".join(f"{k} {cn[k] / co[k]:.2f}x" for k in keys)
-    return drift, detail
+    for v in vals:
+        prod *= v
+    return prod ** (1.0 / len(vals))
+
+
+def _pick_norm(ratios: dict[str, float], cross_load: bool) -> tuple[float, str]:
+    """(denominator, basis description) per the module-docstring policy:
+    spark component under cross-load, py-only geomean quiet-vs-quiet,
+    full geomean when the preferred components are missing."""
+    py = [ratios[k] for k in PY_COMPONENTS if k in ratios]
+    spark = ratios.get(SPARK_COMPONENT)
+    if cross_load and spark is not None:
+        return spark, "spark-side (executor contention signal)"
+    if not cross_load and py:
+        return _geomean(py), "py-only (host-pure, engine-independent)"
+    if ratios:
+        return _geomean(list(ratios.values())), "geomean (preferred components missing)"
+    return 1.0, "none"
+
+
+def _retime_drift(old: dict, new: dict, fallback: float) -> float:
+    """Host-speed ratio AT THE MOMENT of the isolated re-times: the
+    retime-canary stamp vs the old artifact's spark canary. Falls back to
+    the sweep-level norm when either stamp is absent."""
+    rc = (new.get("retime_canary") or {}).get(SPARK_COMPONENT)
+    base = (old.get("host_canary") or {}).get(SPARK_COMPONENT)
+    if isinstance(rc, (int, float)) and isinstance(base, (int, float)) and base > 0:
+        return rc / base
+    return fallback
+
+
+def _segment_series(art: dict) -> list[float]:
+    """The mid-sweep canary series, tolerant of both artifact shapes:
+    the full file's list of {'after': n, 'spark_hashagg_s': t} dicts and
+    the compact stdout's {'every': k, 'spark_hashagg_s': [t, ...]}."""
+    seg = art.get("segment_canaries")
+    if isinstance(seg, list):
+        return [
+            s["spark_hashagg_s"]
+            for s in seg
+            if isinstance(s, dict) and isinstance(s.get("spark_hashagg_s"), (int, float))
+        ]
+    if isinstance(seg, dict) and isinstance(seg.get("spark_hashagg_s"), list):
+        return [t for t in seg["spark_hashagg_s"] if isinstance(t, (int, float))]
+    return []
 
 
 def _is_quiet(l1: float, l5: float | None) -> bool:
@@ -129,38 +182,45 @@ def main() -> int:
     old, new = load(args[0]), load(args[1])
     slack = float(args[2]) if len(args) > 2 else 1.10
 
-    # Cross-load refusal (see module docstring): quiet-vs-loaded sweeps
-    # compare hosts, not plans. The refusal names both loads AND the
-    # canary ratio (r10 verdict item 8) so the operator can see whether
-    # the disparity is contention (re-sweep) or era drift (normalizable).
-    drift, drift_detail = _canary_drift(old, new)
+    ratios = _canary_ratios(old, new)
+    detail = ", ".join(f"{k} {r:.2f}x" for k, r in ratios.items())
+    retimes = new.get("isolated_retimes") or {}
+
+    # Cross-load handling (r10 verdict item 8, amended r12 item 1): a
+    # quiet-vs-loaded comparison measures the host, not the plans. When
+    # the loaded artifact carries its own isolated re-times the sweep is
+    # SELF-CERTIFYING and the comparison proceeds in advisory mode with
+    # retime clearing; a bare loaded artifact is still REFUSED (exit 3,
+    # no verdict) unless --force.
     lo, ln = _start_load(old), _start_load(new)
+    cross_load = False
     if lo is not None and ln is not None:
-        quiet_old, quiet_new = _is_quiet(*lo), _is_quiet(*ln)
-        if quiet_old != quiet_new and not force:
-            canary_note = (
-                f"host canary drift {drift:.2f}x ({drift_detail})"
-                if drift is not None
-                else f"host canary unavailable: {drift_detail}"
-            )
-            print(
-                f"REFUSED: cross-load comparison — old swept at start load "
-                f"{_fmt_load(lo)}, new at {_fmt_load(ln)} (gates "
-                f"{LOAD_GATE} 1-min / {LOAD_GATE_5MIN} 5-min); "
-                f"{canary_note}. Per-query ratios would measure host "
-                "contention, not plan changes. Re-sweep the loaded side on "
-                "a quiet host, or pass --force for an advisory-only run."
-            )
-            return 3
-        advisory_only = quiet_old != quiet_new
-        if advisory_only:
-            print(
-                f"ADVISORY-ONLY (--force): cross-load comparison, old load "
-                f"{_fmt_load(lo)} vs new {_fmt_load(ln)} — flags below are "
-                "NOT regressions until re-timed on a quiet host."
-            )
-    else:
-        advisory_only = False
+        cross_load = _is_quiet(*lo) != _is_quiet(*ln)
+    if cross_load and not retimes and not force:
+        canary_note = (
+            f"host canary drift {_geomean(list(ratios.values())):.2f}x ({detail})"
+            if ratios
+            else "host canary unavailable"
+        )
+        print(
+            f"REFUSED: cross-load comparison — old swept at start load "
+            f"{_fmt_load(lo)}, new at {_fmt_load(ln)} (gates "
+            f"{LOAD_GATE} 1-min / {LOAD_GATE_5MIN} 5-min); "
+            f"{canary_note}. Per-query ratios would measure host "
+            "contention, not plan changes, and the artifact carries no "
+            "isolated_retimes to self-certify with. Re-sweep the loaded "
+            "side on a quiet host, or pass --force for an advisory-only "
+            "run."
+        )
+        return 3
+    advisory_only = cross_load
+    if cross_load:
+        mode = "self-certified stamps" if retimes else "--force"
+        print(
+            f"ADVISORY-ONLY ({mode}): cross-load comparison, old load "
+            f"{_fmt_load(lo)} vs new {_fmt_load(ln)} — surviving flags "
+            "below are NOT regressions until re-timed on a quiet host."
+        )
 
     band = new.get("noise_band") or old.get("noise_band") or {}
     p95 = float(band.get("p95_spread", 1.5))
@@ -172,19 +232,23 @@ def main() -> int:
     t_old = sum(old["queries"][q] for q in common)
     t_new = sum(new["queries"][q] for q in common)
 
-    # Drift normalization (r11, verdict item 1): per-query ratios are
-    # divided by the canary-measured host-speed ratio before the envelope
-    # test, so a uniform era drift (r10: every query ~1.25x on a slower
-    # host) stops masquerading as 120 regressions while a genuine plan
-    # regression still pokes above the normalized envelope.
-    norm = drift if drift is not None else 1.0
-    regressions, improved = [], []
+    norm, basis = _pick_norm(ratios, cross_load)
+    iso_norm = _retime_drift(old, new, norm)
+    regressions, cleared, improved = [], [], []
     for q in common:
         a, b = old["queries"][q], new["queries"][q]
         ratio = (b / max(a, 1e-9)) / norm
         envelope = max(p95, spreads.get(q, 1.0)) * slack
         if ratio > envelope:
-            regressions.append((q, a, b, ratio, envelope))
+            iso = (retimes.get(q) or {}).get("isolated_s")
+            if isinstance(iso, (int, float)):
+                r_iso = (iso / max(a, 1e-9)) / iso_norm
+                if r_iso <= envelope:
+                    cleared.append((q, a, b, ratio, iso, r_iso))
+                    continue
+                regressions.append((q, a, b, ratio, envelope, iso))
+            else:
+                regressions.append((q, a, b, ratio, envelope, None))
         elif 1 / max(ratio, 1e-9) > envelope:
             improved.append((q, a, b, ratio))
 
@@ -195,16 +259,33 @@ def main() -> int:
         f"noise envelope = max(p95_spread {p95:.2f}, per-query spread) "
         f"x {slack:.2f}"
     )
-    if drift is not None:
-        print(f"  host canary drift: {drift:.2f}x ({drift_detail})")
-        comp = [float(s.rsplit(" ", 1)[1][:-1]) for s in drift_detail.split(", ")]
-        if max(comp) > 1.5 * min(comp):
+    if ratios:
+        print(f"  host canary drift: {norm:.2f}x (basis: {basis}; {detail})")
+        if max(ratios.values()) > LOPSIDED * min(ratios.values()):
+            sp = ratios.get(SPARK_COMPONENT)
+            note = (
+                "contention hit executors harder than the driver process"
+                if cross_load
+                else (
+                    "spark-side drift on a quiet host is NOT normalized "
+                    "away — it may be the engine itself"
+                    if sp is not None and sp > norm
+                    else "treat normalized ratios as approximate"
+                )
+            )
             print(
-                "  WARNING: canary components disagree >1.5x — drift is "
-                "not uniform; treat normalized ratios as approximate"
+                f"  NOTE: canary components disagree >{LOPSIDED}x — {note}"
             )
     else:
-        print(f"  host canary: not normalized ({drift_detail})")
+        print("  host canary: not normalized (no shared components)")
+    segs = _segment_series(new)
+    base_spark = (old.get("host_canary") or {}).get(SPARK_COMPONENT)
+    if segs and isinstance(base_spark, (int, float)) and base_spark > 0:
+        print(
+            f"  mid-sweep canary vs old baseline: "
+            f"{min(segs) / base_spark:.2f}x .. {max(segs) / base_spark:.2f}x "
+            f"across {len(segs)} segments"
+        )
     # Host-contention advisory (r8): external load inflates every small
     # query uniformly; a many-query flag list under high recorded load is
     # machine noise until isolated re-timing on a quiet host says otherwise.
@@ -212,24 +293,33 @@ def main() -> int:
         la = art.get("load_avg")
         if la:
             print(f"  load_avg[{tag}]: start {la['start']} end {la['end']}")
-    new_la = (new.get("load_avg") or {}).get("start", [0])
-    if regressions and len(regressions) > 5 and new_la and new_la[0] > 2.0:
+    tag = " norm" if ratios else ""
+    for q, a, b, r, iso, r_iso in sorted(cleared, key=lambda x: -x[3]):
         print(
-            f"  ADVISORY: {len(regressions)} flags under load_avg "
-            f"{new_la[0]:.1f} — likely host contention, re-run when quiet"
+            f"  CONTENTION {q}: sweep {a:.2f}s -> {b:.2f}s ({r:.2f}x{tag}) "
+            f"cleared by isolated re-time {iso:.2f}s "
+            f"({r_iso:.2f}x vs old, retime-canary-normalized)"
         )
-    tag = " norm" if drift is not None else ""
-    for q, a, b, r, env in sorted(regressions, key=lambda x: -x[3]):
+    for q, a, b, r, env, iso in sorted(regressions, key=lambda x: -x[3]):
+        label = "UNCLEARED" if advisory_only else "REGRESSED"
+        iso_note = (
+            f"; isolated re-time {iso:.2f}s did NOT clear it"
+            if isinstance(iso, (int, float))
+            else ""
+        )
         print(
-            f"  REGRESSED {q}: {a:.2f}s -> {b:.2f}s "
-            f"({r:.2f}x{tag} > {env:.2f}x envelope)"
+            f"  {label} {q}: {a:.2f}s -> {b:.2f}s "
+            f"({r:.2f}x{tag} > {env:.2f}x envelope){iso_note}"
         )
     for q, a, b, r in sorted(improved, key=lambda x: x[3])[:10]:
         print(f"  improved  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x{tag})")
     if not regressions:
         print("  no per-query regression outside the measured noise band")
     if advisory_only:
-        return 0  # forced cross-load run never issues a regression verdict
+        # a cross-load run never issues a REGRESSION verdict, but flags
+        # its own isolated re-times could not clear are not a clean exit
+        # either: they need a quiet-host confirmation (exit 4)
+        return 4 if regressions else 0
     return 1 if regressions else 0
 
 
