@@ -325,6 +325,10 @@ HEADLINE = [
     "order_value_distribution",
     "part_size_tie_ranks",
     "token_length_quartiles",
+    # round-12 addition: the full Lloyd loop, oracle-gated (r11 verdict
+    # item 4) — three corpus scans + three K x d aggregates, worth a
+    # standing number
+    "kmeans_lloyd_3iter",
 ]
 
 

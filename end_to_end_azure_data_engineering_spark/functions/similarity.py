@@ -29,6 +29,28 @@ from pyspark.sql import functions as F
 #: with a different corpus pass their own `dim` explicitly.
 EMB_DIM = 64
 
+#: upper bound for LITERAL-codebook operators (IVF cell assignment,
+#: k-means refinement): the codebook rides the plan as a driver-side
+#: literal plus a bounded K x d collect, which is the 0-shuffle fast
+#: path — but past a few thousand cells the literal expression tree
+#: itself becomes the driver bottleneck (analysis/codegen blow-up of
+#: the same kind measured in ivf_index_frames' docstring: ~2000-node
+#: trees cost 60-200 s per run). Beyond this, a codebook belongs in a
+#: broadcast-joined FRAME, not a literal — raise rather than let a
+#: knob turn the collect into a driver OOM (r11 verdict item 6).
+MAX_LITERAL_CODEBOOK = 4096
+
+
+def check_codebook_k(k: int) -> None:
+    """Refuse literal-codebook sizes past MAX_LITERAL_CODEBOOK."""
+    if k > MAX_LITERAL_CODEBOOK:
+        raise ValueError(
+            f"codebook of {k} cells exceeds the literal-codebook bound "
+            f"({MAX_LITERAL_CODEBOOK}): at this size the driver-side "
+            "literal tree and K x d collect are the bottleneck — use a "
+            "broadcast-joined centroid frame instead"
+        )
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))

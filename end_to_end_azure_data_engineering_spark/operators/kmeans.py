@@ -41,6 +41,7 @@ def nearest_cell_struct(vec_dbl: Column, centroids: list[list[float]]) -> Column
     CSE repeated HOF subtrees, so deriving the distance separately from
     the selected cell would double the dominant cost.
     """
+    V.check_codebook_k(len(centroids))  # literal codebooks stay bounded
     cents = F.lit(centroids)
     cells = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),

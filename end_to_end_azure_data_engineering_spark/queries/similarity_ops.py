@@ -305,6 +305,7 @@ def ivf_index_frames(
     deterministic seed sample ``vec_id < k_cells`` (scripted — a DuckDB
     oracle can replay it; k-means-refined centers swap in via the
     kmeans queries without touching this plumbing)."""
+    V.check_codebook_k(k_cells)
     e = load(spark, sf_dir, "embeddings")
     cent_rows = sorted(
         e.filter(F.col("vec_id") < k_cells)
@@ -462,6 +463,127 @@ def kmeans_refine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "dim", "n_members", "mean_q")
     )
+
+
+def _lloyd_iter_sql(prev_cents: str, tag: str) -> str:
+    """One unrolled Lloyd iteration for the kmeans_lloyd_3iter oracle:
+    assignment by the SAME sequential list_reduce distance fold the
+    single-iteration query pins (summation order matters on near-ties),
+    then the DECIMAL-accumulated, round-6-quantized per-(cell, dim)
+    mean. ``prev_cents`` is a (cell, cent DOUBLE[]) relation."""
+    return f"""
+    dists_{tag} AS (
+      SELECT e.vec_id, c.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, {_KM_D} + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i]))),
+                 (acc, x) -> acc + x) AS d2
+      FROM embeddings e CROSS JOIN {prev_cents} c
+    ),
+    assigned_{tag} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+        FROM dists_{tag}
+      ) WHERE rk = 1
+    ),
+    means_{tag} AS (
+      SELECT a.cell, i.i AS dim,
+             count(*) AS n_members,
+             round(CAST(sum(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*), 6) + 0.0 AS mean_q
+      FROM assigned_{tag} a
+      JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range({_KM_D})) AS i) i
+      GROUP BY a.cell, i.i
+    ),
+    cents_{tag} AS (
+      SELECT c.cell,
+             list_transform(range(1, {_KM_D} + 1),
+                 i -> coalesce(m.means[i], c.cent[i])) AS cent
+      FROM {prev_cents} c
+      LEFT JOIN (
+        SELECT cell, list(mean_q ORDER BY dim) AS means
+        FROM means_{tag} GROUP BY cell
+      ) m USING (cell)
+    )
+    """
+
+
+@register(
+    "kmeans_lloyd_3iter",
+    oracle=f"""
+    WITH cents_0 AS (
+      SELECT vec_id AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    {_lloyd_iter_sql("cents_0", "1")},
+    {_lloyd_iter_sql("cents_1", "2")},
+    {_lloyd_iter_sql("cents_2", "3")}
+    SELECT cell, dim, n_members, mean_q FROM means_3
+    """,
+)
+def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lloyd loop, oracle-gated (r11 verdict item 4): three
+    chained k-means iterations with the codebook QUANTIZED between them
+    (per-dimension mean accumulated in DECIMAL(28,12), rounded to 6
+    places, -0.0 folded), so both engines hand bit-identical centroids
+    into the next assignment pass and the whole 3-iteration trajectory —
+    not just one step — is hash-verified. Same discipline as
+    pagerank_copurchase's fixed-3-iteration decimal-stable form; the
+    production loop (operators/kmeans.kmeans_refine) keeps plain double
+    means, which nobody quantizes at scale.
+
+    Scale shape (the MLlib pattern): per iteration one corpus scan for
+    assignment (literal codebook, narrow map, no shuffle) + one
+    K x d-group aggregate whose K x d result refreshes the driver-side
+    codebook — the two collects here are bounded at K x d = {_KM_K} x
+    {_KM_D} rows each, never corpus-sized. Empty cells keep their
+    previous centroid on both engines (Spark: missing rows leave the
+    codebook entry untouched; oracle: coalesce against the prior cent).
+    Output: per (cell, dim) member count and refined coordinate after
+    iteration 3."""
+    from ..operators.kmeans import nearest_cell
+
+    e = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    staged = spread(e).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("_v")
+    )
+    for it in range(3):
+        assigned = staged.withColumn("cell", nearest_cell(F.col("_v"), cents))
+        agg = (
+            # posexplode_outer per the plan-guard: a plain posexplode's
+            # inferred size(_v) > 0 filter re-inlines the as_double
+            # transform per row; vectors are never empty
+            assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.count("*").alias("n_members"),
+                (
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                        / F.count("*"),
+                        6,
+                    )
+                    + 0.0
+                ).alias("mean_q"),
+            )
+        )
+        if it == 2:
+            return agg.select("cell", "dim", "n_members", "mean_q")
+        nxt = [list(c) for c in cents]
+        for r in agg.collect():  # bounded: K x d codebook refresh
+            nxt[r.cell][r.dim] = float(r.mean_q)
+        cents = nxt
+    raise AssertionError("unreachable")
 
 
 @register(
