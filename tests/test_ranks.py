@@ -879,3 +879,47 @@ def test_ntile_integer_arithmetic_exact_past_double(spark):
     got = {row["rn"]: row["nt"] for row in pf.collect()}
     for rn, _, want in probe_rows:
         assert got[rn] == want, (rn, got[rn], want)
+
+
+def test_stale_pk_declaration_drops_on_rewrite(tmp_path):
+    """r11 ADVICE: a declaration is pinned to the path's stat
+    fingerprint at declare time — overwriting the file afterwards must
+    drop it (pk_for returns None) instead of vouching for data the
+    declaration never described. No Spark needed: pure registry."""
+    import time as _time
+
+    from end_to_end_azure_data_engineering_spark.engine import pkregistry as R
+
+    p = tmp_path / "dim.parquet"
+    p.write_bytes(b"original bytes")
+    R.declare_pk(str(p), ("k",))
+    assert R.pk_for(str(p)) == ("k",)
+    _time.sleep(0.01)  # ensure the mtime_ns moves even on coarse clocks
+    p.write_bytes(b"rewritten with different content !!")
+    assert R.pk_for(str(p)) is None, "stale declaration must drop"
+    # and it stays dropped (the entry was evicted, not just masked)
+    assert R.pk_for(str(p)) is None
+
+
+def test_pk_undeclare_and_clear_hooks(tmp_path):
+    from end_to_end_azure_data_engineering_spark.engine import pkregistry as R
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"x")
+    R.declare_pk(str(p), ("a", "b"))
+    assert R.pk_for(str(p)) == ("a", "b")
+    R.undeclare_pk(str(p))
+    assert R.pk_for(str(p)) is None
+    R.declare_pk(str(p), ("a",))
+    R.clear()
+    assert R.pk_for(str(p)) is None
+
+
+def test_unstatable_declared_path_keeps_process_lifetime_contract(tmp_path):
+    """A path that cannot be stat'ed (remote URI shapes) falls back to
+    the pre-r12 process-lifetime declaration rather than refusing."""
+    from end_to_end_azure_data_engineering_spark.engine import pkregistry as R
+
+    R.declare_pk("s3://bucket/dim", ("k",))
+    assert R.pk_for("s3://bucket/dim") == ("k",)
+    R.undeclare_pk("s3://bucket/dim")

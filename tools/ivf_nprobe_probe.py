@@ -261,7 +261,17 @@ def main() -> int:
     scales = tuple(_SCALES)
     if "--scales" in argv:
         i = argv.index("--scales")
-        scales = tuple(s for s in argv[i + 1].split(",") if s in _SCALES)
+        requested = [s for s in argv[i + 1].split(",") if s]
+        # r11 ADVICE: silently dropping unknown names let a typo like
+        # '--scales halfn' run an EMPTY sweep that printed the header
+        # and exited 0, looking like a passing run
+        unknown = [s for s in requested if s not in _SCALES]
+        if unknown or not requested:
+            raise SystemExit(
+                f"unknown scale name(s) {unknown or ['<empty>']}; "
+                f"valid: {sorted(_SCALES)}"
+            )
+        scales = tuple(requested)
         del argv[i : i + 2]
     recall_only = "--recall" in argv
     args = [a for a in argv if a != "--recall"]
