@@ -136,17 +136,29 @@ def MINHASH_SIGNATURE_SQL(shingles_expr: str) -> str:
     return f"[{mins}]"
 
 
+def band_signature(minhash_col: Column, i: int) -> Column:
+    """Band ``i``'s LSH bucket key '<band>-<r1>-<r2>-...'."""
+    return F.concat_ws(
+        "-",
+        F.lit(str(i)),
+        *[
+            F.element_at(minhash_col, i * ROWS + j + 1).cast("string")
+            for j in range(ROWS)
+        ],
+    )
+
+
 def band_signatures(minhash_col: Column) -> Column:
     """Array of BANDS strings '<band>:<r1>-<r2>-...' — the LSH bucket keys."""
-    bands = [
-        F.concat_ws(
-            "-",
-            F.lit(str(i)),
-            *[F.element_at(minhash_col, i * ROWS + j + 1).cast("string") for j in range(ROWS)],
-        )
-        for i in range(BANDS)
-    ]
-    return F.array(*bands)
+    return F.array(*[band_signature(minhash_col, i) for i in range(BANDS)])
+
+
+def band_signatures_subset(minhash_col: Column, indices: tuple[int, ...]) -> Column:
+    """Bucket keys for a SUBSET of the bands — the unit of the sharded
+    miner's disjoint passes (operators/neardup.near_dup_pairs_sharded):
+    pass p explodes only its own bands, so at most |subset|/BANDS of the
+    band rows and their shuffle files exist at once."""
+    return F.array(*[band_signature(minhash_col, i) for i in indices])
 
 
 def BAND_SIGNATURES_SQL(mh: str) -> str:

@@ -91,6 +91,41 @@ def sign_corpus(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.withColumn("mh", S.minhash_signature(F.col("sh")))
 
 
+def _self_join_candidates(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from (_id, band) rows via
+    the band self-join — the ONE implementation shared by the one-shot
+    miner (pairs_from_signatures) and the sharded miner
+    (near_dup_pairs_sharded), so their candidate semantics cannot
+    diverge. ``bucket_cap`` switches over-cap buckets to STAR candidates
+    (see pairs_from_signatures' docstring for the recall trade); band
+    keys never cross sharded passes, so per-pass bucket occupancy equals
+    whole-corpus occupancy and the cap behaves identically in both
+    callers."""
+    hot = None
+    if bucket_cap is not None:
+        # one extra shuffle on the band key (the join below shuffles on it
+        # anyway); hub = min id per bucket, the star center
+        occ = bands.groupBy("band").agg(
+            F.count("*").alias("_n"), F.min("_id").alias("_hub")
+        )
+        bands = bands.join(occ, "band")
+        hot = bands.filter(F.col("_n") > bucket_cap)
+        bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
+    cands = (
+        bands.select(F.col("_id").alias("id_a"), "band")
+        .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if hot is not None:
+        star = hot.filter(F.col("_id") != F.col("_hub")).select(
+            F.least("_id", "_hub").alias("id_a"),
+            F.greatest("_id", "_hub").alias("id_b"),
+        )
+        cands = cands.unionByName(star)
+    return cands.distinct()
+
+
 def pairs_from_signatures(
     sig: DataFrame,
     threshold: float,
@@ -122,33 +157,18 @@ def pairs_from_signatures(
     bands = sig.select(
         "_id", F.explode_outer(S.band_signatures(F.col("mh"))).alias("band")
     )
-    if bucket_cap is not None:
-        # one extra shuffle on the band key (the join below shuffles on it
-        # anyway); hub = min id per bucket, the star center
-        occ = bands.groupBy("band").agg(
-            F.count("*").alias("_n"), F.min("_id").alias("_hub")
-        )
-        bands = bands.join(occ, "band")
-        hot = bands.filter(F.col("_n") > bucket_cap)
-        bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
     if batch_ids is None:
-        cands = (
-            bands.select(F.col("_id").alias("id_a"), "band")
-            .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        if bucket_cap is not None:
-            star = (
-                hot.filter(F.col("_id") != F.col("_hub"))
-                .select(
-                    F.least("_id", "_hub").alias("id_a"),
-                    F.greatest("_id", "_hub").alias("id_b"),
-                )
-            )
-            cands = cands.unionByName(star)
-        cands = cands.distinct()
+        cands = _self_join_candidates(bands, bucket_cap)
     else:
+        if bucket_cap is not None:
+            # one extra shuffle on the band key (the join below shuffles
+            # on it anyway); hub = min id per bucket, the star center
+            occ = bands.groupBy("band").agg(
+                F.count("*").alias("_n"), F.min("_id").alias("_hub")
+            )
+            bands = bands.join(occ, "band")
+            hot = bands.filter(F.col("_n") > bucket_cap)
+            bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
         cands = (
             bands.join(batch_ids, "_id")
             .select(F.col("_id").alias("bid"), "band")
@@ -204,6 +224,120 @@ def near_dup_pairs_against(
     ).transform(_pin)
     sig.unpersist()
     return pairs
+
+
+def near_dup_pairs_sharded(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    band_passes: int = 2,
+    work_dir: str | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """``near_dup_pairs`` under a DISK BUDGET: identical output (same
+    candidates, same verification, same columns id_a/id_b/jaccard —
+    asserted pair-for-pair by tests/test_dedup_guards.py), restructured
+    so the corpus-sized intermediates never coexist. The one-shot miner
+    persists the full (_id, sh, mh) signature frame — shingle arrays for
+    EVERY document — which is what broke the 100M-doc ladder row on a
+    single 94 GB-ceiling VM (SCALING.md r11: the signature persist alone
+    drove disk past the ceiling). This form:
+
+    1. writes (_id, mh) ONLY to parquet — one streamed shingle+minhash
+       scan, no corpus persist, ~K x 8 bytes/doc (the shingles, the
+       dominant term, are never materialized corpus-wide);
+    2. mines candidates in ``band_passes`` DISJOINT passes over the LSH
+       bands (pass p explodes only bands i ≡ p mod band_passes), so at
+       most 1/band_passes of the band rows and their shuffle files exist
+       at once — each pass's distinct pairs append to a parquet spool;
+    3. verifies ONCE: re-shingles only the docs that appear in some
+       candidate pair (left-semi pushdown on the corpus scan) — the
+       collision-bound set, never the corpus.
+
+    The trade is wall-clock for disk: the mh parquet is scanned
+    ``band_passes`` times (cheap — hashes, not text) and candidate-doc
+    texts are shingled a second time (collision-bound). On a real
+    cluster executor-local disks absorb the one-shot form's spill and
+    this form is how one node with bounded scratch still gets the exact
+    answer. Same eager/unpersist contract as near_dup_pairs: the
+    returned frame is pinned, the workspace is deleted before return
+    (pass ``work_dir`` to keep/inspect it; it is then the caller's to
+    clean)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    if not 1 <= band_passes <= S.BANDS:
+        raise ValueError(
+            f"band_passes must be in [1, {S.BANDS}] (got {band_passes}): "
+            "each pass must own at least one whole band"
+        )
+    spark = docs.sparkSession
+    cleanup = work_dir is None
+    work = Path(tempfile.mkdtemp(prefix="neardup_shard_")) if cleanup else Path(work_dir)
+    mh_path = str(work / "mh")
+    cand_path = str(work / "cands")
+    try:
+        sign_corpus(docs, id_col, text_col).select("_id", "mh").write.mode(
+            "overwrite"
+        ).parquet(mh_path)
+        for p in range(band_passes):
+            grp = tuple(i for i in range(S.BANDS) if i % band_passes == p)
+            bands = (
+                spark.read.parquet(mh_path)
+                # explode_outer per the PLANS.md rule-5 guard (the subset
+                # array is always length |grp|, and a plain explode's
+                # inferred size() filter would re-read mh per row)
+                .select(
+                    "_id",
+                    F.explode_outer(
+                        S.band_signatures_subset(F.col("mh"), grp)
+                    ).alias("band"),
+                )
+            )
+            _self_join_candidates(bands, bucket_cap).write.mode(
+                "overwrite" if p == 0 else "append"
+            ).parquet(cand_path)
+            # release this pass's shuffle files before the next starts:
+            # the ContextCleaner lags with a large heap, and the whole
+            # point of sharding is that pass p+1's disk high-water does
+            # not stack on pass p's
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — GC nudge is best-effort
+                pass
+        # distinct across passes: a pair two bands agree on appears in
+        # two spool files when those bands ride different passes
+        cand = spark.read.parquet(cand_path).distinct()
+        ids = (
+            cand.select(F.col("id_a").alias("_id"))
+            .unionByName(cand.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sub = docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).join(ids, "_id", "left_semi")
+        sh = S.staged_word_shingles(sub, "_text").drop("_text").persist()
+        jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
+        pairs = (
+            cand.join(
+                sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .transform(_pin)
+        )
+        sh.unpersist()
+        return pairs
+    finally:
+        if cleanup:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def _candidate_pairs_with_shingles(docs, id_col, text_col):

@@ -211,3 +211,97 @@ def test_bucket_cap_is_exact_when_not_binding(spark):
         assert exact == capped and exact
     finally:
         sig.unpersist()
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()}
+
+
+def test_sharded_miner_matches_one_shot_exactly(spark):
+    """r12 (verdict item 2): the disk-budget sharded miner must produce
+    EXACTLY the one-shot miner's verified pairs — same ids, same jaccard
+    — at every band_passes setting, with and without a binding
+    bucket_cap. Pair-for-pair, not count-for-count."""
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs,
+        near_dup_pairs_sharded,
+        release_checkpoints,
+    )
+
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # threshold low enough that verification keeps a meaningful pair set
+    ref = near_dup_pairs(docs, "doc_id", "text", threshold=0.2)
+    want = _pair_set(ref)
+    release_checkpoints(ref)
+    assert want, "fixture must produce a non-empty pair set"
+    for passes in (1, 2, 4):
+        got_df = near_dup_pairs_sharded(
+            docs, "doc_id", "text", threshold=0.2, band_passes=passes
+        )
+        got = _pair_set(got_df)
+        release_checkpoints(got_df)
+        assert got == want, f"band_passes={passes} diverged"
+
+
+def test_sharded_miner_matches_one_shot_under_bucket_cap(spark):
+    """Band keys never cross passes, so per-pass bucket occupancy equals
+    whole-corpus occupancy: the star-candidate form must survive
+    sharding bit-for-bit."""
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs,
+        near_dup_pairs_sharded,
+        release_checkpoints,
+    )
+
+    docs = _identical_corpus(spark)
+    ref = near_dup_pairs(docs, "doc_id", "text", threshold=0.1, bucket_cap=3)
+    want = _pair_set(ref)
+    release_checkpoints(ref)
+    got_df = near_dup_pairs_sharded(
+        docs, "doc_id", "text", threshold=0.1, band_passes=2, bucket_cap=3
+    )
+    got = _pair_set(got_df)
+    release_checkpoints(got_df)
+    assert got == want
+
+
+def test_sharded_miner_rejects_bad_pass_count(spark):
+    import pytest
+
+    from end_to_end_azure_data_engineering_spark.functions import sketches as S
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs_sharded,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    for bad in (0, S.BANDS + 1):
+        with pytest.raises(ValueError, match="band_passes"):
+            near_dup_pairs_sharded(docs, "doc_id", "text", band_passes=bad)
+
+
+def test_sharded_workspace_is_cleaned_up(spark, tmp_path):
+    """Default call must leave no workspace behind; an explicit work_dir
+    is kept for inspection (caller-owned)."""
+    import os
+
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs_sharded,
+        release_checkpoints,
+    )
+
+    docs = _identical_corpus(spark)
+    before = set(os.listdir("/tmp"))
+    df = near_dup_pairs_sharded(docs, "doc_id", "text", threshold=0.1)
+    release_checkpoints(df)
+    leaked = {
+        d for d in set(os.listdir("/tmp")) - before if d.startswith("neardup_shard_")
+    }
+    assert not leaked
+    keep = tmp_path / "ws"
+    df = near_dup_pairs_sharded(
+        docs, "doc_id", "text", threshold=0.1, work_dir=str(keep)
+    )
+    release_checkpoints(df)
+    assert (keep / "mh").exists() and (keep / "cands").exists()

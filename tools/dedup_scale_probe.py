@@ -75,6 +75,38 @@ def materialize(spark, n_docs: int) -> str:
     return str(path)
 
 
+class _DiskWatch:
+    """Max filesystem usage (GB) sampled while a member runs — the
+    sharded miner's contract is a bounded disk high-water mark, so the
+    probe records it next to the time (r11 verdict item 2)."""
+
+    def __init__(self, path: str = "/", interval: float = 2.0):
+        import threading
+
+        self._path, self._interval = path, interval
+        self._stop = threading.Event()
+        self._max_used = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import shutil as _sh
+
+        while not self._stop.is_set():
+            try:
+                self._max_used = max(self._max_used, _sh.disk_usage(self._path).used)
+            except OSError:
+                pass
+            self._stop.wait(self._interval)
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._thread.join(5.0)
+        return self._max_used / 1e9
+
+
 def timed(spark, fn, runs: int = 3) -> tuple[float, int]:
     # JVM GC first: released checkpoint/broadcast blocks from prior runs
     # otherwise linger and add run-to-run variance (the round-1 bench
@@ -105,6 +137,11 @@ def main() -> int:
         i = argv.index("--runs")
         runs = int(argv[i + 1])
         del argv[i : i + 2]
+    band_passes = 4
+    if "--band-passes" in argv:
+        i = argv.index("--band-passes")
+        band_passes = int(argv[i + 1])
+        del argv[i : i + 2]
     small = int(argv[0]) if len(argv) > 0 else 50_000
     factor = int(argv[1]) if len(argv) > 1 else 10
     sizes = [small, small * factor]
@@ -117,6 +154,7 @@ def main() -> int:
         dedup_corpus,
         near_dup_pairs,
         near_dup_pairs_against,
+        near_dup_pairs_sharded,
     )
 
     spark = get_spark("dedup_scale_probe")
@@ -135,6 +173,10 @@ def main() -> int:
         if si == 0 or runs > 1:
             if "corpus" in members or "pairs" in members:
                 dedup_corpus(docs, "doc_id", "text").count()
+            if "sharded" in members:
+                near_dup_pairs_sharded(
+                    docs, "doc_id", "text", band_passes=band_passes
+                ).count()
             if "containment" in members:
                 containment_pairs(docs, "doc_id", "text", 0.5).count()
             if "incremental" in members:
@@ -147,6 +189,22 @@ def main() -> int:
             r["t_pairs"], r["n_pairs"] = timed(
                 spark, lambda: near_dup_pairs(docs, "doc_id", "text").count(), runs
             )
+        if "sharded" in members:
+            # the disk-budget miner (r12): same pairs as near_dup_pairs,
+            # banded in disjoint passes — record the disk high-water mark
+            # alongside the time, since bounded scratch is its whole point
+            watch = _DiskWatch()
+            watch.start()
+            try:
+                r["t_shard"], r["n_shard"] = timed(
+                    spark,
+                    lambda: near_dup_pairs_sharded(
+                        docs, "doc_id", "text", band_passes=band_passes
+                    ).count(),
+                    runs,
+                )
+            finally:
+                r["disk_hw_gb"] = watch.stop()
         if "corpus" in members:
             r["t_corpus"], r["n_surv"] = timed(
                 spark, lambda: dedup_corpus(docs, "doc_id", "text").count(), runs
@@ -165,12 +223,15 @@ def main() -> int:
                 runs,
             )
         rows.append(r)
+        if "disk_hw_gb" in r:
+            print(f"  [sharded disk high-water: {r['disk_hw_gb']:.1f} GB used]")
         print(
             f"docs={n:>10d}  "
             + "".join(
                 f"{lbl}: {r[t]:7.2f}s ({r.get(c, '-')})   "
                 for lbl, t, c in (
                     ("pairs", "t_pairs", "n_pairs"),
+                    (f"sharded(B={band_passes})", "t_shard", "n_shard"),
                     ("dedup_corpus", "t_corpus", "n_surv"),
                     ("containment", "t_cont", "n_cont"),
                     ("incremental(10% batch)", "t_incr", "n_incr"),
@@ -184,6 +245,7 @@ def main() -> int:
     parts = []
     for lbl, t in (
         ("pairs", "t_pairs"),
+        ("sharded", "t_shard"),
         ("dedup_corpus", "t_corpus"),
         ("containment", "t_cont"),
         ("incremental", "t_incr"),
