@@ -86,6 +86,30 @@ def select_retimes(
     return sorted(timings, key=lambda q: -timings[q])[:n]
 
 
+#: the driver records a bounded stdout TAIL (2000 chars observed in
+#: BENCH_r11.json): a compact line longer than that truncates from the
+#: FRONT and parses as null — the r4 incident that lost a round's
+#: timings. Keep headroom under the observed bound.
+COMPACT_LINE_BUDGET = 1900
+
+
+def emit_compact(compact: dict) -> str:
+    """The one-line stdout JSON, trimmed to COMPACT_LINE_BUDGET by
+    dropping optional detail most-expendable-first (everything dropped
+    here remains in the SF-stamped full artifact): the slowest-5 query
+    inline map, then the segment-canary series. The isolated re-times
+    are LAST — they are the self-certification stamp (r12 verdict item
+    1) and must survive any realistic trim."""
+    line = json.dumps(compact)
+    for trim in ("queries", "segment_canaries", "isolated_retimes"):
+        if len(line) <= COMPACT_LINE_BUDGET:
+            break
+        if trim in compact:
+            compact[trim] = "trimmed: see full_results"
+            line = json.dumps(compact)
+    return line
+
+
 def host_canary(spark=None, runs: int = 3) -> dict:
     """Fixed-size host-speed canary stamped into every bench artifact
     (r11, verdict item 1). The r10 baseline hand-off (72.3 s -> 92.7 s)
@@ -362,6 +386,14 @@ def main() -> None:
 
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:5]
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 scopes a smoke run (verification of
+    # the harness itself, busy host): scoped runs also skip the pipeline
+    # phase and are never promotable (non-canonical by construction —
+    # the totals aren't comparable to a full sweep)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        sel = {s for s in only.split(",") if s}
+        names = [n for n in names if n in sel]
 
     TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -527,6 +559,8 @@ def main() -> None:
 
     wh_root = tempfile.mkdtemp(prefix="bench_wh_")
     try:
+        if only:
+            raise RuntimeError("scoped smoke run (SPARK_GRAFT_BENCH_ONLY)")
         # release query-phase shuffle/broadcast blocks before timing the
         # pipeline (same block-manager-pressure mechanism as the per-query
         # GC above)
@@ -563,7 +597,10 @@ def main() -> None:
     # is comparable: canonical SF AND quiet host, or an explicit
     # SPARK_GRAFT_BENCH_PROMOTE=1. A refused promotion is recorded in
     # both artifacts and stdout, never silent.
-    if abs(sf - CANONICAL_SF) < 1e-9:
+    if only:
+        # scoped smoke: never touch the committed SF-stamped artifact
+        full_path = Path(f"/tmp/bench_scoped_sf{sf}.json")
+    elif abs(sf - CANONICAL_SF) < 1e-9:
         full_path = REPO / f"BENCH_LOCAL_sf{sf}.json"
     else:
         full_path = Path(f"/tmp/bench_full_sf{sf}.json")
@@ -574,6 +611,12 @@ def main() -> None:
         load5=load_start[1],
         canary=canary,
     )
+    if only:
+        promote = False
+        promote_reason = (
+            "scoped smoke run (SPARK_GRAFT_BENCH_ONLY): partial totals "
+            "are never promotable, even forced"
+        )
     out["promoted_to_baseline"] = promote
     out["promotion_reason"] = promote_reason
     try:
@@ -597,16 +640,21 @@ def main() -> None:
         "sf": sf,
         "pipeline_total": out.get("pipeline_total"),
         "host_canary": canary,
-        # compact forms: the full per-segment dicts live in the SF-stamped
-        # file; the stdout line keeps the series as floats (comparable to
-        # host_canary.spark_hashagg_s) and the complete retime map — the
-        # two stamps that make a loaded-host artifact self-certifying
+        # compact forms: the full dict shapes live in the SF-stamped
+        # file; the stdout line keeps the segment series as floats
+        # (comparable to host_canary.spark_hashagg_s) and the retimes as
+        # [sweep_s, isolated_s, baseline_s] triples — the two stamps that
+        # make a loaded-host artifact self-certifying, shrunk to fit the
+        # driver's bounded stdout-tail capture (see emit_compact)
         "segment_canaries": {
             "every": SEGMENT_EVERY,
             "spark_hashagg_s": [s["spark_hashagg_s"] for s in segment_canaries],
         },
         "retime_canary": retime_canary,
-        "isolated_retimes": isolated_retimes,
+        "isolated_retimes": {
+            q: [v["sweep_s"], v["isolated_s"], v["baseline_s"]]
+            for q, v in isolated_retimes.items()
+        },
         "load_avg": out["load_avg"],
         "full_results": str(full_path),
         "promoted_to_baseline": promote,
@@ -614,7 +662,7 @@ def main() -> None:
     }
     if errors:
         compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
-    print(json.dumps(compact))
+    print(emit_compact(compact))
 
 
 if __name__ == "__main__":

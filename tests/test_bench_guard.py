@@ -396,3 +396,61 @@ def test_select_retimes_falls_back_to_slowest_without_baseline():
     assert select_retimes(timings, None, n=2) == ["b", "a"]
     # baseline with zero overlap also falls back
     assert select_retimes(timings, {"z": 1.0}, n=1) == ["b"]
+
+
+def test_compact_retime_triples_parse_and_clear(tmp_path):
+    """The compact stdout line carries retimes as [sweep, isolated,
+    baseline] triples (shrunk for the driver's 2000-char stdout-tail
+    capture); the comparison must clear flags from that shape too."""
+    loaded = {
+        "queries": {"a": 10.0, "b": 6.3, "c": 1.6},
+        "load_avg": {"start": [7.3, 10.2, 0], "end": [5.0, 8.0, 0]},
+        "host_canary": {"py_sha256_s": 0.21, "py_sort_s": 0.16, "spark_hashagg_s": 0.83},
+        "retime_canary": {"spark_hashagg_s": 0.26},
+        "isolated_retimes": {"a": [10.0, 1.02, 1.0]},
+    }
+    r = _compare(tmp_path, _R11_BASELINE, loaded)
+    assert r.returncode == 0, r.stdout
+    assert "CONTENTION a" in r.stdout
+
+
+def test_emit_compact_fits_driver_tail_budget():
+    """The driver records a 2000-char stdout tail; an over-long compact
+    line truncates from the FRONT and parses as null (the r4 lost-round
+    incident). A worst-case realistic compact dict must fit the budget
+    after trimming, and the isolated re-times must SURVIVE the trim —
+    they are the self-certification stamp."""
+    import json as _json
+
+    from bench import COMPACT_LINE_BUDGET, RETIME_N, emit_compact
+
+    long_names = [f"incremental_components_merge_{i:02d}" for i in range(RETIME_N)]
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 236.574,
+        "unit": "sec",
+        "queries": {n: 11.862 for n in long_names[:5]},
+        "n_queries": 121,
+        "timed_runs": 2,
+        "noise_band": {"median_spread": 1.079, "p95_spread": 1.329, "max_spread": 1.563},
+        "sf": 0.1,
+        "pipeline_total": 31.799,
+        "host_canary": {"py_sha256_s": 0.1783, "py_sort_s": 0.3949, "spark_hashagg_s": 0.1911},
+        "segment_canaries": {"every": 20, "spark_hashagg_s": [0.4069] * 6},
+        "retime_canary": {"spark_hashagg_s": 0.2457},
+        "isolated_retimes": {n: [11.862, 1.234, 1.222] for n in long_names},
+        "load_avg": {"start": [7.3, 10.22, 3.61], "end": [4.75, 4.66, 4.35]},
+        "full_results": "/root/repo/BENCH_LOCAL_sf0.1.json",
+        "promoted_to_baseline": False,
+        "promotion_reason": "host 1-min load 7.30 > gate 2.0: loaded-host "
+        "sweep kept in the SF-stamped file only; promote deliberately "
+        "with SPARK_GRAFT_BENCH_PROMOTE=1",
+        "errors": {},
+    }
+    line = emit_compact(compact)
+    assert len(line) <= COMPACT_LINE_BUDGET, len(line)
+    parsed = _json.loads(line)
+    assert isinstance(parsed["isolated_retimes"], dict), (
+        "retimes must survive the trim"
+    )
+    assert len(parsed["isolated_retimes"]) == RETIME_N

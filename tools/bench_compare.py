@@ -137,6 +137,20 @@ def _retime_drift(old: dict, new: dict, fallback: float) -> float:
     return fallback
 
 
+def _iso_retime(entry) -> float | None:
+    """A retime entry's isolated seconds, tolerant of both artifact
+    shapes: the full file's {'sweep_s', 'isolated_s', 'baseline_s'} dict
+    and the compact stdout's [sweep_s, isolated_s, baseline_s] triple
+    (shrunk to fit the driver's bounded stdout-tail capture)."""
+    if isinstance(entry, dict):
+        v = entry.get("isolated_s")
+    elif isinstance(entry, (list, tuple)) and len(entry) >= 2:
+        v = entry[1]
+    else:
+        v = None
+    return v if isinstance(v, (int, float)) else None
+
+
 def _segment_series(art: dict) -> list[float]:
     """The mid-sweep canary series, tolerant of both artifact shapes:
     the full file's list of {'after': n, 'spark_hashagg_s': t} dicts and
@@ -184,7 +198,8 @@ def main() -> int:
 
     ratios = _canary_ratios(old, new)
     detail = ", ".join(f"{k} {r:.2f}x" for k, r in ratios.items())
-    retimes = new.get("isolated_retimes") or {}
+    retimes = new.get("isolated_retimes")
+    retimes = retimes if isinstance(retimes, dict) else {}
 
     # Cross-load handling (r10 verdict item 8, amended r12 item 1): a
     # quiet-vs-loaded comparison measures the host, not the plans. When
@@ -240,7 +255,7 @@ def main() -> int:
         ratio = (b / max(a, 1e-9)) / norm
         envelope = max(p95, spreads.get(q, 1.0)) * slack
         if ratio > envelope:
-            iso = (retimes.get(q) or {}).get("isolated_s")
+            iso = _iso_retime(retimes.get(q))
             if isinstance(iso, (int, float)):
                 r_iso = (iso / max(a, 1e-9)) / iso_norm
                 if r_iso <= envelope:
