@@ -80,9 +80,11 @@ _SHINGLES_SQL = S.WORD_SHINGLES_SQL("text")
 _MH_SQL = S.MINHASH_SIGNATURE_SQL("sh")
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: shared by the one-shot and sharded miner registrations — the two
+#: Spark paths are pair-for-pair identical by construction
+#: (operators/neardup._self_join_candidates) and by test
+#: (tests/test_dedup_guards.py), so they verify against ONE oracle
+_MINHASH_LSH_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
     ),
@@ -103,8 +105,10 @@ _MH_SQL = S.MINHASH_SIGNATURE_SQL("sh")
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
     WHERE {S.JACCARD_SQL('sa.sh', 'sb.sh')} >= 0.2
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → K=16 minhash → 4 LSH bands →
     bucket-join candidates → exact-Jaccard verify within buckets.
@@ -120,6 +124,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides). At 100 TB that frame is a materialized signatures table,
     # partitioned by band.
     return near_dup_pairs(d, "doc_id", "text", threshold=0.2).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register("dedup_minhash_lsh_sharded", oracle=_MINHASH_LSH_ORACLE)
+def dedup_minhash_lsh_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISK-BUDGET form of dedup_minhash_lsh, hash-verified against
+    the SAME oracle (r12, verdict item 2): mining runs in two disjoint
+    LSH-band passes over a minhash-only parquet spool and verification
+    re-shingles only candidate-pair docs — the restructuring that fit
+    the 100M-doc ladder row under this sandbox's 94 GB disk ceiling
+    (SCALING.md r12: 3,285.7 s, 999,476 pairs, 46 GB high-water). Same
+    verified pairs as the one-shot miner by construction (shared
+    candidate generation) and by pair-for-pair test; this registration
+    makes the driver's oracle gate check the sharded path itself."""
+    from ..operators.neardup import near_dup_pairs_sharded
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return near_dup_pairs_sharded(
+        d, "doc_id", "text", threshold=0.2, band_passes=2
+    ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         F.round("jaccard", 6).alias("jaccard"),
