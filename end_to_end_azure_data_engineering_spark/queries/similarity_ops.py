@@ -297,23 +297,33 @@ def ivf_index_frames(
     *,
     nprobe: int = 2,
     k_cells: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(assign, probe_cells): the IVF index build side (every vector's
     nearest-centroid cell — the cell-partitioned table a 100 TB layout
     materializes once) and the probe side (each probe's nprobe nearest
     cells, carrying the staged probe vector/norm). The codebook is the
     deterministic seed sample ``vec_id < k_cells`` (scripted — a DuckDB
-    oracle can replay it; k-means-refined centers swap in via the
-    kmeans queries without touching this plumbing)."""
-    V.check_codebook_k(k_cells)
+    oracle can replay it) unless an explicit ``centroids`` codebook is
+    passed (the k-means-refined production path, r12: cell ids become
+    0..K-1; everything downstream is codebook-agnostic). The registered
+    oracle query never passes one, so its replayable plan is untouched."""
+    # guards BEFORE any Spark work: the knob must not be able to launch
+    # a job it will refuse to finish
+    V.check_codebook_k(len(centroids) if centroids is not None else k_cells)
     e = load(spark, sf_dir, "embeddings")
-    cent_rows = sorted(
-        e.filter(F.col("vec_id") < k_cells)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+        ids = list(range(len(cents)))
+    else:
+        cent_rows = sorted(
+            e.filter(F.col("vec_id") < k_cells)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        cents = [[float(x) for x in r.embedding] for r in cent_rows]
+        ids = [r.vec_id for r in cent_rows]
     # three single-node nested literals (not 16×64 Literal columns — that
     # expression tree put multi-second analysis cost on the driver); norms
     # precomputed in Python (same sequential left-fold as the HOF dot).
@@ -324,7 +334,7 @@ def ivf_index_frames(
     # consumers, and the resulting ~2000-node tree sends optimizer and
     # codegen time through the roof (60–200s per run vs ~2.5s warm here).
     cent_vecs = F.lit(cents)
-    cent_ids = F.lit([r.vec_id for r in cent_rows])
+    cent_ids = F.lit(ids)
     cent_norms = F.lit([math.sqrt(sum(x * x for x in ce)) for ce in cents])
     # stage a double-cast copy for the K-cell ranking: the zip_with dots
     # inside the transform lambda are interpreted, and without this each of
@@ -338,7 +348,7 @@ def ivf_index_frames(
     # array_max with a custom comparator lambda run interpreted, the
     # default ordering stays on the fast path
     cells = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        F.sequence(F.lit(1), F.lit(len(cents))),
         lambda i: F.struct(
             (
                 -(

@@ -119,3 +119,27 @@ def test_literal_codebook_bound_refused(spark):
         nearest_cell_struct(F.col("v"), big)
     with pytest.raises(ValueError, match="literal-codebook bound"):
         ivf_index_frames(None, "unused", k_cells=V.MAX_LITERAL_CODEBOOK + 1)
+
+
+def test_ivf_explicit_codebook_matches_seed_assignment(spark):
+    """ivf_index_frames(centroids=...) must reproduce the seed path's
+    assignment exactly when given the seed vectors themselves (the seed
+    vec_ids are 0..K-1, so cell ids coincide) — the refined-codebook
+    entry point cannot drift from the oracle-verified default."""
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        ivf_index_frames,
+    )
+
+    e = load(spark, SF, "embeddings")
+    k = 8
+    seed = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            e.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    a_default, _ = ivf_index_frames(spark, SF, nprobe=1, k_cells=k)
+    a_explicit, _ = ivf_index_frames(spark, SF, nprobe=1, centroids=seed)
+    got_d = {(r.vec_id, r.cid) for r in a_default.collect()}
+    got_e = {(r.vec_id, r.cid) for r in a_explicit.collect()}
+    assert got_d == got_e

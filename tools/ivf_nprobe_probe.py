@@ -169,23 +169,51 @@ def _brute_truth(spark, sf_dir: str, topk: int = TOPK) -> set:
     }
 
 
-def _materialized_index(spark, sf_dir: str, k_cells: int = K_CELLS):
+def _materialized_index(spark, sf_dir: str, k_cells: int = K_CELLS,
+                        centroids=None, tag: str = "seed"):
     """The IVF index materialized ONCE as the 100 TB layout (the assign
     frame written cell-partitioned to disk), keyed by the corpus
-    directory name AND the codebook size so two corpora or two K's never
-    share a cache entry."""
+    directory name, the codebook size AND the codebook tag (seed vs
+    refined) so no two configurations share a cache entry."""
     from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
         ivf_index_frames,
     )
 
     idx_path = (
         Path("/tmp/end_to_end_azure_data_engineering_ivf_index")
-        / f"{Path(sf_dir).name}_k{k_cells}"
+        / f"{Path(sf_dir).name}_k{k_cells}_{tag}"
     )
-    assign, _ = ivf_index_frames(spark, sf_dir, nprobe=1, k_cells=k_cells)
+    assign, _ = ivf_index_frames(
+        spark, sf_dir, nprobe=1, k_cells=k_cells, centroids=centroids
+    )
     if not (idx_path / "_SUCCESS").exists():
         assign.write.mode("overwrite").partitionBy("cid").parquet(str(idx_path))
     return spark.read.parquet(str(idx_path))
+
+
+def _refined_codebook(spark, sf_dir: str, k_cells: int, n_iter: int):
+    """The seed codebook tightened by ``n_iter`` Lloyd iterations over
+    the SAME corpus the index will serve (operators/kmeans.kmeans_refine
+    — the production path the engine exposes; section [E] measures what
+    the refinement buys in recall-per-candidate)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_data_engineering_spark.operators.kmeans import (
+        kmeans_refine,
+    )
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    seed = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            e.filter(F.col("vec_id") < k_cells)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+    ]
+    return kmeans_refine(e, "embedding", seed, n_iter=n_iter)
 
 
 #: perturbation regimes for the unique-vector recall sweep
@@ -198,6 +226,7 @@ def _recall_sweep(
     nprobes: list[int],
     k_cells: int = K_CELLS,
     scales: tuple[str, ...] = ("halfnn", "2xnn"),
+    refine: int = 0,
 ) -> int:
     """Section [C]: recall-vs-nprobe on unique vectors (see module doc).
     With ``--kcells`` this doubles as section [D] (r10 verdict item 4):
@@ -228,12 +257,22 @@ def _recall_sweep(
         # uniform[-1,1] noise has E[norm²] = eps²·dim/3 ⇒ eps = p·√(3/dim)
         eps = mult * d_nn * math.sqrt(3.0 / dim)
         udir = _build_unique(spark, sf_dir, eps, tag)
-        index = _materialized_index(spark, udir, k_cells)
+        cents = None
+        cb_tag = "seed"
+        if refine:
+            # [E]: the SAME sweep on a Lloyd-refined codebook — recall
+            # deltas vs the seed rows are the value of the refinement
+            cents = _refined_codebook(spark, udir, k_cells, refine)
+            cb_tag = f"lloyd{refine}"
+        index = _materialized_index(spark, udir, k_cells, cents, cb_tag)
         truth = _brute_truth(spark, udir)
-        print(f"  perturbation {mult}×NN (eps={eps:.5f}, corpus {udir}):")
+        print(
+            f"  perturbation {mult}×NN (eps={eps:.5f}, corpus {udir}, "
+            f"codebook {cb_tag}):"
+        )
         for np_ in nprobes:
             _, probe_cells = ivf_index_frames(
-                spark, udir, nprobe=np_, k_cells=k_cells
+                spark, udir, nprobe=np_, k_cells=k_cells, centroids=cents
             )
             got = {
                 (r["probe_id"], r["vec_id"])
@@ -273,6 +312,11 @@ def main() -> int:
             )
         scales = tuple(requested)
         del argv[i : i + 2]
+    refine = 0
+    if "--refine" in argv:
+        i = argv.index("--refine")
+        refine = int(argv[i + 1])
+        del argv[i : i + 2]
     recall_only = "--recall" in argv
     args = [a for a in argv if a != "--recall"]
     sf_dir = args[0] if args else "/tmp/end_to_end_azure_data_engineering_sf10"
@@ -286,7 +330,7 @@ def main() -> int:
 
         spark = get_spark("ivf_nprobe_probe")
         spark.sparkContext.setLogLevel("ERROR")
-        return _recall_sweep(spark, sf_dir, nprobes, k_cells, scales)
+        return _recall_sweep(spark, sf_dir, nprobes, k_cells, scales, refine)
 
     from pyspark.sql import functions as F
 
