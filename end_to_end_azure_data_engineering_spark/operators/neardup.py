@@ -430,14 +430,29 @@ def dedup_corpus(
     text_col: str,
     threshold: float = 0.8,
     bucket_cap: int | None = None,
+    band_passes: int | None = None,
 ) -> DataFrame:
     """Return docs minus non-canonical near-duplicates: for every duplicate
     cluster the min-id doc survives; docs in no cluster pass through.
     One anti-join against the (small) non-survivor set. ``bucket_cap``
     passes through to the miner (hot-bucket star candidates — the 100 TB
     setting; survivors only need component connectivity, which the star
-    form preserves for true duplicate clusters)."""
-    pairs = near_dup_pairs(docs, id_col, text_col, threshold, bucket_cap=bucket_cap)
+    form preserves for true duplicate clusters). ``band_passes`` routes
+    mining through the DISK-BUDGET sharded miner (near_dup_pairs_sharded
+    — identical pairs, bounded scratch; the setting that fit the
+    100M-doc row under this sandbox's disk ceiling, SCALING.md r12);
+    None keeps the one-shot miner."""
+    if band_passes is not None:
+        pairs = near_dup_pairs_sharded(
+            docs,
+            id_col,
+            text_col,
+            threshold,
+            band_passes=band_passes,
+            bucket_cap=bucket_cap,
+        )
+    else:
+        pairs = near_dup_pairs(docs, id_col, text_col, threshold, bucket_cap=bucket_cap)
     comp = assign_components(pairs)
     losers = comp.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)

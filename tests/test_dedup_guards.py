@@ -305,3 +305,20 @@ def test_sharded_workspace_is_cleaned_up(spark, tmp_path):
     )
     release_checkpoints(df)
     assert (keep / "mh").exists() and (keep / "cands").exists()
+
+
+def test_dedup_corpus_sharded_route_matches_one_shot(spark):
+    """dedup_corpus(band_passes=B) must keep the exact survivor set of
+    the default route — the end-to-end dedup under a disk budget."""
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        dedup_corpus,
+    )
+    from end_to_end_azure_data_engineering_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = {r.doc_id for r in dedup_corpus(docs, "doc_id", "text", 0.2).collect()}
+    got = {
+        r.doc_id
+        for r in dedup_corpus(docs, "doc_id", "text", 0.2, band_passes=2).collect()
+    }
+    assert got == want and want
