@@ -91,6 +91,40 @@ def sign_corpus(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.withColumn("mh", S.minhash_signature(F.col("sh")))
 
 
+def _split_hot_buckets(
+    bands: DataFrame, bucket_cap: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split (_id, band) rows by bucket occupancy against ``bucket_cap``.
+    Returns (cold, hot): ``cold`` keeps (_id, band) for buckets at or
+    under the cap (safe for the B² self-join); ``hot`` carries
+    (_id, band, _hub) for over-cap buckets, ``_hub`` = the bucket's
+    min-id star center. ``bucket_cap=None`` → (bands, None). Costs one
+    extra shuffle on the band key (the downstream candidate joins shuffle
+    on it anyway). This is the ONE implementation of the cap split,
+    shared by the self-join and batch candidate paths so a cap-logic
+    change cannot diverge between them (r12 verdict: the two inline
+    copies this replaces)."""
+    if bucket_cap is None:
+        return bands, None
+    occ = bands.groupBy("band").agg(
+        F.count("*").alias("_n"), F.min("_id").alias("_hub")
+    )
+    joined = bands.join(occ, "band")
+    hot = joined.filter(F.col("_n") > bucket_cap).select("_id", "band", "_hub")
+    cold = joined.filter(F.col("_n") <= bucket_cap).select("_id", "band")
+    return cold, hot
+
+
+def _star_edges(hot: DataFrame) -> DataFrame:
+    """Hub-star candidate edges (id_a < id_b) from hot-bucket rows
+    carrying (_id, _hub): each member pairs only with its bucket's hub —
+    O(B) edges per bucket instead of B²."""
+    return hot.filter(F.col("_id") != F.col("_hub")).select(
+        F.least("_id", "_hub").alias("id_a"),
+        F.greatest("_id", "_hub").alias("id_b"),
+    )
+
+
 def _self_join_candidates(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from (_id, band) rows via
     the band self-join — the ONE implementation shared by the one-shot
@@ -101,16 +135,7 @@ def _self_join_candidates(bands: DataFrame, bucket_cap: int | None) -> DataFrame
     keys never cross sharded passes, so per-pass bucket occupancy equals
     whole-corpus occupancy and the cap behaves identically in both
     callers."""
-    hot = None
-    if bucket_cap is not None:
-        # one extra shuffle on the band key (the join below shuffles on it
-        # anyway); hub = min id per bucket, the star center
-        occ = bands.groupBy("band").agg(
-            F.count("*").alias("_n"), F.min("_id").alias("_hub")
-        )
-        bands = bands.join(occ, "band")
-        hot = bands.filter(F.col("_n") > bucket_cap)
-        bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
+    bands, hot = _split_hot_buckets(bands, bucket_cap)
     cands = (
         bands.select(F.col("_id").alias("id_a"), "band")
         .join(bands.select(F.col("_id").alias("id_b"), "band"), "band")
@@ -118,11 +143,7 @@ def _self_join_candidates(bands: DataFrame, bucket_cap: int | None) -> DataFrame
         .select("id_a", "id_b")
     )
     if hot is not None:
-        star = hot.filter(F.col("_id") != F.col("_hub")).select(
-            F.least("_id", "_hub").alias("id_a"),
-            F.greatest("_id", "_hub").alias("id_b"),
-        )
-        cands = cands.unionByName(star)
+        cands = cands.unionByName(_star_edges(hot))
     return cands.distinct()
 
 
@@ -160,15 +181,7 @@ def pairs_from_signatures(
     if batch_ids is None:
         cands = _self_join_candidates(bands, bucket_cap)
     else:
-        if bucket_cap is not None:
-            # one extra shuffle on the band key (the join below shuffles
-            # on it anyway); hub = min id per bucket, the star center
-            occ = bands.groupBy("band").agg(
-                F.count("*").alias("_n"), F.min("_id").alias("_hub")
-            )
-            bands = bands.join(occ, "band")
-            hot = bands.filter(F.col("_n") > bucket_cap)
-            bands = bands.filter(F.col("_n") <= bucket_cap).select("_id", "band")
+        bands, hot = _split_hot_buckets(bands, bucket_cap)
         cands = (
             bands.join(batch_ids, "_id")
             .select(F.col("_id").alias("bid"), "band")
@@ -179,16 +192,8 @@ def pairs_from_signatures(
                 F.greatest("bid", "cid").alias("id_b"),
             )
         )
-        if bucket_cap is not None:
-            star = (
-                hot.join(batch_ids, "_id")
-                .filter(F.col("_id") != F.col("_hub"))
-                .select(
-                    F.least("_id", "_hub").alias("id_a"),
-                    F.greatest("_id", "_hub").alias("id_b"),
-                )
-            )
-            cands = cands.unionByName(star)
+        if hot is not None:
+            cands = cands.unionByName(_star_edges(hot.join(batch_ids, "_id")))
         cands = cands.distinct()
     jac = S.jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
