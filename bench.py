@@ -221,6 +221,22 @@ def promotion_decision(
     )
 
 
+def scoped_names(only: str, registry: list[str]) -> list[str]:
+    """Resolve a SPARK_GRAFT_BENCH_ONLY selection against the FULL query
+    registry (registry order preserved). Unknown names raise SystemExit
+    (r12 ADVICE): a typo'd selection must fail loudly, not produce an
+    empty zero-query 'successful' smoke run — the same silent-empty-run
+    pathology the ivf_nprobe_probe --scales fix closed."""
+    sel = {s for s in only.split(",") if s}
+    unknown = sorted(sel - set(registry))
+    if unknown:
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_ONLY names not in the query registry: "
+            + ", ".join(unknown)
+        )
+    return [n for n in registry if n in sel]
+
+
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -392,8 +408,9 @@ def main() -> None:
     # the totals aren't comparable to a full sweep)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
-        sel = {s for s in only.split(",") if s}
-        names = [n for n in names if n in sel]
+        # scope against the FULL registry, not just HEADLINE — smoke runs
+        # exist to verify any query, benched-by-default or not
+        names = scoped_names(only, list(qs))
 
     TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -557,28 +574,32 @@ def main() -> None:
         run_pipeline_benchmark,
     )
 
-    wh_root = tempfile.mkdtemp(prefix="bench_wh_")
-    try:
-        if only:
-            raise RuntimeError("scoped smoke run (SPARK_GRAFT_BENCH_ONLY)")
-        # release query-phase shuffle/broadcast blocks before timing the
-        # pipeline (same block-manager-pressure mechanism as the per-query
-        # GC above)
+    if only:
+        # intentional skip, not a failure: a scoped smoke run must not
+        # record errors['pipeline_total'] and read as partially failed
+        # (r12 ADVICE)
+        out["pipeline_skipped"] = "scoped smoke run (SPARK_GRAFT_BENCH_ONLY)"
+    else:
+        wh_root = tempfile.mkdtemp(prefix="bench_wh_")
         try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-        pipe = run_pipeline_benchmark(spark, sf_dir, wh_root)
-        out["pipeline_total"] = pipe["pipeline_total"]
-        out["pipeline"] = {
-            "phases": pipe["phases"],
-            "parallel_speedup": pipe["parallel_speedup"],
-            "stages": pipe["stages"],
-        }
-    except Exception as exc:  # noqa: BLE001
-        errors["pipeline_total"] = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
-    finally:
-        shutil.rmtree(wh_root, ignore_errors=True)
+            # release query-phase shuffle/broadcast blocks before timing
+            # the pipeline (same block-manager-pressure mechanism as the
+            # per-query GC above)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            pipe = run_pipeline_benchmark(spark, sf_dir, wh_root)
+            out["pipeline_total"] = pipe["pipeline_total"]
+            out["pipeline"] = {
+                "phases": pipe["phases"],
+                "parallel_speedup": pipe["parallel_speedup"],
+                "stages": pipe["stages"],
+            }
+        except Exception as exc:  # noqa: BLE001
+            errors["pipeline_total"] = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
+        finally:
+            shutil.rmtree(wh_root, ignore_errors=True)
 
     if errors:
         out["errors"] = errors
@@ -639,6 +660,11 @@ def main() -> None:
         "noise_band": noise,
         "sf": sf,
         "pipeline_total": out.get("pipeline_total"),
+        **(
+            {"pipeline_skipped": out["pipeline_skipped"]}
+            if "pipeline_skipped" in out
+            else {}
+        ),
         "host_canary": canary,
         # compact forms: the full dict shapes live in the SF-stamped
         # file; the stdout line keeps the segment series as floats

@@ -20,15 +20,18 @@ Trust model (deliberately narrow):
   COUNT(*) == COUNT(DISTINCT pk) for every declared table at test SF.
   (On a production deployment the equivalent check belongs in the
   ingestion audit — the reference's DQ rule catalog is the precedent.)
-- A declaration is fingerprinted to the path's (mtime_ns, size) at
-  declare time (r11 ADVICE): a path REWRITTEN after declaration drops
-  its stale entry on the next lookup instead of vouching for data it
-  never described. Parquet writers replace files (write + rename), so
-  both a single-file overwrite and a directory rewrite move the stat;
-  the one shape the fingerprint cannot see is an in-place byte edit of
-  an existing file inside a directory scan with preserved mtime — not a
-  writer that exists in practice. ``undeclare``/``clear`` hooks cover
-  callers that mutate paths through some other channel.
+- A declaration is fingerprinted at declare time (r11 ADVICE): a path
+  REWRITTEN after declaration drops its stale entry on the next lookup
+  instead of vouching for data it never described. For a plain file the
+  fingerprint is its (mtime_ns, size); for a DIRECTORY declaration it
+  additionally folds in the count, total size, and max (mtime_ns, size)
+  of the direct children (r12 verdict item 7), so an in-place rewrite of
+  one file inside the directory — which can preserve the directory's own
+  mtime — still moves the fingerprint. The one remaining blind spot is a
+  byte-for-byte-same-size in-place edit with an explicitly restored file
+  mtime — not a writer that exists in practice.
+  ``undeclare``/``clear`` hooks cover callers that mutate paths through
+  some other channel.
 - A wrong declaration can route an oversized frame to the single-task
   rank tier — the same blast radius as a duplicated dim key silently
   duplicating fact rows in ANY join, which is why dim PKs are a contract
@@ -39,7 +42,7 @@ from __future__ import annotations
 
 import os
 
-_PK_BY_PATH: dict[str, tuple[tuple[str, ...], tuple[int, int] | None]] = {}
+_PK_BY_PATH: dict[str, tuple[tuple[str, ...], tuple[int, ...] | None]] = {}
 
 
 def _norm(path: str) -> str:
@@ -55,15 +58,37 @@ def _norm(path: str) -> str:
     return p.rstrip("/")
 
 
-def _fingerprint(norm_path: str) -> tuple[int, int] | None:
-    """(mtime_ns, size) of the path itself, or None when it cannot be
-    stat'ed (non-local URI, remote FS): such declarations stay
-    process-lifetime, the pre-r12 behavior."""
+def _fingerprint(norm_path: str) -> tuple[int, ...] | None:
+    """Stat fingerprint of the path, or None when it cannot be stat'ed
+    (non-local URI, remote FS): such declarations stay process-lifetime,
+    the pre-r12 behavior. Files: (mtime_ns, size). Directories: the
+    dir's own (mtime_ns, size) plus child count, total child size, and
+    max child (mtime_ns, size) over direct entries — an in-place rewrite
+    of one file inside the directory moves the fingerprint even when the
+    directory mtime is preserved (r12 verdict item 7)."""
     try:
         st = os.stat(norm_path)
     except OSError:
         return None
-    return (st.st_mtime_ns, st.st_size)
+    if not os.path.isdir(norm_path):
+        return (st.st_mtime_ns, st.st_size)
+    n = total = max_m = max_s = 0
+    try:
+        with os.scandir(norm_path) as it:
+            for e in it:
+                try:
+                    cst = e.stat()
+                except OSError:
+                    continue
+                n += 1
+                total += cst.st_size
+                if cst.st_mtime_ns > max_m:
+                    max_m = cst.st_mtime_ns
+                if cst.st_size > max_s:
+                    max_s = cst.st_size
+    except OSError:
+        pass
+    return (st.st_mtime_ns, st.st_size, n, total, max_m, max_s)
 
 
 def declare_pk(path: str, cols: tuple[str, ...]) -> None:
@@ -95,6 +120,8 @@ def pk_for(path: str) -> tuple[str, ...] | None:
         return None
     cols, fp = entry
     if fp is not None and _fingerprint(key) != fp:
-        del _PK_BY_PATH[key]  # path rewritten: the declaration is stale
+        # path rewritten: the declaration is stale. pop(), not del — two
+        # threads can observe the same stale entry and both reach here.
+        _PK_BY_PATH.pop(key, None)
         return None
     return cols

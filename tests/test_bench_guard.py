@@ -338,6 +338,35 @@ def test_quiet_engine_regression_not_masked_by_spark_canary(tmp_path):
     assert "may be the engine itself" in r.stdout
 
 
+def test_quiet_engine_regression_with_retimes_not_self_cleared(tmp_path):
+    """r12 ADVICE (medium): bench.py stamps isolated_retimes on EVERY
+    sweep, so the r11 attack re-armed through the clearing path — a
+    uniform 1.8x engine slowdown also slows the retime-moment hashagg
+    canary 1.8x, and normalizing the isolated re-times by that
+    engine-contaminated drift let the regression exonerate itself
+    (exit 0) whenever <= RETIME_N queries were flagged. Quiet-vs-quiet,
+    the isolated re-time must also clear under the py-basis norm:
+    iso_norm = min(retime drift, py norm)."""
+    new = {
+        "queries": {"a": 1.8, "b": 3.6, "c": 0.9},
+        "load_avg": {"start": [0.4, 0.4, 0], "end": [0.4, 0, 0]},
+        "host_canary": {"py_sha256_s": 0.20, "py_sort_s": 0.16, "spark_hashagg_s": 0.45},
+        # retime-moment canary carries the same engine-inflated reading,
+        # and the isolated re-times confirm the slowdown is real (the
+        # queries are just as slow alone as in the sweep)
+        "retime_canary": {"spark_hashagg_s": 0.45},
+        "isolated_retimes": {
+            "a": {"sweep_s": 1.8, "isolated_s": 1.8, "baseline_s": 1.0},
+            "b": {"sweep_s": 3.6, "isolated_s": 3.6, "baseline_s": 2.0},
+            "c": {"sweep_s": 0.9, "isolated_s": 0.9, "baseline_s": 0.5},
+        },
+    }
+    r = _compare(tmp_path, _R11_BASELINE, new)
+    assert r.returncode == 1, r.stdout
+    assert r.stdout.count("REGRESSED") == 3, r.stdout
+    assert "CONTENTION" not in r.stdout, r.stdout
+
+
 def test_quiet_flag_cleared_by_isolated_retime(tmp_path):
     """Quiet-vs-quiet, one query inflated by in-sweep state (the r7
     block-manager-pressure mechanism) whose own isolated re-time lands
@@ -412,6 +441,22 @@ def test_compact_retime_triples_parse_and_clear(tmp_path):
     r = _compare(tmp_path, _R11_BASELINE, loaded)
     assert r.returncode == 0, r.stdout
     assert "CONTENTION a" in r.stdout
+
+
+def test_scoped_names_rejects_unknown_and_keeps_registry_order():
+    """r12 ADVICE: SPARK_GRAFT_BENCH_ONLY with a typo'd name must raise,
+    not silently drop to an empty 'successful' smoke run; valid names
+    resolve against the FULL registry (not just HEADLINE), in registry
+    order."""
+    import pytest as _pytest
+
+    from bench import scoped_names
+
+    reg = ["q1", "q2", "q3_not_headline"]
+    assert scoped_names("q3_not_headline,q1", reg) == ["q1", "q3_not_headline"]
+    with _pytest.raises(SystemExit) as ei:
+        scoped_names("q1,q_typo", reg)
+    assert "q_typo" in str(ei.value)
 
 
 def test_emit_compact_fits_driver_tail_budget():

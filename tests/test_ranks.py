@@ -901,6 +901,33 @@ def test_stale_pk_declaration_drops_on_rewrite(tmp_path):
     assert R.pk_for(str(p)) is None
 
 
+def test_stale_pk_directory_declaration_sees_inplace_child_rewrite(tmp_path):
+    """r12 verdict item 7: for a DIRECTORY declaration, an in-place
+    rewrite of one file inside the directory with the directory's own
+    mtime explicitly restored must still drop the declaration — the
+    fingerprint folds in the children's stats, not just the dir's."""
+    import os as _os
+    import time as _time
+
+    from end_to_end_azure_data_engineering_spark.engine import pkregistry as R
+
+    d = tmp_path / "dim_dir"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"original child bytes")
+    dir_stat = _os.stat(d)
+    R.declare_pk(str(d), ("k",))
+    assert R.pk_for(str(d)) == ("k",)
+    _time.sleep(0.01)
+    # rewrite the child in place, then restore the directory's mtime to
+    # the declare-time value — the pre-r13 fingerprint (dir stat only)
+    # cannot see this
+    part.write_bytes(b"rewritten child, same dir mtime")
+    _os.utime(d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert R.pk_for(str(d)) is None, "in-place child rewrite must drop"
+    assert R.pk_for(str(d)) is None
+
+
 def test_pk_undeclare_and_clear_hooks(tmp_path):
     from end_to_end_azure_data_engineering_spark.engine import pkregistry as R
 
