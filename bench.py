@@ -369,6 +369,10 @@ HEADLINE = [
     # item 4) — three corpus scans + three K x d aggregates, worth a
     # standing number
     "kmeans_lloyd_3iter",
+    # round-13 addition: the kmeans→IVF composition, oracle-gated (r12
+    # verdict item 2) — the Lloyd codebook build plus the full IVF
+    # index+probe plan, worth a standing number
+    "ann_ivf_refined_topk",
 ]
 
 

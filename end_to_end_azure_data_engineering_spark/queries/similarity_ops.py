@@ -556,44 +556,157 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook entry untouched; oracle: coalesce against the prior cent).
     Output: per (cell, dim) member count and refined coordinate after
     iteration 3."""
-    from ..operators.kmeans import nearest_cell
-
     e = load(spark, sf_dir, "embeddings")
-    cent_rows = sorted(
-        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    cents = _seed_codebook(e)
     staged = spread(e).select(
         "vec_id", V.as_double(F.col("embedding")).alias("_v")
     )
     for it in range(3):
-        assigned = staged.withColumn("cell", nearest_cell(F.col("_v"), cents))
-        agg = (
-            # posexplode_outer per the plan-guard: a plain posexplode's
-            # inferred size(_v) > 0 filter re-inlines the as_double
-            # transform per row; vectors are never empty
-            assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.count("*").alias("n_members"),
-                (
-                    F.round(
-                        F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                        / F.count("*"),
-                        6,
-                    )
-                    + 0.0
-                ).alias("mean_q"),
-            )
-        )
+        agg = _lloyd_step(staged, cents)
         if it == 2:
             return agg.select("cell", "dim", "n_members", "mean_q")
-        nxt = [list(c) for c in cents]
-        for r in agg.collect():  # bounded: K x d codebook refresh
-            nxt[r.cell][r.dim] = float(r.mean_q)
-        cents = nxt
+        cents = _apply_means(cents, agg.collect())  # bounded: K x d refresh
     raise AssertionError("unreachable")
+
+
+def _seed_codebook(e: DataFrame) -> list[list[float]]:
+    """The deterministic seed codebook (``vec_id < _KM_K``, like
+    ann_ivf_topk) as driver-side doubles — bounded at K rows."""
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [[float(x) for x in r.embedding] for r in cent_rows]
+
+
+def _lloyd_step(staged_v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """One quantized Lloyd iteration over staged (vec_id, _v) rows:
+    squared-L2 assignment against the literal codebook (narrow map, no
+    shuffle), then the DECIMAL(28,12)-accumulated, round-6, -0.0-folded
+    per-(cell, dim) mean — the hash-verifiable iteration kmeans_lloyd_3iter
+    pins. posexplode_outer per the plan-guard: a plain posexplode's
+    inferred size(_v) > 0 filter re-inlines the as_double transform per
+    row; vectors are never empty."""
+    from ..operators.kmeans import nearest_cell
+
+    assigned = staged_v.withColumn("cell", nearest_cell(F.col("_v"), cents))
+    return (
+        assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_q"),
+        )
+    )
+
+
+def _apply_means(cents: list[list[float]], rows) -> list[list[float]]:
+    """Refresh the driver-side codebook from a collected K×d means frame;
+    cells/dims with no row keep their previous coordinate (the empty-cell
+    guard, same as the oracle's coalesce)."""
+    nxt = [list(c) for c in cents]
+    for r in rows:
+        nxt[r.cell][r.dim] = float(r.mean_q)
+    return nxt
+
+
+def quantized_lloyd_codebook(
+    spark: SparkSession, sf_dir: str, n_iter: int = 3
+) -> list[list[float]]:
+    """The codebook AFTER ``n_iter`` quantized Lloyd iterations — the
+    exact kmeans_lloyd_3iter trajectory (seed = vec_id < _KM_K, decimal-
+    accumulated round-6 means, empty cells keep their centroid) collected
+    through the final update. Every collect is bounded at K×d; each
+    iteration is one corpus scan + one tiny-key agg (the MLlib pattern),
+    so the build cost at 100 TB is n_iter scans, amortized over every
+    probe the resulting IVF index serves."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = _seed_codebook(e)
+    staged = spread(e).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("_v")
+    )
+    for _ in range(n_iter):
+        cents = _apply_means(cents, _lloyd_step(staged, cents).collect())
+    return cents
+
+
+@register(
+    "ann_ivf_refined_topk",
+    oracle=f"""
+    WITH cents_0 AS (
+      SELECT vec_id AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    {_lloyd_iter_sql("cents_0", "1")},
+    {_lloyd_iter_sql("cents_1", "2")},
+    {_lloyd_iter_sql("cents_2", "3")},
+    centroids AS (SELECT cell AS cid, cent AS ce FROM cents_3),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {V.COSINE_SQL('v.embedding', 'c.ce')} DESC, c.cid ASC
+               ) AS crk
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE crk = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pe, cid FROM (
+        SELECT v.vec_id AS probe_id, v.embedding AS pe, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {V.COSINE_SQL('v.embedding', 'c.ce')} DESC, c.cid ASC
+               ) AS crk
+        FROM embeddings v CROSS JOIN centroids c
+        WHERE v.vec_id < 20
+      ) WHERE crk <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.vec_id,
+             {V.COSINE_SQL('p.pe', 'a.embedding')} AS cos
+      FROM probe_cells p JOIN assign a
+        ON a.cid = p.cid AND a.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kmeans→IVF COMPOSITION, oracle-gated end to end (r12 verdict
+    item 2): the codebook is kmeans_lloyd_3iter's decimal-quantized
+    3-iteration trajectory (so both engines hand bit-identical refined
+    centroids into the index build), fed through the codebook-agnostic
+    ``ivf_index_frames(centroids=…)`` production path and the standard
+    probe-side top-k. Same knobs as ann_ivf_topk (K={_KM_K}, nprobe=2,
+    topk=3, probes vec_id<20); the ONLY change from the seed-codebook
+    query is which centroids partition the corpus — exactly the swap the
+    ann_ivf_topk docstring promises, now hash-verified rather than
+    probe-measured only (tools/ivf_nprobe_probe.py [E] measured it at
+    recall 1.000 with 8× less coverage than the seed plateau).
+
+    Scale shape: 3 bounded Lloyd scans build the codebook once, then the
+    IVF plan is unchanged — 0-shuffle literal-codebook cell assignment,
+    broadcast probe join, per-probe top-k as the only wide exchange."""
+    cents = quantized_lloyd_codebook(spark, sf_dir, n_iter=3)
+    assign, probe_cells = ivf_index_frames(
+        spark, sf_dir, nprobe=2, k_cells=_KM_K, centroids=cents
+    )
+    return ivf_probe_topk(assign, probe_cells, topk=3)
 
 
 @register(
