@@ -213,6 +213,127 @@ def test_bucket_cap_is_exact_when_not_binding(spark):
         sig.unpersist()
 
 
+# -- pure-Python replica of the sketch pipeline (md5 is stable, so these
+# are bit-identical to functions/sketches.py and deterministic across
+# runs) — used to CONSTRUCT adversarial fixtures, never to verify them
+def _py_shingles(text, n=3):
+    toks = text.lower().strip().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+
+
+def _py_minhash(shingles):
+    import hashlib
+
+    from end_to_end_azure_data_engineering_spark.functions.sketches import AB, P
+
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
+    ]
+    return [min((h * a + b) % P for h in hs) for a, b in AB]
+
+
+def _py_bands(mh):
+    from end_to_end_azure_data_engineering_spark.functions.sketches import (
+        BANDS,
+        ROWS,
+    )
+
+    return {
+        f"{i}-" + "-".join(str(mh[i * ROWS + j]) for j in range(ROWS))
+        for i in range(BANDS)
+    }
+
+
+def _py_jaccard(a, b):
+    return len(a & b) / max(len(a | b), 1)
+
+
+def test_hot_bucket_star_keeps_hub_verified_members_loses_only_chains(spark):
+    """r12 verdict item 1 (the invariant behind the measured trade): in a
+    MIXED hot bucket, every member whose Jaccard to the bucket hub >= the
+    threshold stays in the hub's component under a binding cap, and the
+    ONLY losses are chain-only members — docs reachable in the exact B^2
+    mine solely through sibling links whose own buckets are all hubbed by
+    a dissimilar doc.
+
+    The fixture is constructed deterministically with a pure-Python
+    replica of the sketch pipeline: template copies T (ids 0-9), a 2-swap
+    variant X (ids 10-19, J(X,T)~0.81 >= 0.8), and a searched 4-swap
+    chain variant Y (ids 20-29) satisfying (a) J(Y,X) >= 0.8, (b)
+    J(Y,T) < 0.8, (c) every band Y shares with X is also T's band — so
+    each shared bucket's hub is a template copy Y fails to verify
+    against, while the exact mine still connects Y through the in-bucket
+    (X, Y) pair. tools/bucket_cap_recall_probe.py measures the same
+    structure at corpus scale."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        near_dup_pairs,
+    )
+
+    words = [f"tpl{j:03d}" for j in range(60)]
+    t_text = " ".join(words)
+    x_words = list(words)
+    x_words[10], x_words[30] = "xvar0", "xvar1"
+    x_text = " ".join(x_words)
+    t_sh, x_sh = _py_shingles(t_text), _py_shingles(x_text)
+    assert _py_jaccard(t_sh, x_sh) >= 0.8
+    t_bands, x_bands = _py_bands(_py_minhash(t_sh)), _py_bands(_py_minhash(x_sh))
+    assert t_bands & x_bands, "fixture needs T and X to collide in a band"
+
+    y_text = None
+    for seed in range(500):
+        cand = list(x_words)
+        cand[20], cand[40] = f"yv{seed}a", f"yv{seed}b"
+        c_text = " ".join(cand)
+        c_sh = _py_shingles(c_text)
+        if not (_py_jaccard(c_sh, x_sh) >= 0.8 and _py_jaccard(c_sh, t_sh) < 0.8):
+            continue
+        c_bands = _py_bands(_py_minhash(c_sh))
+        shared_x = c_bands & x_bands
+        # need: (1) exact mine connects Y via X (some shared band), (2)
+        # every such bucket is hubbed by a template copy (band also
+        # T's), (3) a Y-only band exists so the identical Y copies keep
+        # their own hub-star component instead of going singleton
+        if (
+            shared_x
+            and shared_x <= t_bands
+            and c_bands - (x_bands | t_bands)
+        ):
+            y_text = c_text
+            break
+    assert y_text is not None, "no chain variant found in 500 seeds"
+
+    rows = (
+        [(i, t_text) for i in range(10)]
+        + [(i, x_text) for i in range(10, 20)]
+        + [(i, y_text) for i in range(20, 30)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def survivors(cap):
+        pairs = near_dup_pairs(docs, "doc_id", "text", 0.8, bucket_cap=cap)
+        comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+        labels = {r.node: r.label for r in comp.collect()}
+        clustered_surv = {n for n, l in labels.items() if n == l}
+        singletons = set(range(30)) - set(labels)
+        return labels, clustered_surv | singletons
+
+    exact_labels, exact_surv = survivors(None)
+    # exact: one component — Y rides the in-bucket (X, Y) chain link
+    assert exact_surv == {0}
+    capped_labels, capped_surv = survivors(3)
+    # hub-verified members (all T and X copies) stay in hub 0's component
+    assert all(capped_labels.get(i) == 0 for i in range(20))
+    # the ONLY loss is the chain: Y copies fail against every hub they
+    # meet (template-hubbed shared buckets), keep their own identical-copy
+    # component via their Y-only buckets, and surface one extra survivor
+    assert all(capped_labels.get(i) == 20 for i in range(20, 30))
+    assert capped_surv == {0, 20}
+    assert capped_surv >= exact_surv, "capped dedup must never over-delete"
+
+
 def _pair_set(df):
     return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()}
 
