@@ -194,15 +194,14 @@ PRIORITY: tuple[str, ...] = (
 
 #: Queries whose PLAN changed this round. A recent green round describes
 #: the OLD plan, so entries here are forced to the front of the driver's
-#: 50-query window for re-verification. r12: EMPTY — the r11 set (the
-#: declared-PK rewrite + IVF knob threading) got its green driver rows in
-#: CORRECTNESS_r11.json, and no registered query's plan changed this
-#: round (the sharded near-dup miner is a new operator path; the
-#: oracle-gated `dedup_minhash_lsh` form is untouched), so the window is
-#: freed for the r6-vintage tail (embedding_cosine_histogram etc. at
-#: positions 3–8). NOTE: repopulate on the first commit that changes any
-#: registered query's plan; a NEW query needs no entry (no green row ever
-#: → it already sorts to the front).
+#: 50-query window for re-verification. r13: EMPTY — no registered
+#: query's plan changed this round: the neardup hot-bucket refactor
+#: (_split_hot_buckets) and the kmeans_lloyd_3iter factoring
+#: (_lloyd_step) produce expression-identical plans (pinned by the
+#: pair-for-pair guards and the unchanged oracle hashes), and
+#: `ann_ivf_refined_topk` is NEW (no green row ever → already sorts to
+#: the front). NOTE: repopulate on the first commit that changes any
+#: registered query's plan; a NEW query needs no entry.
 RECHECK_THIS_ROUND: frozenset = frozenset()
 
 
