@@ -153,6 +153,83 @@ def dedup_minhash_lsh_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cap=1: EVERY multi-doc LSH bucket degrades to hub-star candidates —
+#: the most stringent form of the split. Differential bite by SF:
+#: documents' dup structure at sf0.01 closes every candidate through a
+#: hub (capped set == exact set there, so the driver's sf0.01 gate
+#: checks that the occupancy/split/star plumbing produces the RIGHT
+#: pairs), while at sf0.1 the star form genuinely drops 11 of 256
+#: candidates — the repo's own sf0.1 oracle sweep (COVERAGE.md policy)
+#: verifies both engines agree on WHICH pairs survive the cap
+_CAPPED_CAP = 1
+
+_MINHASH_LSH_CAPPED_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, sh, {_MH_SQL} AS mh FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, unnest({S.BAND_SIGNATURES_SQL('mh')}) AS band FROM mh
+    ),
+    occ AS (
+      SELECT band, count(*) AS n, min(doc_id) AS hub
+      FROM bands GROUP BY band
+    ),
+    cold AS (
+      SELECT b.doc_id, b.band FROM bands b JOIN occ USING (band)
+      WHERE occ.n <= {_CAPPED_CAP}
+    ),
+    hot AS (
+      SELECT b.doc_id, o.hub FROM bands b JOIN occ o USING (band)
+      WHERE o.n > {_CAPPED_CAP}
+    ),
+    cands AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM cold b1 JOIN cold b2
+          ON b1.band = b2.band AND b1.doc_id < b2.doc_id
+        UNION ALL
+        SELECT least(doc_id, hub) AS doc_a, greatest(doc_id, hub) AS doc_b
+        FROM hot WHERE doc_id <> hub
+      )
+    )
+    SELECT c.doc_a, c.doc_b,
+           round({S.JACCARD_SQL('sa.sh', 'sb.sh')}, 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {S.JACCARD_SQL('sa.sh', 'sb.sh')} >= 0.2
+    """
+
+
+@register("dedup_minhash_lsh_capped", oracle=_MINHASH_LSH_CAPPED_ORACLE)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh under a BINDING hot-bucket cap, hash-verified
+    (r13, companion to the measured recall trade in SCALING.md): buckets
+    over {_CAPPED_CAP} docs emit hub-star candidates (member × min-id
+    hub) instead of the B² self-join — operators/neardup.
+    _split_hot_buckets / _star_edges, the exact 100 TB boilerplate
+    defense the streaming sink ships with (SIG_HOT_BUCKET_CAP). The
+    oracle replays the occupancy split and star construction itself; at
+    sf0.1 the capped pair set genuinely differs from dedup_minhash_lsh's
+    (245 vs 256 candidates) and both engines must agree on WHICH pairs
+    survive — see the _CAPPED_CAP note for the per-SF differential
+    bite. Shuffle profile: the exact miner's plus one occupancy agg on
+    the band key the candidate join already shuffles on."""
+    from ..operators.neardup import near_dup_pairs
+
+    d = spread(load(spark, sf_dir, "documents"))
+    return near_dup_pairs(
+        d, "doc_id", "text", threshold=0.2, bucket_cap=_CAPPED_CAP
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
