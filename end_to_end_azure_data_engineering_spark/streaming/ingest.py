@@ -89,6 +89,11 @@ SIG_COMPACT_STAGGER = 4
 #: per epoch — the hot-bucket defense a standing corpus needs; see
 #: operators.neardup.pairs_from_signatures). Far above any test corpus's
 #: max occupancy, so batch-parity tests exercise the exact path.
+#: Recall trade at this cap, MEASURED (SCALING.md r13, boilerplate-heavy
+#: 60k corpus): hub-connected cores stay one component and cold-bucket
+#: decisions are bit-identical; the bias is UNDER-deletion of
+#: hard-drifting template families (~8% of a worst-case family kept),
+#: never over-deletion — capped pairs are a strict subset of exact.
 SIG_HOT_BUCKET_CAP = 1024
 
 
