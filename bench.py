@@ -33,6 +33,17 @@ LOAD_GATE = 2.0
 #: came out a uniform 1.4× slow across 120 queries. Quiet means quiet
 #: for a while: both the 1-min and the 5-min load must be settled.
 LOAD_GATE_5MIN = 2.5
+#: canary-SPEED promotion gate (r13, caught live): on a virtualized
+#: host, HYPERVISOR contention is invisible in guest load averages — an
+#: r13 closing sweep started at guest load 0.84/0.58 (both gates green)
+#: while the pinned spark canary read 1.5-2x its committed-baseline
+#: stamp, and the promoted artifact carried uniformly inflated small
+#: queries. A sweep whose own start canary is this much slower than the
+#: baseline it would replace is not a quiet-host sweep, whatever the
+#: guest load says. Deliberate promotion (SPARK_GRAFT_BENCH_PROMOTE=1)
+#: still overrides — e.g. after an intentional engine change that slows
+#: the canary itself.
+CANARY_PROMOTE_GATE = 1.4
 
 
 #: pinned Spark canary workload size — the SAME workload host_canary
@@ -178,6 +189,7 @@ def promotion_decision(
     force: bool = False,
     load5: float | None = None,
     canary: dict | None = None,
+    baseline_canary: dict | None = None,
 ) -> tuple[bool, str]:
     """Should this sweep overwrite the committed canonical artifact
     (BENCH_LOCAL.json)? Two r8 artifact-clobber incidents motivated the
@@ -213,6 +225,27 @@ def promotion_decision(
             "be drift-normalized cross-era; re-sweep (bench.py stamps it "
             "automatically) or promote deliberately with "
             "SPARK_GRAFT_BENCH_PROMOTE=1"
+        )
+    # r13 (caught live): guest load gates cannot see HYPERVISOR
+    # contention — compare the sweep's own canary against the baseline
+    # it would replace. Spark component: it is the executor-pool signal
+    # (the r13 incident read 1.05x on py_sha256 while spark ran 2x).
+    spark_now = canary.get("spark_hashagg_s")
+    spark_base = (baseline_canary or {}).get("spark_hashagg_s")
+    if (
+        isinstance(spark_now, (int, float))
+        and isinstance(spark_base, (int, float))
+        and spark_base > 0
+        and spark_now / spark_base > CANARY_PROMOTE_GATE
+    ):
+        return False, (
+            f"host canary {spark_now:.3f}s is "
+            f"{spark_now / spark_base:.2f}x the committed baseline's "
+            f"{spark_base:.3f}s (> gate {CANARY_PROMOTE_GATE}): guest load "
+            "is quiet but the (virtualized) host is not; sweep kept in the "
+            "SF-stamped file only. Re-sweep when the canary settles, or "
+            "promote deliberately with SPARK_GRAFT_BENCH_PROMOTE=1 (e.g. "
+            "after an engine change that slows the canary itself)"
         )
     return True, (
         f"canonical sf, quiet host (load {load1:.2f}"
@@ -629,12 +662,19 @@ def main() -> None:
         full_path = REPO / f"BENCH_LOCAL_sf{sf}.json"
     else:
         full_path = Path(f"/tmp/bench_full_sf{sf}.json")
+    try:
+        baseline_canary = json.loads(
+            (REPO / "BENCH_LOCAL.json").read_text()
+        ).get("host_canary")
+    except (OSError, ValueError):
+        baseline_canary = None  # no baseline yet: nothing to gate against
     promote, promote_reason = promotion_decision(
         sf,
         load_start[0],
         force=os.environ.get("SPARK_GRAFT_BENCH_PROMOTE") == "1",
         load5=load_start[1],
         canary=canary,
+        baseline_canary=baseline_canary,
     )
     if only:
         promote = False

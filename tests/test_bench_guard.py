@@ -72,6 +72,44 @@ def test_missing_canary_refused():
     assert not promote
 
 
+def test_slow_canary_refused_despite_quiet_guest_load():
+    """r13, caught live: hypervisor contention is invisible in guest
+    load averages — a sweep started at guest load 0.84/0.58 while the
+    pinned spark canary ran 1.5-2x its committed-baseline stamp, and
+    promoted a uniformly inflated artifact. A quiet-load sweep whose own
+    canary is slower than CANARY_PROMOTE_GATE x the baseline's must be
+    refused (forced promotion still overrides)."""
+    from bench import CANARY_PROMOTE_GATE
+
+    base = {"spark_hashagg_s": 0.2}
+    slow = dict(CANARY, spark_hashagg_s=0.2 * CANARY_PROMOTE_GATE * 1.2)
+    promote, reason = promotion_decision(
+        CANONICAL_SF, load1=0.3, load5=0.5, canary=slow, baseline_canary=base
+    )
+    assert not promote
+    assert "canary" in reason and "PROMOTE" in reason
+    # at-or-under the gate: promotes
+    ok = dict(CANARY, spark_hashagg_s=0.2 * CANARY_PROMOTE_GATE * 0.95)
+    promote, reason = promotion_decision(
+        CANONICAL_SF, load1=0.3, load5=0.5, canary=ok, baseline_canary=base
+    )
+    assert promote, reason
+    # no baseline canary to compare against (fresh repo): no gate
+    promote, reason = promotion_decision(
+        CANONICAL_SF, load1=0.3, load5=0.5, canary=slow, baseline_canary=None
+    )
+    assert promote, reason
+    # forced promotion overrides (deliberate engine-change re-baseline)
+    promote, _ = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        force=True,
+        canary=slow,
+        baseline_canary=base,
+    )
+    assert promote
+
+
 def test_host_canary_shape():
     """The canary's python components run anywhere (no Spark session) and
     stamp positive seconds under stable key names — the names are the
