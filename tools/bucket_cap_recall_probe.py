@@ -38,7 +38,14 @@ For cap in (None, levels...) the probe mines verified pairs
 
 Usage:
   python tools/bucket_cap_recall_probe.py [n_docs] [pct] [caps...]
-  (defaults: 60_000 docs, 10% boilerplate family, caps 16 64 256)
+                                          [--tiers N]
+  (defaults: 60_000 docs, 10% boilerplate family, caps 16 64 256,
+  4 drift tiers)
+
+``--tiers 1`` makes the family ALL exact template copies — the
+common-case boilerplate shape, where every member verifies against the
+hub and the star form should lose nothing (the probe turns that claim
+into a measurement).
 """
 
 from __future__ import annotations
@@ -58,7 +65,7 @@ TEMPLATE_WORDS = 60
 TIERS = 4
 
 
-def family_corpus(spark, n_docs: int, pct: int):
+def family_corpus(spark, n_docs: int, pct: int, tiers: int = TIERS):
     """synth_corpus background with pct% template-family docs."""
     from pyspark.sql import functions as F
 
@@ -69,7 +76,7 @@ def family_corpus(spark, n_docs: int, pct: int):
     # fixed template vocabulary, disjoint from synth_corpus's w### vocab
     template = [f"tpl{j:03d}" for j in range(TEMPLATE_WORDS)]
     tmpl = F.lit(template)
-    tier = (i % TIERS).cast("int")
+    tier = (i % tiers).cast("int")
     # swap positions keyed on (doc_id, slot): deterministic, partially
     # colliding across docs so some sibling pairs share positions (the
     # chain-link shape). Position range excludes the first 3 words so
@@ -91,7 +98,7 @@ def family_corpus(spark, n_docs: int, pct: int):
         return f
 
     words = tmpl
-    for slot in range(TIERS - 1):
+    for slot in range(tiers - 1):
         words = F.when(
             tier > slot, F.transform(words, swapper(slot))
         ).otherwise(words)
@@ -135,28 +142,34 @@ def mine(spark, docs, cap):
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    pct = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    caps = [int(c) for c in sys.argv[3:]] or [16, 64, 256]
+    argv = list(sys.argv[1:])
+    tiers = TIERS
+    if "--tiers" in argv:
+        i = argv.index("--tiers")
+        tiers = int(argv[i + 1])
+        del argv[i : i + 2]
+    n_docs = int(argv[0]) if len(argv) > 0 else 60_000
+    pct = int(argv[1]) if len(argv) > 1 else 10
+    caps = [int(c) for c in argv[2:]] or [16, 64, 256]
 
     from end_to_end_azure_data_engineering_spark.engine import get_spark
 
     spark = get_spark("bucket_cap_recall_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus_path = OUT_ROOT / f"docs_{n_docs}_{pct}"
+    corpus_path = OUT_ROOT / f"docs_{n_docs}_{pct}_t{tiers}"
     if not (corpus_path / "_SUCCESS").exists():
-        family_corpus(spark, n_docs, pct).write.mode("overwrite").parquet(
-            str(corpus_path)
-        )
+        family_corpus(spark, n_docs, pct, tiers).write.mode(
+            "overwrite"
+        ).parquet(str(corpus_path))
     docs = spark.read.parquet(str(corpus_path))
     n_family = docs.filter(
         ((docs.doc_id % 100) >= 50) & ((docs.doc_id % 100) < 50 + pct)
     ).count()
     print(
         f"corpus: {n_docs} docs, {n_family} in the template family "
-        f"({pct}%), threshold {THRESHOLD}, bands hot at occupancy "
-        f"~family-size >> every cap probed",
+        f"({pct}%, {tiers} tier(s)), threshold {THRESHOLD}, bands hot at "
+        f"occupancy ~family-size >> every cap probed",
         flush=True,
     )
 
