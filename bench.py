@@ -190,6 +190,7 @@ def promotion_decision(
     load5: float | None = None,
     canary: dict | None = None,
     baseline_canary: dict | None = None,
+    segment_canaries: list[float] | None = None,
 ) -> tuple[bool, str]:
     """Should this sweep overwrite the committed canonical artifact
     (BENCH_LOCAL.json)? Two r8 artifact-clobber incidents motivated the
@@ -247,6 +248,30 @@ def promotion_decision(
             "promote deliberately with SPARK_GRAFT_BENCH_PROMOTE=1 (e.g. "
             "after an engine change that slows the canary itself)"
         )
+    # ... and the sweep must have STAYED quiet: the first r13 closing
+    # sweep started with a fast canary (0.197s), promoted itself, and
+    # the segment series shows contention arrived mid-sweep (stamps up
+    # to 2.35x the baseline era) — the promoted baseline carried
+    # uniformly inflated small queries. The mid-sweep stamps are
+    # measured against the SAME baseline canary as the start stamp.
+    if isinstance(spark_base, (int, float)) and spark_base > 0:
+        hot = [
+            s
+            for s in segment_canaries or []
+            if isinstance(s, (int, float))
+            and s / spark_base > CANARY_PROMOTE_GATE
+        ]
+        if hot:
+            return False, (
+                f"{len(hot)} mid-sweep canary stamp(s) up to "
+                f"{max(hot) / spark_base:.2f}x the committed baseline's "
+                f"{spark_base:.3f}s (> gate {CANARY_PROMOTE_GATE}): "
+                "contention arrived DURING the sweep; sweep kept in the "
+                "SF-stamped file only (its isolated re-times still "
+                "self-certify comparisons). Re-sweep when the host "
+                "settles, or promote deliberately with "
+                "SPARK_GRAFT_BENCH_PROMOTE=1"
+            )
     return True, (
         f"canonical sf, quiet host (load {load1:.2f}"
         + (f"/{load5:.2f}" if load5 is not None else "")
@@ -675,6 +700,7 @@ def main() -> None:
         load5=load_start[1],
         canary=canary,
         baseline_canary=baseline_canary,
+        segment_canaries=[s["spark_hashagg_s"] for s in segment_canaries],
     )
     if only:
         promote = False

@@ -110,6 +110,38 @@ def test_slow_canary_refused_despite_quiet_guest_load():
     assert promote
 
 
+def test_midsweep_contention_refused_despite_quiet_start():
+    """r13, the attempt-1 hole: a sweep that STARTS with a fast canary
+    can still promote a contention-polluted artifact if the host goes
+    hot mid-sweep. The segment canary series is judged against the same
+    baseline stamp as the start canary."""
+    from bench import CANARY_PROMOTE_GATE
+
+    base = {"spark_hashagg_s": 0.2}
+    fast = dict(CANARY, spark_hashagg_s=0.2)
+    hot_segs = [0.21, 0.2 * CANARY_PROMOTE_GATE * 1.5, 0.22]
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=fast,
+        baseline_canary=base,
+        segment_canaries=hot_segs,
+    )
+    assert not promote
+    assert "mid-sweep" in reason and "PROMOTE" in reason
+    # a sweep whose segments stay inside the gate promotes
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=fast,
+        baseline_canary=base,
+        segment_canaries=[0.21, 0.24, 0.2 * CANARY_PROMOTE_GATE * 0.95],
+    )
+    assert promote, reason
+
+
 def test_host_canary_shape():
     """The canary's python components run anywhere (no Spark session) and
     stamp positive seconds under stable key names — the names are the
