@@ -43,6 +43,20 @@ def _minhash_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_capped_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh_capped's pre-checkpoint plan: the exact miner's
+    stages plus the hot-bucket occupancy split (one extra agg+join on
+    the band key the candidate join already shuffles on) and the
+    star-edge union (r13)."""
+    from ..operators.neardup import pairs_from_signatures, sign_corpus
+
+    return pairs_from_signatures(
+        sign_corpus(_docs(spark, sf_dir), "doc_id", "text"),
+        threshold=0.2,
+        bucket_cap=1,
+    )
+
+
 def _containment_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import containment_pairs_lazy
 
@@ -201,6 +215,7 @@ def _token_quartiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_lsh:mine": _minhash_mine,
+        "dedup_minhash_lsh_capped:mine": _minhash_capped_mine,
         "minhash_containment_pairs:mine": _containment_mine,
         "incremental_components_merge:mine": _incremental_mine,
         "pagerank_copurchase:mine": _copurchase_mine,
