@@ -40,10 +40,73 @@ def distinct_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
 
 
+#: default edge-count ceiling for the driver-local union-find fast path
+#: (overridable per call or via SPARK_GRAFT_CC_LOCAL_EDGES). 1M edges is
+#: ~16 MB of task results — far under any driver's maxResultSize — and
+#: union-find over it runs in well under a second; past it, the collect
+#: itself (and the Python dict) would become the bottleneck the
+#: distributed loop exists to avoid.
+CC_LOCAL_EDGES_DEFAULT = 1_000_000
+
+
+def _cc_local(pairs: list, node_type) -> list:
+    """Driver-side union-find over collected (n, m) pairs → (node,
+    min-label) rows, semantically identical to the distributed
+    min-label propagation: every node that appears in ≥1 edge is
+    labeled with the minimum id of its component. ``node_type`` is
+    unused for the computation (ids compare with Python's native
+    ordering, which matches Spark's for integers and for strings —
+    UTF-8 byte order equals code-point order) and documents intent."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
 def connected_components(
-    edges, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    local_edges: int | None = None,
 ):
     """Connected components by min-label propagation with pointer doubling.
+
+    ADAPTIVE (r13 optimization round, guide §1.2/§5): the edge frame is
+    materialized once (the loop needed that anyway), then COUNTED. At or
+    below ``local_edges`` (default ``SPARK_GRAFT_CC_LOCAL_EDGES`` or
+    1M) the components are solved by a driver-side union-find over one
+    bounded collect — near-dup pair sets are collision-bound, so at any
+    corpus size the CLUSTER graph is tiny relative to the corpus, and
+    the iterative loop's ~4 driver-coordinated jobs per round (join,
+    union, agg, convergence probe) were pure scheduling overhead on it
+    (measured: 34 jobs / 1.65 s for a 256-edge graph at sf0.1 vs 0.1 s
+    local — same labels, asserted equal). Above the threshold the
+    distributed loop below runs unchanged — the 100 TB path, where the
+    probe costs one count over the already-materialized edge blocks and
+    no extra pass over anything. ``local_edges=0`` pins the distributed
+    path (tests use this to exercise the loop's own invariants).
 
     Every node starts labeled with itself; each round adopts the minimum of
     (its label, its neighbors' labels, its label's label). The
@@ -91,6 +154,42 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
         .transform(_pin)
     )
+    if local_edges is None:
+        import os
+
+        local_edges = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", CC_LOCAL_EDGES_DEFAULT)
+        )
+    # the probe counts the PINNED frame: one cheap job over blocks the
+    # loop materialized anyway, never an extra pass over the mine
+    if local_edges > 0 and bidir.count() <= 2 * local_edges:
+        node_type = edges.schema[src].dataType
+        rows = _cc_local(
+            [(r[0], r[1]) for r in bidir.collect()], node_type
+        )
+        # free every checkpoint this call created — the returned frame is
+        # driver-local and references none of them
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in sorted(_persistent_ids() - before_ids):
+                rdd = jmap.get(rid)
+                if rdd is not None:
+                    rdd.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_type, True),
+                StructField("label", node_type, True),
+            ]
+        )
+        n_slices = max(1, len(rows) // 500_000 + (1 if len(rows) % 500_000 else 0))
+        return edges.sparkSession.createDataFrame(
+            sc.parallelize(rows, n_slices) if rows else sc.parallelize([], 1),
+            schema,
+        )
     labels = (
         bidir.select(F.col("_n").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -194,15 +194,28 @@ PRIORITY: tuple[str, ...] = (
 
 #: Queries whose PLAN changed this round. A recent green round describes
 #: the OLD plan, so entries here are forced to the front of the driver's
-#: 50-query window for re-verification. r13: EMPTY — no registered
-#: query's plan changed this round: the neardup hot-bucket refactor
-#: (_split_hot_buckets) and the kmeans_lloyd_3iter factoring
-#: (_lloyd_step) produce expression-identical plans (pinned by the
-#: pair-for-pair guards and the unchanged oracle hashes), and
-#: `ann_ivf_refined_topk` is NEW (no green row ever → already sorts to
-#: the front). NOTE: repopulate on the first commit that changes any
-#: registered query's plan; a NEW query needs no entry.
-RECHECK_THIS_ROUND: frozenset = frozenset()
+#: 50-query window for re-verification. r13 (optimization round): the
+#: copurchase family gained a scale-adaptive spread() fan-out before the
+#: per-order self-join, and every connected-components consumer now
+#: routes small (collision-bound) edge sets through the driver-local
+#: union-find fast path (operators/dedup.connected_components,
+#: local_edges) — all re-verified green with tools/check_oracle.py at
+#: sf0.01 AND sf0.1 before commit, and listed here so the driver's own
+#: gate re-hashes them first.
+RECHECK_THIS_ROUND: frozenset = frozenset(
+    {
+        "copurchase_pairs",
+        "copurchase_triangles",
+        "copurchase_degree_histogram",
+        "pagerank_copurchase",
+        "dedup_connected_components",
+        "dedup_cluster_size_stats",
+        "incremental_components_merge",
+        "semantic_dedup_survivors",
+        "dedup_corpus_survivors",
+        "dedup_best_quality_survivors",
+    }
+)
 
 
 def _verification_order(names: list[str], root=None) -> list[str]:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import epoch_us, load, register
+from . import epoch_us, load, register, spread
 from ..engine.pin import pin as _pin
 
 # ---------------------------------------------------------------------------
@@ -1703,8 +1703,15 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs bought together in ≥2 orders, with order and unit counts
     — the support counts feeding association rules. One order-keyed
     self-join (co-partitioned after the first shuffle) + one pair-keyed
-    agg."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    agg. spread() on the projected scan (r13 opt): a single-row-group
+    parquet file pins the scan to ONE task, which then executes the
+    join+pair-explosion+partial-agg map single-threaded (measured 1.2 s
+    of 2.0 s total at sf0.1; 2.0 → 1.5 s with the round-robin fan-out).
+    At production scale the scan arrives in thousands of splits and
+    spread() is a no-op — no extra exchange."""
+    li = spread(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    )
     a = li.select(
         "l_orderkey",
         F.col("l_partkey").alias("part_a"),
@@ -2060,7 +2067,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric edges, so every node has in- and out-degree and no dangling
     mass). Ranks are exact bigint millionths; contributions floor-divide
     by degree, damping is (85*sum) div 100."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread() on the projected scan (r13 opt): same single-task-scan
+    # fan-out as copurchase_pairs — no-op at production split counts
+    li = spread(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     # materialize the (bounded: >=2-support pairs) edge+degree frame once —
     # three iterations reuse it instead of re-mining the self-join 3x
     ew = copurchase_edge_frame_lazy(li).transform(_pin)
@@ -2124,7 +2133,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-degree², never edges³, and the closing join is an equi-join on
     the full (pa, pb) pair, all hash-partitionable. At 100 TB the support
     filter is the knob that bounds the wedge set."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread() on the projected scan (r13 opt): same single-task-scan
+    # fan-out as copurchase_pairs — no-op at production split counts
+    li = spread(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (
@@ -2513,7 +2524,9 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-free-ness check that tells you whether PageRank/triangle passes
     face hub skew (a heavy tail here predicts hot keys in every
     graph-keyed shuffle downstream). Exact integers end to end."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread() on the projected scan (r13 opt): same single-task-scan
+    # fan-out as copurchase_pairs — no-op at production split counts
+    li = spread(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (

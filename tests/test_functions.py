@@ -133,7 +133,9 @@ def test_connected_components_long_chain_converges_fast(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     ).coalesce(4)
-    labels = connected_components(edges, max_iter=10)
+    # local_edges=0 pins the distributed loop — the pointer-doubling
+    # round count is exactly what this test exists to exercise
+    labels = connected_components(edges, max_iter=10, local_edges=0)
     assert labels.select("label").distinct().count() == 1
     assert labels.count() == n + 1
 
@@ -148,7 +150,68 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(40)], "src long, dst long"
     ).coalesce(2)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        # local_edges=0: the guard lives in the distributed loop (the
+        # union-find fast path has no rounds to run out of)
+        connected_components(edges, max_iter=2, local_edges=0)
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """r13 optimization: the small-graph union-find fast path must be
+    label-for-label identical to the distributed min-label loop on the
+    same edges — long ids and string ids, chains, self-loops, and a
+    component whose min id enters via the dst side."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    cases = [
+        (
+            [(5, 4), (4, 3), (3, 9), (20, 21), (7, 7), (30, 2), (2, 31)],
+            "src long, dst long",
+        ),
+        (
+            [("m", "k"), ("k", "z"), ("b", "m"), ("q", "q")],
+            "src string, dst string",
+        ),
+    ]
+    for rows, schema in cases:
+        edges = spark.createDataFrame(rows, schema)
+        local = {
+            r.node: r.label
+            for r in connected_components(edges, local_edges=10**6).collect()
+        }
+        dist = {
+            r.node: r.label
+            for r in connected_components(edges, local_edges=0).collect()
+        }
+        assert local == dist, (rows, local, dist)
+
+
+def test_connected_components_local_path_leaves_no_checkpoints(spark):
+    """The fast path frees every checkpoint it pinned (the bidir edge
+    materialization) before returning — the distributed loop keeps
+    exactly one (the final labels the returned frame reads)."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = connected_components(edges)  # default routing → local
+    assert {r.node: r.label for r in out.collect()} == {1: 1, 2: 1, 3: 1}
+    after = set(sc._jsc.getPersistentRDDs().keys())
+    assert after - before == set(), "local path leaked pinned blocks"
+
+
+def test_connected_components_local_schema_matches_distributed(spark):
+    """Column names and dtypes of the fast-path frame must equal the
+    distributed loop's, so downstream joins/aggs are path-agnostic."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    local = connected_components(edges, local_edges=10)
+    dist = connected_components(edges, local_edges=0)
+    assert local.columns == dist.columns == ["node", "label"]
+    assert [f.dataType for f in local.schema.fields] == [
+        f.dataType for f in dist.schema.fields
+    ]
 
 
 def test_dedup_corpus_planted_duplicates(spark):
