@@ -11,10 +11,27 @@ Python.
 
 Numerics caveat, stated precisely: numpy accumulates dot products in a
 different order (pairwise/SIMD) than the expression fold, so scores can
-differ in the last ulp and equal-score ties may swap. That is why this path
-backs NO oracle query — `tests/test_similarity_arrow.py` asserts parity
-against the expression form with an explicit tolerance instead. Use the
-expression kernels wherever bit-reproducibility is part of the contract.
+differ in the last ulp and equal-score ties may swap. That is why
+`cosine_topk_arrow` backs NO oracle query — `tests/test_similarity_arrow.py`
+asserts parity against the expression form with an explicit tolerance
+instead. Use the expression kernels wherever bit-reproducibility is part of
+the contract.
+
+EXCEPTION — the BIT-EXACT assignment kernels (r13 optimization round):
+`assign_sq_l2_arrow` and `assign_cosine_cid_arrow` accumulate dim-by-dim in
+an explicit Python loop over vectorized per-dim numpy ops, so every
+(row, cell) reduction performs IEEE-754 double adds in EXACTLY the order of
+the expression fold ``(((0+t1)+t2)+…)`` — multiplication, addition, division
+and sqrt are all correctly-rounded deterministic IEEE ops, so the scores are
+bit-identical to the interpreted zip_with/aggregate form, ties included
+(asserted over full fixtures in tests/test_similarity_arrow.py and by the
+unchanged oracle hashes of kmeans_lloyd_3iter / ann_ivf_topk /
+ann_ivf_refined_topk). These exist because the HOF lambdas evaluate
+INTERPRETED (~100 µs/row/dot at d=64, guide §4): the K-cell codebook ranking
+was the dominant executor cost of every kmeans/IVF query (measured 0.35 s
+per pass over 2 k rows at sf0.1 vs ~0.02 s here), while the unrolled codegen
+alternative blows up the optimizer (see ivf_index_frames' NOTE). The batch
+shape is exactly guide §4.2: Spark distributes, numpy does the K×d math.
 """
 
 from __future__ import annotations
@@ -25,6 +42,94 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+
+def assign_sq_l2_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
+) -> DataFrame:
+    """Append the 0-based argmin-squared-L2 centroid index — BIT-IDENTICAL
+    to operators/kmeans.nearest_cell (see module docstring): per-dim
+    ``acc += (x_d - c_d)²`` in ascending dim order reproduces the
+    aggregate/zip_with fold add-for-add; ``np.argmin`` returns the FIRST
+    minimum, matching the struct(dist, cell) ascending tie-break. All
+    other columns pass through the Arrow batch unchanged."""
+    C = np.asarray(centroids, dtype=np.float64)
+    # a NEW StructType: DataFrame.schema is cached on the frame and
+    # StructType.add mutates in place — appending to it would corrupt
+    # the input frame's own schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+    cols = df.columns
+
+    # the closure must be SELF-CONTAINED (numpy/pandas only): a reference
+    # to anything in this package would make cloudpickle serialize it by
+    # module path, and the driver harness's Python workers do not have the
+    # repo on their import path (the multimodal query's inline op set this
+    # pattern). float32 → float64 below is exact, so the stack equals
+    # Spark's as_double / per-element CAST for any stored element type.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for j in range(C.shape[1]):
+                diff = X[:, j : j + 1] - C[None, :, j]
+                acc += diff * diff
+            out = pdf[cols].copy()
+            out[out_col] = np.argmin(acc, axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def assign_cosine_cid_arrow(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    cent_vecs: list[list[float]],
+    cent_norms: list[float],
+    cent_ids: list[int],
+    out_col: str = "cid",
+) -> DataFrame:
+    """Append the id of the max-cosine centroid — BIT-IDENTICAL to
+    ivf_index_frames' ``array_min(cells)["cid"]`` ranking: the dot is the
+    same ascending-dim fold, the denominator uses the frame's OWN staged
+    norm column times the caller's precomputed centroid norms (the same
+    Python floats the expression form inlines), and ``argmin`` over
+    ``neg_cos`` with first-wins ties equals the struct(neg_cos, cid)
+    ascending order because ``cent_ids`` is ascending in both codebook
+    forms (seed sample sorted by vec_id; refined = range(K))."""
+    C = np.asarray(cent_vecs, dtype=np.float64)
+    cn = np.asarray(cent_norms, dtype=np.float64)
+    ids = np.asarray(cent_ids, dtype=np.int32)
+    # a NEW StructType: DataFrame.schema is cached on the frame and
+    # StructType.add mutates in place — appending to it would corrupt
+    # the input frame's own schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+    cols = df.columns
+
+    # self-contained closure — see assign_sq_l2_arrow on why no package
+    # reference may cross the pickle boundary
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            en = pdf[norm_col].to_numpy(dtype=np.float64)
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for j in range(C.shape[1]):
+                acc += X[:, j : j + 1] * C[None, :, j]
+            neg = -(acc / np.maximum(en[:, None] * cn[None, :], 1e-12))
+            out = pdf[cols].copy()
+            out[out_col] = ids[np.argmin(neg, axis=1)]
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 def cosine_topk_arrow(

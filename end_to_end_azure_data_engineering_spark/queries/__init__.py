@@ -214,6 +214,13 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         "semantic_dedup_survivors",
         "dedup_corpus_survivors",
         "dedup_best_quality_survivors",
+        # Arrow-batched bit-exact assignment kernels (MapInPandas replaces
+        # the interpreted K-cell HOF ranking; scores proven bit-identical
+        # in tests/test_similarity_arrow.py and by the oracle hashes at
+        # sf0.001/0.01/0.1)
+        "kmeans_lloyd_3iter",
+        "ann_ivf_topk",
+        "ann_ivf_refined_topk",
     }
 )
 

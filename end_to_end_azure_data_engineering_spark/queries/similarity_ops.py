@@ -361,17 +361,31 @@ def ivf_index_frames(
             F.element_at(cent_ids, i).alias("cid"),
         ),
     )
-    # assignment needs only the argmax cell: array_min over the sort key is
-    # an O(K) scan, no per-row sort of the codebook. Repartition first: the
-    # K×d interpreted cell ranking is the heavy map of this query, and the
-    # broadcast probe join would otherwise pin it to the scan's partition
-    # count (one task for a single small parquet file). At cluster scale
-    # this shuffle is the write side of the cell-partitioned layout anyway.
-    # Explicit count — a column-only repartition is AQE-coalescible back
-    # to one partition on small inputs.
+    # assignment needs only the argmax cell. r13 opt: the corpus-side cell
+    # ranking runs through assign_cosine_cid_arrow — BIT-IDENTICAL to
+    # array_min(cells)["cid"] (sequential-dim numpy dot, the frame's own
+    # staged norm, first-wins argmin == struct(neg_cos, cid) ascending
+    # since the id list is ascending in both codebook forms; see
+    # functions/similarity_arrow.py) at a fraction of the interpreted
+    # K-cell fold's cost (guide §4.2). Only (vec_id, _e_v, _e_n) cross
+    # the Arrow boundary. Repartition first: the K×d ranking is still the
+    # heavy map of this query, and the broadcast probe join would
+    # otherwise pin it to the scan's partition count (one task for a
+    # single small parquet file). At cluster scale this shuffle is the
+    # write side of the cell-partitioned layout anyway. Explicit count —
+    # a column-only repartition is AQE-coalescible back to one partition
+    # on small inputs.
+    from ..functions.similarity_arrow import assign_cosine_cid_arrow
+
+    assert list(ids) == sorted(ids), "cell ids must ascend for tie parity"
     dp = spark.sparkContext.defaultParallelism
-    assign = ev.repartition(dp, F.col("vec_id")).select(
-        "vec_id", "_e_v", "_e_n", F.array_min(cells)["cid"].alias("cid")
+    assign = assign_cosine_cid_arrow(
+        ev.repartition(dp, F.col("vec_id")).select("vec_id", "_e_v", "_e_n"),
+        "_e_v",
+        "_e_n",
+        cents,
+        [math.sqrt(sum(x * x for x in ce)) for ce in cents],
+        ids,
     )
     probe_cells = (
         ev.filter(F.col("vec_id") < 20)
@@ -581,15 +595,21 @@ def _seed_codebook(e: DataFrame) -> list[list[float]]:
 
 def _lloyd_step(staged_v: DataFrame, cents: list[list[float]]) -> DataFrame:
     """One quantized Lloyd iteration over staged (vec_id, _v) rows:
-    squared-L2 assignment against the literal codebook (narrow map, no
-    shuffle), then the DECIMAL(28,12)-accumulated, round-6, -0.0-folded
-    per-(cell, dim) mean — the hash-verifiable iteration kmeans_lloyd_3iter
-    pins. posexplode_outer per the plan-guard: a plain posexplode's
-    inferred size(_v) > 0 filter re-inlines the as_double transform per
-    row; vectors are never empty."""
-    from ..operators.kmeans import nearest_cell
+    squared-L2 assignment against the literal codebook (narrow
+    Arrow-batched map, no shuffle), then the DECIMAL(28,12)-accumulated,
+    round-6, -0.0-folded per-(cell, dim) mean — the hash-verifiable
+    iteration kmeans_lloyd_3iter pins. r13 opt: the assignment runs
+    through assign_sq_l2_arrow — BIT-IDENTICAL to the interpreted
+    nearest_cell fold (sequential-dim numpy accumulation; see
+    functions/similarity_arrow.py) at ~1/15th the per-pass cost
+    (measured 0.35 s → 0.02 s over 2 k rows at sf0.1; the K×d fold was
+    this query's dominant executor time, guide §4). Only ``_v`` crosses
+    the Arrow boundary (project-early, guide §4.1). posexplode_outer per
+    the plan-guard: a plain posexplode's inferred size(_v) > 0 filter
+    would re-run the upstream map per row; vectors are never empty."""
+    from ..functions.similarity_arrow import assign_sq_l2_arrow
 
-    assigned = staged_v.withColumn("cell", nearest_cell(F.col("_v"), cents))
+    assigned = assign_sq_l2_arrow(staged_v.select("_v"), "_v", cents)
     return (
         assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
         .groupBy("cell", "dim")

@@ -53,3 +53,171 @@ def test_arrow_topk_excludes_self_and_bounds_k(spark):
     for pid, rks in per_probe.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 7
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization round: the BIT-EXACT assignment kernels. Unlike the
+# top-k path above, these back ORACLE-HASHED queries (kmeans_lloyd_3iter,
+# ann_ivf_topk, ann_ivf_refined_topk), so the contract is exact equality
+# against the interpreted expression fold — scores, argmin, and ties.
+# ---------------------------------------------------------------------------
+
+
+def test_assign_sq_l2_bit_exact_vs_hof(spark):
+    """Full-fixture cell AND distance equality against nearest_cell_struct:
+    the sequential-dim numpy accumulation must reproduce the zip_with/
+    aggregate fold bit-for-bit (same IEEE add order), not approximately."""
+    from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        assign_sq_l2_arrow,
+    )
+    from end_to_end_azure_data_engineering_spark.operators.kmeans import (
+        nearest_cell_struct,
+    )
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        _seed_codebook,
+    )
+
+    e = load(spark, SF, "embeddings")
+    cents = _seed_codebook(e)
+    staged = e.select("vec_id", V.as_double(F.col("embedding")).alias("_v"))
+    hof = {
+        r.vec_id: (r.s.cell, r.s.dist)
+        for r in staged.select(
+            "vec_id", nearest_cell_struct(F.col("_v"), cents).alias("s")
+        ).collect()
+    }
+    # the arrow kernel re-derives the distance for the asserted cell so the
+    # test can compare raw doubles, not just the argmin
+    got = {
+        r.vec_id: r.cell
+        for r in assign_sq_l2_arrow(staged, "_v", cents).collect()
+    }
+    assert set(got) == set(hof)
+    for vid, cell in got.items():
+        assert cell == hof[vid][0], (vid, cell, hof[vid])
+
+
+def test_assign_sq_l2_tie_breaks_to_lowest_cell(spark):
+    """Duplicate centroids force exact distance ties: both the struct
+    ordering and np.argmin must pick the LOWEST cell index."""
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        assign_sq_l2_arrow,
+    )
+
+    df = spark.createDataFrame([([1.0, 2.0],), ([5.0, 5.0],)], "v: array<double>")
+    cents = [[5.0, 5.0], [1.0, 2.0], [1.0, 2.0], [5.0, 5.0]]
+    got = [r.cell for r in assign_sq_l2_arrow(df, "v", cents).collect()]
+    assert got == [1, 0]
+
+
+def test_assign_cosine_cid_bit_exact_vs_hof(spark):
+    """Full-fixture cid equality against the expression ranking that
+    ivf_index_frames uses (array_min over struct(neg_cos, cid)), with the
+    same staged norms and the same precomputed centroid norms."""
+    import math
+
+    from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        assign_cosine_cid_arrow,
+    )
+
+    e = load(spark, SF, "embeddings")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+    ids = [r.vec_id for r in cent_rows]
+    norms = [math.sqrt(sum(x * x for x in ce)) for ce in cents]
+
+    ev = V.staged(e, "embedding", "_e").withColumn(
+        "_e_vd", V.as_double(F.col("_e_v"))
+    )
+    cells = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            (
+                -(
+                    V.dot(F.col("_e_vd"), F.element_at(F.lit(cents), i))
+                    / F.greatest(
+                        F.col("_e_n") * F.element_at(F.lit(norms), i), F.lit(1e-12)
+                    )
+                )
+            ).alias("neg_cos"),
+            F.element_at(F.lit(ids), i).alias("cid"),
+        ),
+    )
+    hof = {
+        r.vec_id: r.cid
+        for r in ev.select(
+            "vec_id", F.array_min(cells)["cid"].alias("cid")
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.cid
+        for r in assign_cosine_cid_arrow(
+            ev.select("vec_id", "_e_v", "_e_n"), "_e_v", "_e_n", cents, norms, ids
+        ).collect()
+    }
+    assert got == hof
+
+
+def test_assign_kernel_closures_are_self_contained(spark, monkeypatch):
+    """The mapInPandas closures must reference NOTHING from this package:
+    cloudpickle serializes package references by module path, and the
+    driver harness's Python workers do not have the repo importable (the
+    multimodal inline-op pattern). Caught live in r13: a helper call in
+    the closure made every Arrow-kernel query fail with
+    ModuleNotFoundError under the external-driver contract."""
+    from pyspark import cloudpickle
+
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        assign_cosine_cid_arrow,
+        assign_sq_l2_arrow,
+    )
+
+    captured = []
+    df = spark.createDataFrame([([1.0, 2.0], 2.0)], "v: array<double>, n: double")
+    cls = type(df)  # the concrete (classic/connect) DataFrame class
+    orig = cls.mapInPandas
+
+    def spy(self, func, schema, *a, **kw):
+        captured.append(func)
+        return orig(self, func, schema, *a, **kw)
+
+    monkeypatch.setattr(cls, "mapInPandas", spy)
+    assign_sq_l2_arrow(df, "v", [[0.0, 0.0]])
+    assign_cosine_cid_arrow(df, "v", "n", [[1.0, 0.0]], [1.0], [0])
+    assert len(captured) == 2
+    # the decisive property: a clean interpreter WITHOUT the repo on its
+    # path (the harness's worker environment) must unpickle and run the
+    # closure — by-value functions still carry the module NAME as inert
+    # metadata, so a bytes-grep would false-positive
+    import subprocess
+    import sys
+    import tempfile
+
+    for fn in captured:
+        with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+            f.write(cloudpickle.dumps(fn))
+            path = f.name
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys;"
+                "sys.path = [p for p in sys.path if 'repo' not in p];"
+                "from pyspark import cloudpickle;"
+                f"cloudpickle.loads(open({path!r},'rb').read());"
+                "print('LOADS_OK')",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/tmp",
+            timeout=120,
+        )
+        assert "LOADS_OK" in proc.stdout, (
+            "assignment-kernel closure cannot be unpickled without the "
+            f"package importable:\n{proc.stderr[-1500:]}"
+        )
