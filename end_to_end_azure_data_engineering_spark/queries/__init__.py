@@ -224,6 +224,8 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         # map-side-combine Gram matrix (Arrow int64 matmul partials
         # replace the exploded self-join; integer sums, exact)
         "embedding_top_eigen_power",
+        # spread() fan-out of the single-task broadcast-join map
+        "order_fill_rate_weekly",
     }
 )
 

@@ -115,8 +115,22 @@ def _cc_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational_ext import copurchase_edge_frame_lazy
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = spread(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     return copurchase_edge_frame_lazy(li)
+
+
+def _eigen_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_top_eigen_power's pre-checkpoint moment-matrix plan
+    (r13 opt): the Arrow int64 partial-Gram map + (i, j)-keyed sum that
+    replaced the exploded self-join — visible here, not in the audited
+    query plan, because the query pins the 64×64 result."""
+    from .similarity_ops import eigen_gram_lazy
+
+    return eigen_gram_lazy(_docs_embeddings(spark, sf_dir))
+
+
+def _docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load(spark, sf_dir, "embeddings"))
 
 
 def _spend_deciles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +234,7 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components_merge:mine": _incremental_mine,
         "pagerank_copurchase:mine": _copurchase_mine,
         "dedup_connected_components:round": _cc_round,
+        "embedding_top_eigen_power:gram": _eigen_gram,
         "customer_spend_deciles:rank": _spend_deciles_rank,
         "order_value_distribution:rank": _order_value_rank,
         "user_activity_gini:rank": _gini_rank,

@@ -1296,6 +1296,33 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def eigen_gram_lazy(e: DataFrame) -> DataFrame:
+    """embedding_top_eigen_power's LAZY d²-moment (Gram) matrix plan,
+    pre-checkpoint — exposed so the plan-audit fence sees the Arrow
+    partial-Gram stage the query pins away (lazy_stages
+    ``embedding_top_eigen_power:gram``). Output: (i, j, m) with the same
+    quantization/floor semantics as the r12 exploded-self-join form."""
+    from ..functions.similarity_arrow import int_gram_partials_arrow
+
+    q = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long"),
+        ).alias("_q")
+    )
+    return (
+        int_gram_partials_arrow(q, "_q")
+        .groupBy("i", "j")
+        .agg(
+            # floor-of-double on BOTH engines: integer `div` truncates
+            # toward zero while DuckDB's `//` floors — they disagree on
+            # negative off-diagonal moments. The sum is < 2^53, so the
+            # double division is exact enough for a deterministic floor.
+            F.floor(F.sum("m_part") / 1000.0).cast("long").alias("m")
+        )
+    )
+
+
 @register(
     "embedding_top_eigen_power",
     oracle=f"""
@@ -1349,30 +1376,12 @@ def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.001/0.01/0.1). The quantization expression is unchanged
     # (same round/cast calls, applied per element in a transform instead
     # of under a posexplode).
-    from ..functions.similarity_arrow import int_gram_partials_arrow
-
-    q = e.select(
-        F.transform(
-            F.col("embedding"),
-            lambda v: F.round(v.cast("double") * 1000.0, 0).cast("long"),
-        ).alias("_q")
-    )
-    c = (
-        int_gram_partials_arrow(q, "_q")
-        .groupBy("i", "j")
-        .agg(
-            # floor-of-double on BOTH engines: integer `div` truncates
-            # toward zero while DuckDB's `//` floors — they disagree on
-            # negative off-diagonal moments. The sum is < 2^53, so the
-            # double division is exact enough for a deterministic floor.
-            F.floor(F.sum("m_part") / 1000.0).cast("long").alias("m")
-        )
-        # pin, not persist(): the d²-row moment matrix feeds three
-        # downstream references, and a persist here leaked its
-        # CacheManager entry per invocation (keyed by logical plan,
-        # survives GC — the bigram_lift leak class, r8 ADVICE);
-        # checkpoint blocks are reaped by the ContextCleaner instead
-    ).transform(_pin)
+    # pin, not persist(): the d²-row moment matrix feeds three
+    # downstream references, and a persist here leaked its
+    # CacheManager entry per invocation (keyed by logical plan,
+    # survives GC — the bigram_lift leak class, r8 ADVICE);
+    # checkpoint blocks are reaped by the ContextCleaner instead
+    c = eigen_gram_lazy(e).transform(_pin)
     v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
         F.col("i").alias("j"), F.col("v")
     )

@@ -289,8 +289,22 @@ def test_eager_stage_plans_expose_real_mining_work(plans):
     plan collapses to a scan (0 joins), the fence has gone blind again."""
     stage_names = [n for n in plans if ":" in n]
     assert stage_names, "lazy_stages registry is empty"
+    # twins whose real work is a MAP-SIDE COMBINE, not a join (r13: the
+    # eigen Gram twin replaced its exploded self-join with an Arrow
+    # partial-matmul + keyed sum — the required shape is the Arrow map
+    # feeding an aggregate over an exchange, and a join reappearing here
+    # would be the regression)
+    MAP_COMBINE_STAGES = {"embedding_top_eigen_power:gram"}
     for n in stage_names:
         p = plans[n]
+        if n in MAP_COMBINE_STAGES:
+            assert re.search(r"(MapInPandas|ArrowEvalPython)", p) and re.search(
+                r"HashAggregate", p
+            ), f"{n}: Arrow partial-Gram + keyed sum not visible — audit is blind"
+            assert not re.search(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+            ), f"{n}: a join crept back into the map-side-combine stage"
+            continue
         assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p), (
             f"{n}: no join in the stage plan — audit is blind"
         )
