@@ -142,6 +142,46 @@ def test_midsweep_contention_refused_despite_quiet_start():
     assert promote, reason
 
 
+def test_midsweep_gate_judges_segments_like_for_like():
+    """r13 optimization round: mid-sweep stamps are single runs taken
+    between queries of a LIVE sweep and run 1.4-2.9x the idle min-of-3
+    start canary even on a quiet host (the committed r12 baseline's own
+    segments read 0.24-0.50 against its 0.176 start stamp). When the
+    baseline carries its own segment series, new segments must be judged
+    against ITS median — otherwise every honest quiet sweep is refused
+    forever. The start-canary basis remains the fallback for baselines
+    that predate segment stamping (previous test)."""
+    from bench import CANARY_PROMOTE_GATE
+
+    base = {"spark_hashagg_s": 0.176}
+    fast = dict(CANARY, spark_hashagg_s=0.19)
+    base_segs = [0.40, 0.39, 0.37, 0.50, 0.46, 0.29, 0.24]  # the real r12 series
+    # a quiet sweep whose segments look like the baseline's own promotes
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=fast,
+        baseline_canary=base,
+        segment_canaries=[0.35, 0.28, 0.32, 0.33, 0.31, 0.29, 0.21],
+        baseline_segments=base_segs,
+    )
+    assert promote, reason
+    # genuinely hot mid-sweep stamps (over gate x the baseline's own
+    # segment median) still refuse
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=fast,
+        baseline_canary=base,
+        segment_canaries=[0.35, 0.39 * CANARY_PROMOTE_GATE * 1.3, 0.31],
+        baseline_segments=base_segs,
+    )
+    assert not promote
+    assert "mid-sweep" in reason and "own mid-sweep median" in reason
+
+
 def test_host_canary_shape():
     """The canary's python components run anywhere (no Spark session) and
     stamp positive seconds under stable key names — the names are the
