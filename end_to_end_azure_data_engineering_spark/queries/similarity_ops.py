@@ -572,9 +572,14 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration 3."""
     e = load(spark, sf_dir, "embeddings")
     cents = _seed_codebook(e)
+    # pin the staged double vectors ONCE (r13 opt): the three iteration
+    # passes (and the returned frame's final execution) otherwise re-run
+    # scan + spread + per-element cast each time. The returned aggregate
+    # reads the pinned blocks, so the bench's release_checkpoints frees
+    # them; only _v is pinned (project-early — vec_id is unused here).
     staged = spread(e).select(
-        "vec_id", V.as_double(F.col("embedding")).alias("_v")
-    )
+        V.as_double(F.col("embedding")).alias("_v")
+    ).transform(_pin)
     for it in range(3):
         agg = _lloyd_step(staged, cents)
         if it == 2:
@@ -649,11 +654,17 @@ def quantized_lloyd_codebook(
     probe the resulting IVF index serves."""
     e = load(spark, sf_dir, "embeddings")
     cents = _seed_codebook(e)
+    # pin once across the n_iter passes (r13 opt — see kmeans_lloyd_3iter);
+    # the codebook is collected, nothing downstream references the pin, so
+    # its blocks are released HERE, not left for the caller
+    from ..operators.neardup import release_checkpoints
+
     staged = spread(e).select(
-        "vec_id", V.as_double(F.col("embedding")).alias("_v")
-    )
+        V.as_double(F.col("embedding")).alias("_v")
+    ).transform(_pin)
     for _ in range(n_iter):
         cents = _apply_means(cents, _lloyd_step(staged, cents).collect())
+    release_checkpoints(staged)
     return cents
 
 
