@@ -22,6 +22,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -54,6 +56,37 @@ def check_codebook_k(k: int) -> None:
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def lit_double_array(xs) -> Column:
+    """``F.lit(list_of_floats)`` as ONE parsed SQL expression.
+
+    Same driver-cost class as ``dot``'s unrolled form: ``F.lit`` walks the
+    list element-by-element through py4j. ``repr(float)`` is the shortest
+    round-trip decimal string and Spark's double literal parses through
+    ``Double.parseDouble`` (correctly rounded), so every element comes
+    back BIT-IDENTICAL to the ``F.lit`` form — pinned by
+    tests/test_similarity_arrow.py::test_lit_double_helpers_match_f_lit.
+    Finite values only (codebooks/norms never carry NaN/Inf; the SQL
+    literal grammar has no spelling for them) — raises otherwise."""
+    vals = [float(x) for x in xs]
+    if any(math.isnan(v) or math.isinf(v) for v in vals):
+        raise ValueError("lit_double_array: non-finite element")
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``F.lit(nested_list_of_floats)`` as ONE parsed SQL expression —
+    measured 0.577 s for a 16x64 codebook via ``F.lit`` (py4j element
+    walk, the dominant plan-build cost of every IVF query) vs ~4 ms
+    parsed. See lit_double_array for the exactness argument."""
+    inner = []
+    for r in rows:
+        vals = [float(x) for x in r]
+        if any(math.isnan(v) or math.isinf(v) for v in vals):
+            raise ValueError("lit_double_matrix: non-finite element")
+        inner.append("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.expr("array(" + ",".join(inner) + ")")
 
 
 def dot(

@@ -42,7 +42,9 @@ def nearest_cell_struct(vec_dbl: Column, centroids: list[list[float]]) -> Column
     the selected cell would double the dominant cost.
     """
     V.check_codebook_k(len(centroids))  # literal codebooks stay bounded
-    cents = F.lit(centroids)
+    # r14: one SQL parse instead of a py4j element walk (bit-identical;
+    # measured 0.58 s per build for a 16×64 codebook via F.lit)
+    cents = V.lit_double_matrix(centroids)
     cells = F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(

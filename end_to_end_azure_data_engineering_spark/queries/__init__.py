@@ -194,38 +194,23 @@ PRIORITY: tuple[str, ...] = (
 
 #: Queries whose PLAN changed this round. A recent green round describes
 #: the OLD plan, so entries here are forced to the front of the driver's
-#: 50-query window for re-verification. r13 (optimization round): the
-#: copurchase family gained a scale-adaptive spread() fan-out before the
-#: per-order self-join, and every connected-components consumer now
-#: routes small (collision-bound) edge sets through the driver-local
-#: union-find fast path (operators/dedup.connected_components,
-#: local_edges) — all re-verified green with tools/check_oracle.py at
-#: sf0.01 AND sf0.1 before commit, and listed here so the driver's own
-#: gate re-hashes them first.
+#: 50-query window for re-verification. r14 (optimization round 2): the
+#: kmeans/IVF family gained (a) the FUSED Lloyd Arrow kernel (bit-exact
+#: assignment + decimal(28,12) partial means in one map — K×d partial
+#: rows per partition instead of n×d posexploded element rows), (b) SQL-
+#: parsed codebook literals (bit-identical to F.lit, ~0.58 s of driver
+#: plan-build time removed per IVF query), (c) one shared staged pin
+#: across ann_ivf_refined_topk's Lloyd passes and index build, and (d)
+#: bounded-result pinning with in-query release of the corpus-scale
+#: staged pin — all re-verified green with tools/check_oracle.py at
+#: sf0.01 AND sf0.1 (kernel-swapped ones also sf0.001) before commit.
 RECHECK_THIS_ROUND: frozenset = frozenset(
     {
-        "copurchase_pairs",
-        "copurchase_triangles",
-        "copurchase_degree_histogram",
-        "pagerank_copurchase",
-        "dedup_connected_components",
-        "dedup_cluster_size_stats",
-        "incremental_components_merge",
-        "semantic_dedup_survivors",
-        "dedup_corpus_survivors",
-        "dedup_best_quality_survivors",
-        # Arrow-batched bit-exact assignment kernels (MapInPandas replaces
-        # the interpreted K-cell HOF ranking; scores proven bit-identical
-        # in tests/test_similarity_arrow.py and by the oracle hashes at
-        # sf0.001/0.01/0.1)
         "kmeans_lloyd_3iter",
         "ann_ivf_topk",
         "ann_ivf_refined_topk",
-        # map-side-combine Gram matrix (Arrow int64 matmul partials
-        # replace the exploded self-join; integer sums, exact)
-        "embedding_top_eigen_power",
-        # spread() fan-out of the single-task broadcast-join map
-        "order_fill_rate_weekly",
+        # nearest_cell literal now SQL-parsed (same bit-exact codebook)
+        "kmeans_refine_cells",
     }
 )
 

@@ -133,6 +133,47 @@ def _docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(load(spark, sf_dir, "embeddings"))
 
 
+#: synthetic K×d codebook for twin plans — centroid VALUES never change
+#: the plan shape (K and d do, and they match the registered queries)
+def _twin_codebook() -> list[list[float]]:
+    from ..functions.similarity import EMB_DIM
+
+    return [[float(i) for _ in range(EMB_DIM)] for i in range(16)]
+
+
+def _lloyd_step_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_lloyd_3iter's per-iteration plan (r14): the fused Arrow
+    assignment+decimal-partials map and the K×d-group final aggregate —
+    visible here, not in the audited query plan, because the query now
+    pins its bounded final aggregate (and releases the corpus-scale
+    staged pin) before returning. The staged frame is the same
+    spread+project the query pins once."""
+    from .similarity_ops import _lloyd_step
+
+    staged = _docs_embeddings(spark, sf_dir).select(
+        F.col("embedding").alias("_v")
+    )
+    return _lloyd_step(staged, _twin_codebook())
+
+
+def _ivf_refined_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_refined_topk's index+probe plan over a shared staged frame
+    (r14): Arrow cosine assignment reading the (already slot-spread)
+    staged pin with NO extra fan-out exchange, broadcast probe join,
+    per-probe top-k window — the stages the query's result pin hides."""
+    from ..functions import similarity as V
+    from .similarity_ops import ivf_index_frames, ivf_probe_topk
+
+    ev = V.staged(_docs_embeddings(spark, sf_dir), "embedding", "_e").select(
+        "vec_id", "_e_v", "_e_n"
+    )
+    assign, probe_cells = ivf_index_frames(
+        spark, sf_dir, nprobe=2, k_cells=16,
+        centroids=_twin_codebook(), staged_ev=ev,
+    )
+    return ivf_probe_topk(assign, probe_cells, topk=3)
+
+
 def _spend_deciles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer_spend_deciles' full plan with the spend-aggregate
     checkpoint disabled AND the adaptive small-frame switch pinned off
@@ -235,6 +276,8 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase:mine": _copurchase_mine,
         "dedup_connected_components:round": _cc_round,
         "embedding_top_eigen_power:gram": _eigen_gram,
+        "kmeans_lloyd_3iter:step": _lloyd_step_plan,
+        "ann_ivf_refined_topk:probe": _ivf_refined_probe_plan,
         "customer_spend_deciles:rank": _spend_deciles_rank,
         "order_value_distribution:rank": _order_value_rank,
         "user_activity_gini:rank": _gini_rank,

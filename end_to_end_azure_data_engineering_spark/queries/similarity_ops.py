@@ -298,6 +298,7 @@ def ivf_index_frames(
     nprobe: int = 2,
     k_cells: int = 16,
     centroids: list[list[float]] | None = None,
+    staged_ev: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(assign, probe_cells): the IVF index build side (every vector's
     nearest-centroid cell — the cell-partitioned table a 100 TB layout
@@ -307,11 +308,24 @@ def ivf_index_frames(
     oracle can replay it) unless an explicit ``centroids`` codebook is
     passed (the k-means-refined production path, r12: cell ids become
     0..K-1; everything downstream is codebook-agnostic). The registered
-    oracle query never passes one, so its replayable plan is untouched."""
+    oracle query never passes one, so its replayable plan is untouched.
+
+    ``staged_ev`` (r14): an already-staged, slot-spread, PINNED
+    (vec_id, _e_v, _e_n) frame to reuse instead of re-scanning and
+    re-staging the corpus — ann_ivf_refined_topk shares ONE pin between
+    its Lloyd passes and this index build (guide §5 reuse). A supplied
+    frame is also already fanned out, so the explicit repartition below
+    is skipped — the staged norms and vectors are bit-identical either
+    way (same staging expressions), hence the same assignment."""
     # guards BEFORE any Spark work: the knob must not be able to launch
     # a job it will refuse to finish
     V.check_codebook_k(len(centroids) if centroids is not None else k_cells)
-    e = load(spark, sf_dir, "embeddings")
+    if staged_ev is not None and centroids is None:
+        raise ValueError(
+            "staged_ev carries staged columns only — the seed-codebook "
+            "branch needs the raw embedding column; pass centroids"
+        )
+    e = staged_ev if staged_ev is not None else load(spark, sf_dir, "embeddings")
     if centroids is not None:
         cents = [[float(x) for x in c] for c in centroids]
         ids = list(range(len(cents)))
@@ -327,22 +341,32 @@ def ivf_index_frames(
     # three single-node nested literals (not 16×64 Literal columns — that
     # expression tree put multi-second analysis cost on the driver); norms
     # precomputed in Python (same sequential left-fold as the HOF dot).
+    # r14: the nested literals are built by ONE SQL parse each —
+    # F.lit(cents) walks the 16×64 list element-by-element through py4j,
+    # measured 0.577 s of driver time per query build (the dominant cost
+    # of ivf_index_frames, guide §1.1 empirical), vs ~3 ms parsed;
+    # lit_double_matrix is bit-identical to F.lit (shortest-repr double
+    # literals through Double.parseDouble, pinned by test).
     # NOTE: two codegen forms of this cell ranking were benchmarked and
     # both LOSE to the interpreted transform-lambda: a single fully
     # unrolled K×d expression and K unrolled per-cell columns both get
     # re-inlined by CollapseProject into the array_min/array_sort
     # consumers, and the resulting ~2000-node tree sends optimizer and
     # codegen time through the roof (60–200s per run vs ~2.5s warm here).
-    cent_vecs = F.lit(cents)
+    cent_vecs = V.lit_double_matrix(cents)
     cent_ids = F.lit(ids)
-    cent_norms = F.lit([math.sqrt(sum(x * x for x in ce)) for ce in cents])
+    cent_norms = V.lit_double_array(
+        [math.sqrt(sum(x * x for x in ce)) for ce in cents]
+    )
     # stage a double-cast copy for the K-cell ranking: the zip_with dots
     # inside the transform lambda are interpreted, and without this each of
     # the K cells would re-cast the float vector (K×d interpreted casts per
     # row). Referenced K times, so CollapseProject keeps it materialized.
-    ev = V.staged(e, "embedding", "_e").withColumn(
-        "_e_vd", V.as_double(F.col("_e_v"))
-    )
+    # A supplied staged_ev already carries (_e_v, _e_n) — identical
+    # staging expressions, so only the double-cast copy is added here.
+    ev = (
+        e if staged_ev is not None else V.staged(e, "embedding", "_e")
+    ).withColumn("_e_vd", V.as_double(F.col("_e_v")))
     # sort key = struct(-cos, cid): the DEFAULT struct ordering (ascending,
     # field by field) then gives cos desc / cid asc — array_sort and
     # array_max with a custom comparator lambda run interpreted, the
@@ -377,10 +401,22 @@ def ivf_index_frames(
     # on small inputs.
     from ..functions.similarity_arrow import assign_cosine_cid_arrow
 
-    assert list(ids) == sorted(ids), "cell ids must ascend for tie parity"
-    dp = spark.sparkContext.defaultParallelism
+    # r13 ADVICE: a bare assert is stripped under python -O, leaving the
+    # custom-centroids path unguarded — raise instead
+    if list(ids) != sorted(ids):
+        raise ValueError("cell ids must ascend for tie parity")
+    if staged_ev is not None:
+        # the supplied pin is already slot-spread (and at cluster scale
+        # already split-partitioned): a second fan-out exchange before
+        # the Arrow stage buys nothing (guide §2.4)
+        assign_in = ev.select("vec_id", "_e_v", "_e_n")
+    else:
+        dp = spark.sparkContext.defaultParallelism
+        assign_in = ev.repartition(dp, F.col("vec_id")).select(
+            "vec_id", "_e_v", "_e_n"
+        )
     assign = assign_cosine_cid_arrow(
-        ev.repartition(dp, F.col("vec_id")).select("vec_id", "_e_v", "_e_n"),
+        assign_in,
         "_e_v",
         "_e_n",
         cents,
@@ -570,65 +606,83 @@ def kmeans_lloyd_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook entry untouched; oracle: coalesce against the prior cent).
     Output: per (cell, dim) member count and refined coordinate after
     iteration 3."""
+    from ..operators.neardup import release_checkpoints
+
     e = load(spark, sf_dir, "embeddings")
     cents = _seed_codebook(e)
-    # pin the staged double vectors ONCE (r13 opt): the three iteration
-    # passes (and the returned frame's final execution) otherwise re-run
-    # scan + spread + per-element cast each time. The returned aggregate
-    # reads the pinned blocks, so the bench's release_checkpoints frees
-    # them; only _v is pinned (project-early — vec_id is unused here).
-    staged = spread(e).select(
-        V.as_double(F.col("embedding")).alias("_v")
-    ).transform(_pin)
+    # pin the staged vectors ONCE (r13 opt): the three iteration passes
+    # otherwise re-run scan + spread each time. Only _v is pinned
+    # (project-early — vec_id is unused here). r14: the pin keeps the
+    # RAW float32 arrays — half the pinned bytes — because the fused
+    # Arrow kernel's astype(float64) is the same exact widening the
+    # as_double projection performed (float32→float64 is lossless), so
+    # scores and decimal partials are unchanged bit-for-bit (pinned by
+    # test_lloyd_fused_partials_bit_exact's float32 variant).
+    staged = spread(e).select(F.col("embedding").alias("_v")).transform(_pin)
     for it in range(3):
         agg = _lloyd_step(staged, cents)
         if it == 2:
-            return agg.select("cell", "dim", "n_members", "mean_q")
+            # r14 (VERDICT item 4 "what's wrong"): pin the BOUNDED K×d
+            # final aggregate and release the corpus-scale staged pin
+            # HERE — a caller that discards the returned frame leaks at
+            # most K×d rows (freed by release_checkpoints like every
+            # eager query), never a corpus of staged vectors. Pinned by
+            # tests/test_kmeans.py::test_lloyd_query_releases_staged_pin.
+            out = agg.select("cell", "dim", "n_members", "mean_q").transform(
+                _pin
+            )
+            release_checkpoints(staged)
+            return out
         cents = _apply_means(cents, agg.collect())  # bounded: K x d refresh
     raise AssertionError("unreachable")
 
 
-def _seed_codebook(e: DataFrame) -> list[list[float]]:
+def _seed_codebook(e: DataFrame, vec_col: str = "embedding") -> list[list[float]]:
     """The deterministic seed codebook (``vec_id < _KM_K``, like
-    ann_ivf_topk) as driver-side doubles — bounded at K rows."""
+    ann_ivf_topk) as driver-side doubles — bounded at K rows.
+    ``vec_col`` lets a caller seed from a staged frame's raw float
+    vector column (identical values: float(float32) is exact)."""
     cent_rows = sorted(
-        e.filter(F.col("vec_id") < _KM_K).select("vec_id", "embedding").collect(),
+        e.filter(F.col("vec_id") < _KM_K).select("vec_id", vec_col).collect(),
         key=lambda r: r.vec_id,
     )
-    return [[float(x) for x in r.embedding] for r in cent_rows]
+    return [[float(x) for x in r[vec_col]] for r in cent_rows]
 
 
-def _lloyd_step(staged_v: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """One quantized Lloyd iteration over staged (vec_id, _v) rows:
-    squared-L2 assignment against the literal codebook (narrow
-    Arrow-batched map, no shuffle), then the DECIMAL(28,12)-accumulated,
-    round-6, -0.0-folded per-(cell, dim) mean — the hash-verifiable
-    iteration kmeans_lloyd_3iter pins. r13 opt: the assignment runs
-    through assign_sq_l2_arrow — BIT-IDENTICAL to the interpreted
-    nearest_cell fold (sequential-dim numpy accumulation; see
-    functions/similarity_arrow.py) at ~1/15th the per-pass cost
-    (measured 0.35 s → 0.02 s over 2 k rows at sf0.1; the K×d fold was
-    this query's dominant executor time, guide §4). Only ``_v`` crosses
-    the Arrow boundary (project-early, guide §4.1). posexplode_outer per
-    the plan-guard: a plain posexplode's inferred size(_v) > 0 filter
-    would re-run the upstream map per row; vectors are never empty."""
-    from ..functions.similarity_arrow import assign_sq_l2_arrow
+def _lloyd_step(
+    staged_v: DataFrame, cents: list[list[float]], vec_col: str = "_v"
+) -> DataFrame:
+    """One quantized Lloyd iteration over staged (vec_id, _v) rows —
+    ONE fused Arrow map (r14, VERDICT item 1): bit-exact squared-L2
+    assignment AND the per-(cell, dim) count + DECIMAL(28,12) partial
+    sum happen inside lloyd_decimal_partials_arrow, so a pass ships at
+    most K×d tiny partial rows per partition through the shuffle instead
+    of n×d posexploded element rows, and the JVM decimal cast/sum per
+    element disappears (guide §2.3 "aggregate before you shuffle", §4.2).
+    The downstream agg is the UNCHANGED hash contract expression: decimal
+    sums are exact and order-free (sum over the DECIMAL(38,12) partials
+    carries the same type and value as sum over per-element
+    DECIMAL(28,12) casts), count(*) becomes sum of partial counts, and
+    round(cast(sum as double)/count, 6) + 0.0 is evaluated on equal
+    inputs — bit-identical output, pinned by
+    tests/test_similarity_arrow.py::test_lloyd_fused_partials_bit_exact.
+    r13 history: the assignment fold itself replaced an interpreted
+    zip_with/aggregate K-cell ranking (~100 µs/row) at ~1/15th the cost;
+    this round fuses the mean into the same pass."""
+    from ..functions.similarity_arrow import lloyd_decimal_partials_arrow
 
-    assigned = assign_sq_l2_arrow(staged_v.select("_v"), "_v", cents)
-    return (
-        assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(
-            F.count("*").alias("n_members"),
-            (
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                )
-                + 0.0
-            ).alias("mean_q"),
-        )
+    parts = lloyd_decimal_partials_arrow(
+        staged_v.select(vec_col), vec_col, cents
+    )
+    return parts.groupBy("cell", "dim").agg(
+        F.sum("n_part").alias("n_members"),
+        (
+            F.round(
+                F.sum("s_part").cast("double") / F.sum("n_part"),
+                6,
+            )
+            + 0.0
+        ).alias("mean_q"),
     )
 
 
@@ -643,7 +697,11 @@ def _apply_means(cents: list[list[float]], rows) -> list[list[float]]:
 
 
 def quantized_lloyd_codebook(
-    spark: SparkSession, sf_dir: str, n_iter: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = 3,
+    staged: DataFrame | None = None,
+    vec_col: str = "_v",
 ) -> list[list[float]]:
     """The codebook AFTER ``n_iter`` quantized Lloyd iterations — the
     exact kmeans_lloyd_3iter trajectory (seed = vec_id < _KM_K, decimal-
@@ -651,20 +709,35 @@ def quantized_lloyd_codebook(
     through the final update. Every collect is bounded at K×d; each
     iteration is one corpus scan + one tiny-key agg (the MLlib pattern),
     so the build cost at 100 TB is n_iter scans, amortized over every
-    probe the resulting IVF index serves."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = _seed_codebook(e)
-    # pin once across the n_iter passes (r13 opt — see kmeans_lloyd_3iter);
-    # the codebook is collected, nothing downstream references the pin, so
-    # its blocks are released HERE, not left for the caller
+    probe the resulting IVF index serves.
+
+    ``staged`` (r14): a caller-owned pinned frame whose ``vec_col``
+    carries the raw vectors (any float width — the fused kernel's
+    astype widening is exact); the caller keeps ownership (seed collect
+    runs against it too, saving the extra corpus scan). Without it the
+    function builds, uses and releases its own float32 pin."""
     from ..operators.neardup import release_checkpoints
 
-    staged = spread(e).select(
-        V.as_double(F.col("embedding")).alias("_v")
-    ).transform(_pin)
+    own = staged is None
+    if own:
+        e = load(spark, sf_dir, "embeddings")
+        cents = _seed_codebook(e)
+        # pin once across the n_iter passes (r13 opt — see
+        # kmeans_lloyd_3iter; r14: raw float32, cast-in-kernel); the
+        # codebook is collected, nothing downstream references the pin,
+        # so its blocks are released HERE, not left for the caller
+        staged = spread(e).select(F.col("embedding").alias("_v")).transform(
+            _pin
+        )
+        vec_col = "_v"
+    else:
+        cents = _seed_codebook(staged, vec_col)
     for _ in range(n_iter):
-        cents = _apply_means(cents, _lloyd_step(staged, cents).collect())
-    release_checkpoints(staged)
+        cents = _apply_means(
+            cents, _lloyd_step(staged, cents, vec_col).collect()
+        )
+    if own:
+        release_checkpoints(staged)
     return cents
 
 
@@ -732,12 +805,32 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: 3 bounded Lloyd scans build the codebook once, then the
     IVF plan is unchanged — 0-shuffle literal-codebook cell assignment,
-    broadcast probe join, per-probe top-k as the only wide exchange."""
-    cents = quantized_lloyd_codebook(spark, sf_dir, n_iter=3)
-    assign, probe_cells = ivf_index_frames(
-        spark, sf_dir, nprobe=2, k_cells=_KM_K, centroids=cents
+    broadcast probe join, per-probe top-k as the only wide exchange.
+
+    r14 (VERDICT item 1): ONE staged pin (vec_id, _e_v, _e_n) is shared
+    by the seed collect, all three Lloyd passes (the fused kernel widens
+    float32 exactly) and the IVF index build — previously the corpus was
+    scanned and staged twice and the seed collect was a third scan
+    (guide §5 reuse). The bounded 60-row result is pinned and the corpus
+    pin released before returning (same ownership contract as
+    kmeans_lloyd_3iter)."""
+    from ..operators.neardup import release_checkpoints
+
+    e = load(spark, sf_dir, "embeddings")
+    ev = (
+        V.staged(spread(e), "embedding", "_e")
+        .select("vec_id", "_e_v", "_e_n")
+        .transform(_pin)
     )
-    return ivf_probe_topk(assign, probe_cells, topk=3)
+    cents = quantized_lloyd_codebook(
+        spark, sf_dir, n_iter=3, staged=ev, vec_col="_e_v"
+    )
+    assign, probe_cells = ivf_index_frames(
+        spark, sf_dir, nprobe=2, k_cells=_KM_K, centroids=cents, staged_ev=ev
+    )
+    out = ivf_probe_topk(assign, probe_cells, topk=3).transform(_pin)
+    release_checkpoints(ev)
+    return out
 
 
 @register(

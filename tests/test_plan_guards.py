@@ -294,7 +294,14 @@ def test_eager_stage_plans_expose_real_mining_work(plans):
     # partial-matmul + keyed sum — the required shape is the Arrow map
     # feeding an aggregate over an exchange, and a join reappearing here
     # would be the regression)
-    MAP_COMBINE_STAGES = {"embedding_top_eigen_power:gram"}
+    # r14: the fused Lloyd iteration is the same class — Arrow
+    # assignment+decimal-partials map feeding the K×d keyed aggregate;
+    # a join (or a posexplode'd per-element shuffle) reappearing here
+    # would be the regression
+    MAP_COMBINE_STAGES = {
+        "embedding_top_eigen_power:gram",
+        "kmeans_lloyd_3iter:step",
+    }
     for n in stage_names:
         p = plans[n]
         if n in MAP_COMBINE_STAGES:

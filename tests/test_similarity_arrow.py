@@ -66,7 +66,13 @@ def test_arrow_topk_excludes_self_and_bounds_k(spark):
 def test_assign_sq_l2_bit_exact_vs_hof(spark):
     """Full-fixture cell AND distance equality against nearest_cell_struct:
     the sequential-dim numpy accumulation must reproduce the zip_with/
-    aggregate fold bit-for-bit (same IEEE add order), not approximately."""
+    aggregate fold bit-for-bit (same IEEE add order), not approximately.
+    The distance is re-derived here with the kernel's own fold (dim-by-dim
+    accumulation over the collected vectors) and compared to the struct's
+    raw double with EXACT equality (r13 ADVICE: the distance half of this
+    claim was previously untested)."""
+    import numpy as np
+
     from end_to_end_azure_data_engineering_spark.functions import similarity as V
     from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
         assign_sq_l2_arrow,
@@ -87,15 +93,23 @@ def test_assign_sq_l2_bit_exact_vs_hof(spark):
             "vec_id", nearest_cell_struct(F.col("_v"), cents).alias("s")
         ).collect()
     }
-    # the arrow kernel re-derives the distance for the asserted cell so the
-    # test can compare raw doubles, not just the argmin
     got = {
         r.vec_id: r.cell
         for r in assign_sq_l2_arrow(staged, "_v", cents).collect()
     }
     assert set(got) == set(hof)
+    # re-run the kernel's exact fold over the same vectors and require the
+    # winning distance to equal the struct form's raw double BIT-FOR-BIT
+    C = np.asarray(cents, dtype=np.float64)
+    vecs = {r.vec_id: np.asarray(r._v, dtype=np.float64) for r in staged.collect()}
     for vid, cell in got.items():
         assert cell == hof[vid][0], (vid, cell, hof[vid])
+        x = vecs[vid]
+        acc = np.zeros(C.shape[0])
+        for j in range(C.shape[1]):
+            diff = x[j] - C[:, j]
+            acc += diff * diff
+        assert float(acc[cell]) == hof[vid][1], (vid, float(acc[cell]), hof[vid])
 
 
 def test_assign_sq_l2_tie_breaks_to_lowest_cell(spark):
@@ -221,6 +235,217 @@ def test_assign_kernel_closures_are_self_contained(spark, monkeypatch):
             "assignment-kernel closure cannot be unpickled without the "
             f"package importable:\n{proc.stderr[-1500:]}"
         )
+
+
+def _old_lloyd_step(staged_v, cents):
+    """The r13 form of _lloyd_step (Arrow assignment + posexplode + JVM
+    decimal aggregate), rebuilt inline as the bit-equality reference for
+    the r14 fused kernel."""
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        assign_sq_l2_arrow,
+    )
+
+    assigned = assign_sq_l2_arrow(staged_v.select("_v"), "_v", cents)
+    return (
+        assigned.select("cell", F.posexplode_outer("_v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_q"),
+        )
+    )
+
+
+def test_lloyd_fused_partials_bit_exact(spark):
+    """r14 VERDICT item 1: the fused assignment+decimal-partials kernel,
+    aggregated downstream, must equal the r13 posexplode + JVM decimal
+    form BIT-FOR-BIT over the full fixture — counts as exact ints,
+    mean_q by float repr (round-trip exact), across several partitions
+    so cross-partition partial summation is exercised."""
+    from end_to_end_azure_data_engineering_spark.functions import similarity as V
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        _lloyd_step,
+        _seed_codebook,
+    )
+
+    e = load(spark, SF, "embeddings")
+    cents = _seed_codebook(e)
+    staged = e.repartition(5).select(V.as_double(F.col("embedding")).alias("_v"))
+    ref = {
+        (r.cell, r.dim): (r.n_members, repr(r.mean_q))
+        for r in _old_lloyd_step(staged, cents).collect()
+    }
+    got = {
+        (r.cell, r.dim): (r.n_members, repr(r.mean_q))
+        for r in _lloyd_step(staged, cents).collect()
+    }
+    assert got == ref
+    # r14 float32 pin: feeding the RAW float arrays must give the same
+    # result — the kernel's astype(float64) is the exact widening the
+    # as_double projection performed
+    raw = e.repartition(5).select(F.col("embedding").alias("_v"))
+    got32 = {
+        (r.cell, r.dim): (r.n_members, repr(r.mean_q))
+        for r in _lloyd_step(raw, cents).collect()
+    }
+    assert got32 == ref
+
+
+def test_lloyd_decimal_quantization_matches_spark_cast(spark):
+    """The kernel's per-element double→scaled-int quantization must equal
+    Spark's own CAST(x AS DECIMAL(28,12)) — the HALF_UP rounding of the
+    Double.toString shortest repr — on planted .5-boundary values, their
+    ±ulp neighborhoods, negatives, and a float32-derived random sweep.
+    Each value is routed to its OWN cell (centroids = the values
+    themselves, d=1), so every per-cell partial sum IS that single
+    element's quantization."""
+    import math
+    from decimal import Decimal
+
+    import numpy as np
+
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        lloyd_decimal_partials_arrow,
+    )
+
+    rng = np.random.default_rng(14)
+    vals: list[float] = []
+    for mag in (
+        5e-13, 1.5e-12, 2.5e-12, 47.0000000000025, 123.0000000000005,
+        999.9999999999995, 1000.0000000000005, 4095.9999999999995,
+    ):
+        d = float(mag)
+        for _ in range(3):
+            vals.append(d)
+            vals.append(-d)
+            d = math.nextafter(d, math.inf)
+    vals += [0.0, 1e-13, -1e-13, 0.9999999999995, -0.9999999999995]
+    vals += [float(x) for x in rng.standard_normal(120).astype(np.float32)]
+    vals = sorted(set(vals))
+
+    spark_q = {
+        r.x: r.q
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select("x", F.col("x").cast("decimal(28,12)").alias("q"))
+        .collect()
+    }
+    df = spark.createDataFrame([([v],) for v in vals], "v: array<double>")
+    cents = [[v] for v in vals]
+    got = {
+        vals[r.cell]: r.s_part
+        for r in lloyd_decimal_partials_arrow(df, "v", cents).collect()
+    }
+    assert set(got) == set(spark_q)
+    for v in vals:
+        # Decimal compares by numeric value; normalize both to scale 12
+        assert Decimal(got[v]).scaleb(12) == Decimal(spark_q[v]).scaleb(12), (
+            repr(v), got[v], spark_q[v],
+        )
+
+
+def test_lloyd_fused_kernel_raises_on_nan(spark):
+    """The NaN guard must raise loudly (r13 ADVICE: silent divergence is
+    the failure mode being fenced), not emit diverging assignments."""
+    import pytest
+
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        lloyd_decimal_partials_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([float("nan"), 0.0],)], "v: array<double>"
+    )
+    with pytest.raises(Exception, match="NaN"):
+        lloyd_decimal_partials_arrow(df, "v", [[0.0, 0.0]]).collect()
+
+
+def test_lloyd_fused_closure_is_self_contained(spark, monkeypatch):
+    """Same external-driver contract as the r13 kernels: the fused
+    kernel's closure must unpickle in a clean interpreter without the
+    repo importable."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    from end_to_end_azure_data_engineering_spark.functions.similarity_arrow import (
+        lloyd_decimal_partials_arrow,
+    )
+
+    captured = []
+    df = spark.createDataFrame([([1.0, 2.0],)], "v: array<double>")
+    cls = type(df)
+    orig = cls.mapInPandas
+
+    def spy(self, func, schema, *a, **kw):
+        captured.append(func)
+        return orig(self, func, schema, *a, **kw)
+
+    monkeypatch.setattr(cls, "mapInPandas", spy)
+    lloyd_decimal_partials_arrow(df, "v", [[0.0, 0.0]])
+    assert len(captured) == 1
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        f.write(cloudpickle.dumps(captured[0]))
+        path = f.name
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys;"
+            "sys.path = [p for p in sys.path if 'repo' not in p];"
+            "from pyspark import cloudpickle;"
+            f"cloudpickle.loads(open({path!r},'rb').read());"
+            "print('LOADS_OK')",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        timeout=120,
+    )
+    assert "LOADS_OK" in proc.stdout, proc.stderr[-1500:]
+
+
+def test_lit_double_helpers_match_f_lit(spark):
+    """lit_double_array / lit_double_matrix (one SQL parse) must be
+    BIT-IDENTICAL to F.lit's py4j element walk — including -0.0,
+    subnormals, and max-double — because the codebook literals feed
+    bit-exact kernels and oracle-hashed expressions."""
+    import math
+    import random
+    import struct
+
+    from end_to_end_azure_data_engineering_spark.functions import (
+        similarity as V,
+    )
+
+    random.seed(41)
+    vals = [
+        0.0, -0.0, 5e-324, -5e-324, 1e-310, 1.7976931348623157e308,
+        -1.2345678901234567, 1 / 3, math.pi, 2.0**-1074, 1e-05,
+    ] + [random.gauss(0, 1) for _ in range(100)]
+    a = spark.range(1).select(F.lit(vals).alias("a")).collect()[0].a
+    b = spark.range(1).select(V.lit_double_array(vals).alias("a")).collect()[0].a
+    assert [struct.pack("<d", x) for x in a] == [struct.pack("<d", x) for x in b]
+    m = [vals[i : i + 8] for i in range(0, 96, 8)]
+    am = spark.range(1).select(F.lit(m).alias("m")).collect()[0].m
+    bm = spark.range(1).select(V.lit_double_matrix(m).alias("m")).collect()[0].m
+    assert [[struct.pack("<d", x) for x in r] for r in am] == [
+        [struct.pack("<d", x) for x in r] for r in bm
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="non-finite"):
+        V.lit_double_array([1.0, float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        V.lit_double_matrix([[float("inf")]])
 
 
 def test_int_gram_partials_match_join_form(spark):
