@@ -107,11 +107,29 @@ COMPACT_LINE_BUDGET = 1900
 def emit_compact(compact: dict) -> str:
     """The one-line stdout JSON, trimmed to COMPACT_LINE_BUDGET by
     dropping optional detail most-expendable-first (everything dropped
-    here remains in the SF-stamped full artifact): the slowest-5 query
-    inline map, then the segment-canary series. The isolated re-times
-    are LAST — they are the self-certification stamp (r12 verdict item
-    1) and must survive any realistic trim."""
+    here remains in the SF-stamped full artifact): first the per-query
+    map is shrunk entry-by-entry (r14, VERDICT item 2: the caller now
+    passes ALL timings, and the largest slowest-first prefix that fits
+    the driver's 2000-char tail capture is kept — never fewer than the
+    r13-era top-5, so the round-over-round comparator sees dozens of
+    common queries instead of 2), then the whole map, then the
+    segment-canary series. The isolated re-times are LAST — they are
+    the self-certification stamp (r12 verdict item 1) and must survive
+    any realistic trim."""
     line = json.dumps(compact)
+    q = compact.get("queries")
+    if len(line) > COMPACT_LINE_BUDGET and isinstance(q, dict) and len(q) > 5:
+        items = sorted(q.items(), key=lambda kv: -kv[1])
+        lo, hi = 5, len(items)  # largest prefix that fits, floor 5
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            compact["queries"] = dict(items[:mid])
+            if len(json.dumps(compact)) <= COMPACT_LINE_BUDGET:
+                lo = mid
+            else:
+                hi = mid - 1
+        compact["queries"] = dict(items[:lo])
+        line = json.dumps(compact)
     for trim in ("queries", "segment_canaries", "isolated_retimes"):
         if len(line) <= COMPACT_LINE_BUDGET:
             break
@@ -271,6 +289,23 @@ def promotion_decision(
     if seg_base:
         basis = seg_base[len(seg_base) // 2]
         basis_desc = f"the baseline's own mid-sweep median {basis:.3f}s"
+        # r13 ADVICE: a purely self-referential basis can RATCHET — each
+        # promotion may raise the accepted segment level by up to the
+        # gate factor, compounding over rounds until slow host
+        # degradation (or an engine regression that inflates mid-sweep
+        # stamps) passes unnoticed. Cap the basis at 3x the baseline's
+        # own idle START canary: the measured quiet-sweep inflation band
+        # is 1.4-2.9x, so the cap sits just above honest sweep-state
+        # noise while anchoring the gate to an idle-host measurement
+        # that cannot ratchet.
+        if isinstance(spark_base, (int, float)) and spark_base > 0:
+            cap = 3.0 * spark_base
+            if basis > cap:
+                basis = cap
+                basis_desc = (
+                    f"3x the baseline's idle start canary {spark_base:.3f}s "
+                    "(segment-median basis capped — see ratchet note)"
+                )
     elif isinstance(spark_base, (int, float)) and spark_base > 0:
         basis = spark_base
         basis_desc = f"the committed baseline's start canary {basis:.3f}s"
@@ -625,11 +660,20 @@ def main() -> None:
         if ratios
         else {}
     )
+    # resolved execution footprint (r14, VERDICT item 2: the scaling
+    # probe previously had to INFER core usage from totals and raised a
+    # false suspect_cpus_ignored — stamp the facts instead)
+    exec_info = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "exec": exec_info,
         "timed_runs": TIMED_RUNS,
         "spread": spreads,
         "noise_band": noise,
@@ -747,12 +791,16 @@ def main() -> None:
         errors["bench_local_write"] = str(exc)[:200]
         out["errors"] = errors
 
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # ALL timings, slowest first — emit_compact keeps the largest prefix
+    # that fits the driver's bounded tail capture (never fewer than the
+    # r13-era top-5; additions-only change, VERDICT r13 item 2)
+    all_sorted = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": slowest,
+        "queries": all_sorted,
+        "exec": exec_info,
         "n_queries": len(timings),
         "timed_runs": TIMED_RUNS,
         "noise_band": noise,

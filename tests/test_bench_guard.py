@@ -609,3 +609,81 @@ def test_emit_compact_fits_driver_tail_budget():
         "retimes must survive the trim"
     )
     assert len(parsed["isolated_retimes"]) == RETIME_N
+
+
+def test_midsweep_basis_capped_against_ratchet():
+    """r13 ADVICE: the segment-median basis is self-referential — over
+    successive promotions it could ratchet up by the gate factor each
+    time. The basis is capped at 3x the baseline's idle START canary
+    (just above the measured 1.4-2.9x honest sweep-state inflation), so
+    a baseline whose own segments drifted absurdly high cannot bless an
+    equally-degraded new sweep."""
+    from bench import CANONICAL_SF, promotion_decision
+
+    CANARY = {"py_sha256_s": 0.18, "py_sort_s": 0.39, "spark_hashagg_s": 0.19}
+    base = {"spark_hashagg_s": 0.176}
+    # pathological baseline: its own segments sit at ~8x its start canary
+    base_segs = [1.4, 1.5, 1.3, 1.45, 1.5]
+    # new sweep's segments match that degraded level — the UNCAPPED
+    # median basis would bless them; the cap (3 x 0.176 = 0.528) refuses
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=CANARY,
+        baseline_canary=base,
+        segment_canaries=[1.35, 1.4, 1.3],
+        baseline_segments=base_segs,
+    )
+    assert not promote
+    assert "capped" in reason or "3x" in reason
+    # segments inside 3x the idle start stamp still promote under the
+    # capped basis (the honest quiet-sweep inflation band)
+    promote, reason = promotion_decision(
+        CANONICAL_SF,
+        load1=0.3,
+        load5=0.5,
+        canary=CANARY,
+        baseline_canary=base,
+        segment_canaries=[0.40, 0.45, 0.35],
+        baseline_segments=base_segs,
+    )
+    assert promote, reason
+
+
+def test_emit_compact_keeps_largest_fitting_query_prefix():
+    """r14 (VERDICT item 2): the compact line now carries ALL per-query
+    timings when they fit and otherwise the largest slowest-first prefix
+    that does — never fewer than the r13-era top-5 — so the driver's
+    round-over-round comparator sees dozens of common names, not 2."""
+    import json as _json
+
+    from bench import COMPACT_LINE_BUDGET, emit_compact
+
+    queries = {f"query_name_padded_out_{i:03d}": 122.0 - i for i in range(122)}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 90.0,
+        "unit": "sec",
+        "queries": dict(queries),
+        "exec": {"master": "local[32]", "default_parallelism": 32, "cpus_env": "32"},
+        "n_queries": 122,
+        "sf": 0.1,
+        "isolated_retimes": {f"query_name_padded_out_{i:03d}": [1.0, 1.0, 1.0] for i in range(8)},
+        "full_results": "/root/repo/BENCH_LOCAL_sf0.1.json",
+    }
+    line = emit_compact(compact)
+    assert len(line) <= COMPACT_LINE_BUDGET
+    parsed = _json.loads(line)
+    kept = parsed["queries"]
+    assert isinstance(kept, dict) and len(kept) >= 5
+    # slowest-first prefix: the 5 slowest must all be present
+    for i in range(5):
+        assert f"query_name_padded_out_{i:03d}" in kept
+    # and it kept as many as the budget allows (more than the old top-5)
+    assert len(kept) > 20, len(kept)
+    # retimes survive
+    assert isinstance(parsed["isolated_retimes"], dict)
+    # a small map is passed through whole
+    compact2 = {"metric": "m", "queries": {"a": 1.0, "b": 2.0}}
+    assert _json.loads(emit_compact(compact2))["queries"] == {"a": 1.0, "b": 2.0}
