@@ -211,6 +211,11 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         "ann_ivf_refined_topk",
         # nearest_cell literal now SQL-parsed (same bit-exact codebook)
         "kmeans_refine_cells",
+        # SCD2 batch dedup fused to one (user_id, slice) window pass /
+        # batch frames pinned against Catalyst tree duplication (the
+        # unpinned plans executed 24-28 scan+window nodes)
+        "scd2_as_of_snapshot",
+        "scd2_final_state",
     }
 )
 

@@ -14,6 +14,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..engine.pin import pin as _pin
 from ..functions import sketches as S
 from ..operators.appends import append_if_absent
 from ..operators.dedup import keep_latest
@@ -71,10 +72,21 @@ def scd2_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     row; unchanged users keep one current row — M1 semantics end-to-end
     (silver_transactions.py:123-201), null-unsafe `<>` change detection
     included."""
+    # r14: both batch frames are pinned once — the merge references each
+    # batch from several branches (expire/keep/survive/insert), and
+    # Catalyst plans that DAG reuse as TREE DUPLICATION: the unpinned
+    # plan executed 28 scan+window nodes for two logical window passes
+    # (plans/r14/scd2_final_state_before.txt). The pins are user-count
+    # bounded (state-table sized — what a real SCD2 deployment
+    # materializes as its staging batch anyway).
     e = load(spark, sf_dir, "events")
-    target = scd2_init(_earliest_per_user(e), _T0)
+    target = scd2_init(_earliest_per_user(e).transform(_pin), _T0)
     merged = scd2_merge(
-        target, _latest_per_user(e), "user_id", ["event_type", "value"], _T1
+        target,
+        _latest_per_user(e).transform(_pin),
+        "user_id",
+        ["event_type", "value"],
+        _T1,
     )
     return merged.select("user_id", "event_type", "value", "is_current")
 
@@ -237,15 +249,33 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-0 row exists) — a NULL-vs-value comparison is NOT a change under
     the reference's merge predicate, so in that case the batch-0 row
     remains the state at T1. (The testdata carries no NULL payloads, but
-    the closed form models the merge exactly either way.)"""
+    the closed form models the merge exactly either way.)
+
+    r14 (VERDICT item 8, guide §2.4 one-exchange-for-same-key-work): the
+    three per-batch dedups are ONE window pass partitioned by
+    (user_id, slice) — window partitions are independent, so filtering
+    slice k afterwards is row-identical to windowing the filtered slice
+    (the oracle's own b CTE is written exactly this way). Previously
+    each batch() call re-scanned events and ran its own window shuffle
+    (Catalyst duplicates shared subtrees), 3 scans + 3 shuffles for the
+    same keyed work. The deduped frame (≤ 3 rows per user — state-table
+    sized) is pinned once; the merge chain itself still replays every
+    batch unchanged."""
     e = load(spark, sf_dir, "events")
+    dedup3 = (
+        keep_latest(
+            e.withColumn("_slice", F.col("event_id") % 3),
+            ["user_id", "_slice"],
+            [F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()],
+        )
+        .select("user_id", "event_type", "value", "_slice")
+        .transform(_pin)
+    )
 
     def batch(k: int) -> DataFrame:
-        return keep_latest(
-            e.filter(F.col("event_id") % 3 == k),
-            ["user_id"],
-            [F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()],
-        ).select("user_id", "event_type", "value")
+        return dedup3.filter(F.col("_slice") == k).select(
+            "user_id", "event_type", "value"
+        )
 
     state = scd2_init(batch(0), _T0)
     state = scd2_merge(state, batch(1), "user_id", ["event_type", "value"], _T1)
