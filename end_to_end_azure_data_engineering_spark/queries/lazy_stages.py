@@ -119,6 +119,17 @@ def _copurchase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_edge_frame_lazy(li)
 
 
+def _pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank_copurchase's DISTRIBUTED 3-iteration chain (r14): the
+    join+agg pairs and final degree join that the adaptive driver-local
+    route takes over for support-bound graphs — the plan the fences walk
+    for the 100 TB path, rebuilt over the lazy edge frame."""
+    from .relational_ext import copurchase_edge_frame_lazy, pagerank_iterations_plan
+
+    li = spread(load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    return pagerank_iterations_plan(copurchase_edge_frame_lazy(li))
+
+
 def _eigen_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_top_eigen_power's pre-checkpoint moment-matrix plan
     (r13 opt): the Arrow int64 partial-Gram map + (i, j)-keyed sum that
@@ -274,6 +285,7 @@ def lazy_stages() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_containment_pairs:mine": _containment_mine,
         "incremental_components_merge:mine": _incremental_mine,
         "pagerank_copurchase:mine": _copurchase_mine,
+        "pagerank_copurchase:iter": _pagerank_iter,
         "dedup_connected_components:round": _cc_round,
         "embedding_top_eigen_power:gram": _eigen_gram,
         "kmeans_lloyd_3iter:step": _lloyd_step_plan,

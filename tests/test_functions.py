@@ -365,3 +365,35 @@ def test_connected_components_null_edges_both_paths(spark):
         for r in connected_components(edges, local_edges=0).collect()
     }
     assert local == dist == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_pagerank_local_route(spark, monkeypatch):
+    """r14: pagerank_copurchase's adaptive driver-local iteration route
+    must return EXACTLY the distributed chain's rows (same exact bigint
+    math, same top-100 selection), and the routing knob must pin either
+    path. The local path must leave no pinned blocks behind."""
+    from end_to_end_azure_data_engineering_spark.queries.relational_ext import (
+        pagerank_copurchase,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "1000000")
+    local = [
+        (r.part, r.rank_millionths, r.degree)
+        for r in pagerank_copurchase(spark, sf).collect()
+    ]
+    assert set(sc._jsc.getPersistentRDDs().keys()) - before == set(), (
+        "local route leaked the edge pin"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "0")
+    df = pagerank_copurchase(spark, sf)
+    dist = [(r.part, r.rank_millionths, r.degree) for r in df.collect()]
+    from end_to_end_azure_data_engineering_spark.operators.neardup import (
+        release_checkpoints,
+    )
+
+    release_checkpoints(df)
+    assert local == dist
+    assert 0 < len(local) <= 100
