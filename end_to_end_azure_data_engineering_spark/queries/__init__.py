@@ -216,6 +216,11 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         # unpinned plans executed 24-28 scan+window nodes)
         "scd2_as_of_snapshot",
         "scd2_final_state",
+        # adaptive driver-local PageRank iterations (support-bound graph)
+        "pagerank_copurchase",
+        # pinned shared subtrees (executed plans ran 5-6 duplicated scans)
+        "copurchase_degree_histogram",
+        "copurchase_jaccard",
     }
 )
 

@@ -2604,6 +2604,12 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
+        # two union branches below: materialize the (bounded, >=2-support)
+        # edge list once instead of re-mining the per-order self-join per
+        # branch (r14 — same fix as copurchase_triangles; the executed
+        # unpinned plan ran 5 parquet scans / two full mine branches,
+        # AQE's runtime exchange reuse notwithstanding)
+        .transform(_pin)
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))
@@ -3154,9 +3160,19 @@ def copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order and force count_distinct downstream; after the pre-distinct the
     # join input is minimal and both counts are plain count(*) — measured
     # 24.9 s → 9.6 s at replicated sf1.
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # r14: the distinct'ed projection is referenced by BOTH self-join
+    # sides AND the degree aggregate — Catalyst duplicates the subtree
+    # and the executed plan ran SIX lineitem scans (and re-shuffled the
+    # distinct each time). Pin it once: guide §5's cache-when-reused —
+    # at scale one corpus-sized materialization read three times beats
+    # three scan+shuffle recomputes, and the pin is released by the
+    # caller's release_checkpoints like every eager query.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .transform(_pin)
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
