@@ -221,6 +221,8 @@ RECHECK_THIS_ROUND: frozenset = frozenset(
         # pinned shared subtrees (executed plans ran 5-6 duplicated scans)
         "copurchase_degree_histogram",
         "copurchase_jaccard",
+        # dimension-bound power iterations moved to exact driver math
+        "embedding_top_eigen_power",
     }
 )
 

@@ -1477,59 +1477,104 @@ def embedding_top_eigen_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows per partition instead (map-side combine; integer sums are
     # order-free, and numpy int64 wraps exactly like the JVM long sum it
     # replaces, so the summed matrix is bit-identical — oracle re-verified
-    # at sf0.001/0.01/0.1). The quantization expression is unchanged
-    # (same round/cast calls, applied per element in a transform instead
-    # of under a posexplode).
-    # pin, not persist(): the d²-row moment matrix feeds three
-    # downstream references, and a persist here leaked its
-    # CacheManager entry per invocation (keyed by logical plan,
-    # survives GC — the bigram_lift leak class, r8 ADVICE);
-    # checkpoint blocks are reaped by the ContextCleaner instead
-    c = eigen_gram_lazy(e).transform(_pin)
-    v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
-        F.col("i").alias("j"), F.col("v")
+    # at sf0.001/0.01/0.1). The quantization expression is unchanged.
+    #
+    # r14: the gram matrix is DIMENSION-bound — exactly d² = 64×64 rows at
+    # ANY corpus size — so the three matrix-vector passes and the Rayleigh
+    # quotient run on the driver over one bounded collect (the MLlib
+    # pattern: RowMatrix.computePrincipalComponents collects the Gram and
+    # does local linear algebra). This replaces the former pin + five
+    # join/agg stage pairs with ONE job; _eigen_power_local replicates the
+    # distributed expressions' arithmetic EXACTLY (JVM-long wrap for the
+    # long sums/products, exact ints for the decimal(38,0) accumulations
+    # with a loud overflow raise at 1e38, IEEE double conversions for the
+    # floor rescales, HALF_UP for the final round) — pinned by
+    # tests/test_similarity_arrow.py::test_eigen_power_local_matches_spark_form.
+    rows = eigen_gram_lazy(e).collect()
+    top_eigen_m, n_dom = _eigen_power_local([(r.i, r.j, r.m) for r in rows])
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("top_eigen_m", DoubleType(), True),
+            StructField("n_dominant_dims", LongType(), True),
+        ]
     )
-    # Matrix-vector accumulation in DECIMAL(38,0) (HUGEINT in the oracle,
-    # r6 advice): the iterates grow ~O(N²) with corpus size, so BIGINT
-    # products/sums wrap silently in Spark's non-ANSI mode while DuckDB
-    # raises — decimal keeps both engines exact to ~1e38 and past that both
-    # fail LOUDLY (null/raise), never silently diverge. The per-row product
-    # casts m first: a long×long product would wrap before any cast.
-    v2 = (
-        c.join(F.broadcast(v1), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
-    )
-    # floor-of-double rescale: DECIMAL→DOUBLE and HUGEINT→DOUBLE are both
-    # correctly-rounded IEEE conversions of the same exact integer, so the
-    # floored quotient is engine-identical even past 2^53.
-    v2s = v2.select(
-        F.col("i").alias("j"),
-        F.floor(F.col("v").cast("double") / 1000000.0).cast("long").alias("v"),
-    )
-    v3 = (
-        c.join(F.broadcast(v2s), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
-    )
-    joined = v3.select(F.col("i"), F.col("v").alias("v3")).join(
-        v2s.select(F.col("j").alias("i"), F.col("v").alias("v2s")), "i"
-    )
-    ray = joined.agg(
-        F.sum((F.col("v3") * F.col("v2s")).cast("decimal(38,0)")).alias("num"),
-        F.sum((F.col("v2s") * F.col("v2s")).cast("decimal(38,0)")).alias("den"),
-    )
-    dom = (
-        v3.crossJoin(
-            F.broadcast(v3.agg(F.max(F.abs("v")).alias("mx")))
+    return spark.createDataFrame([(top_eigen_m, n_dom)], schema)
+
+
+def _eigen_power_local(entries: list[tuple]) -> tuple:
+    """Driver-side replica of the former distributed power-iteration tail
+    over the collected (i, j, m) gram rows — arithmetic matched op-for-op
+    to the Spark expressions it replaces (see the callsite comment):
+
+    - v1 = sum of LONG m per row → under ANSI (the Spark 4 session
+      default) a long-sum overflow RAISES — replicated with a loud
+      int64-bound check;
+    - v2/v3 = Σ m·v in DECIMAL(38,0) → exact ints, loud raise at 1e38
+      (ANSI Spark and DuckDB both raise there — never silent);
+    - v2s = floor(double(v)/1e6) → float(int) is the same correctly-
+      rounded IEEE conversion as Spark's DECIMAL→DOUBLE cast;
+    - den terms (v2s*v2s) are LONG products in Spark (cast to decimal
+      AFTER the multiply) → ANSI raises on overflow, replicated;
+    - dominant-dim test |v| >= max|v|/2 ⇔ 2|v| >= max (mx/2 is exact in
+      Spark's decimal division, so the integer form is equivalent);
+    - final round(…, 4) → HALF_UP on the shortest repr, Spark's round.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def chk64(x: int) -> int:
+        if not (-(2**63) <= x < 2**63):
+            raise ArithmeticError(
+                "ARITHMETIC_OVERFLOW parity: long overflow in eigen power "
+                "iteration (the ANSI Spark form raises here)"
+            )
+        return x
+
+    def chk38(x: int) -> int:
+        if abs(x) >= 10**38:
+            raise ArithmeticError(
+                "decimal(38,0) overflow in eigen power iteration (parity "
+                "with the Spark/DuckDB loud-fail)"
+            )
+        return x
+
+    if not entries:
+        return None, 0
+    M: dict = {}
+    dims: set = set()
+    for i, j, m in entries:
+        M[(i, j)] = m
+        dims.add(i)
+        dims.add(j)
+    ds = sorted(dims)
+    v1 = {
+        i: chk64(sum(M.get((i, j), 0) for j in ds)) for i in ds
+    }
+    v2 = {
+        i: chk38(sum(M.get((i, j), 0) * v1[j] for j in ds)) for i in ds
+    }
+    v2s = {i: int(math.floor(float(v2[i]) / 1000000.0)) for i in ds}
+    v3 = {
+        i: chk38(sum(M.get((i, j), 0) * v2s[j] for j in ds)) for i in ds
+    }
+    num = chk38(sum(v3[i] * v2s[i] for i in ds))
+    den = chk38(sum(chk64(v2s[i] * v2s[i]) for i in ds))
+    mx = max(abs(v) for v in v3.values())
+    n_dom = sum(1 for v in v3.values() if 2 * abs(v) >= mx)
+    if den == 0:
+        # parity with the distributed form under ANSI mode (Spark 4
+        # default): the num/den double division raises DIVIDE_BY_ZERO on
+        # a degenerate (all-zero projection) gram — verified in the test
+        raise ArithmeticError(
+            "eigen power iteration: zero Rayleigh denominator "
+            "(DIVIDE_BY_ZERO parity with the ANSI Spark form)"
         )
-        .where(F.abs("v") >= F.col("mx") / 2)
-        .agg(F.count("*").alias("n_dominant_dims"))
+    q = float(num) / float(den) / 1000000.0
+    if math.isnan(q) or math.isinf(q):
+        return q, n_dom
+    top = float(
+        Decimal(repr(q)).quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP)
     )
-    return ray.crossJoin(F.broadcast(dom)).select(
-        F.round(
-            F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0,
-            4,
-        ).alias("top_eigen_m"),
-        "n_dominant_dims",
-    )
+    return top, n_dom

@@ -448,6 +448,102 @@ def test_lit_double_helpers_match_f_lit(spark):
         V.lit_double_matrix([[float("inf")]])
 
 
+def _old_eigen_tail(c):
+    """The r13 distributed power-iteration tail over a (i, j, m) gram
+    frame — the reference for the r14 driver-local replica."""
+    v1 = c.groupBy("i").agg(F.sum("m").alias("v")).select(
+        F.col("i").alias("j"), F.col("v")
+    )
+    v2 = (
+        c.join(F.broadcast(v1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
+    )
+    v2s = v2.select(
+        F.col("i").alias("j"),
+        F.floor(F.col("v").cast("double") / 1000000.0).cast("long").alias("v"),
+    )
+    v3 = (
+        c.join(F.broadcast(v2s), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("v")).alias("v"))
+    )
+    joined = v3.select(F.col("i"), F.col("v").alias("v3")).join(
+        v2s.select(F.col("j").alias("i"), F.col("v").alias("v2s")), "i"
+    )
+    ray = joined.agg(
+        F.sum((F.col("v3") * F.col("v2s")).cast("decimal(38,0)")).alias("num"),
+        F.sum((F.col("v2s") * F.col("v2s")).cast("decimal(38,0)")).alias("den"),
+    )
+    dom = (
+        v3.crossJoin(F.broadcast(v3.agg(F.max(F.abs("v")).alias("mx"))))
+        .where(F.abs("v") >= F.col("mx") / 2)
+        .agg(F.count("*").alias("n_dominant_dims"))
+    )
+    return ray.crossJoin(F.broadcast(dom)).select(
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0,
+            4,
+        ).alias("top_eigen_m"),
+        "n_dominant_dims",
+    )
+
+
+def test_eigen_power_local_matches_spark_form(spark):
+    """r14: the driver-local power-iteration replica must equal the old
+    distributed tail EXACTLY (double by repr, count by int) on the real
+    fixture gram AND on crafted matrices with negative off-diagonals,
+    zeros, and large magnitudes."""
+    from end_to_end_azure_data_engineering_spark.queries import load as _load
+    from end_to_end_azure_data_engineering_spark.queries.similarity_ops import (
+        _eigen_power_local,
+        eigen_gram_lazy,
+    )
+
+    cases = []
+    real = [
+        (r.i, r.j, r.m)
+        for r in eigen_gram_lazy(_load(spark, SF, "embeddings")).collect()
+    ]
+    cases.append(real)
+    cases.append(
+        [(1, 1, 5), (1, 2, -3), (2, 1, -3), (2, 2, 4)]
+    )
+    # large magnitudes exercising >2^53 doubles in the floor rescale
+    # while staying inside the int64 den terms
+    cases.append([(1, 1, 10**7), (1, 2, 3), (2, 1, 3), (2, 2, 10**7)])
+    for entries in cases:
+        c = spark.createDataFrame(entries, "i int, j int, m long")
+        ref = _old_eigen_tail(c).collect()[0]
+        got = _eigen_power_local(entries)
+        assert repr(got[0]) == repr(ref.top_eigen_m), (entries[:2], got, ref)
+        assert got[1] == ref.n_dominant_dims, (got, ref)
+    # degenerate grams whose rescaled iterate collapses to zero: the
+    # distributed form RAISES under ANSI (DIVIDE_BY_ZERO on the Rayleigh
+    # division) — the replica must too
+    import pytest
+
+    for entries in (
+        [(1, 1, 0), (1, 2, 0), (2, 1, 0), (2, 2, 0)],
+        [(1, 1, 10**9), (1, 2, -(10**9) + 7), (2, 1, -(10**9) + 7), (2, 2, 10**9)],
+    ):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide|zero"):
+            _old_eigen_tail(
+                spark.createDataFrame(entries, "i int, j int, m long")
+            ).collect()
+        with pytest.raises(ArithmeticError, match="DIVIDE_BY_ZERO"):
+            _eigen_power_local(entries)
+    # long overflow in the den terms: ANSI Spark raises
+    # ARITHMETIC_OVERFLOW — the replica's int64 bound check must too
+    big = [(1, 1, 10**9), (1, 2, 3), (2, 1, 3), (2, 2, 10**9)]
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        _old_eigen_tail(
+            spark.createDataFrame(big, "i int, j int, m long")
+        ).collect()
+    with pytest.raises(ArithmeticError, match="ARITHMETIC_OVERFLOW"):
+        _eigen_power_local(big)
+
+
 def test_int_gram_partials_match_join_form(spark):
     """The Arrow partial-Gram (int64 Xᵀ@X per batch) summed downstream
     must equal the exploded self-join + sum form value-for-value — both
