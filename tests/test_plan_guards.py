@@ -371,11 +371,11 @@ BROADCAST_ALLOWED: dict[str, set[str]] = {
         "tot", "total", "pr_tot", "yr_tot",                    # SCALAR
     },
     "queries/relational_tpch2.py": {"max_rev", "n"},           # SCALAR / FIXED
+    # r14: the eigen power tail's dom/v1/v2s/mx broadcasts disappeared
+    # with the driver-local iteration rewrite (dimension-bound collect)
     "queries/similarity_ops.py": {
-        "dom", "global_c", "n_orphans", "t",                   # SCALAR
-        "v3.agg(F.max(F.abs('v')).alias('mx'))",               # SCALAR
+        "global_c", "n_orphans", "t",                          # SCALAR
         "probe_cells", "probes",                               # PROBE
-        "v1", "v2s",                                           # VECTOR (d rows)
     },
     "queries/text_ops.py": {
         "bg.agg(F.sum('n_bg').alias('t_bigrams'))",            # SCALAR
